@@ -1,0 +1,141 @@
+"""Pipeline executor: runs a ``DataflowMetadata`` spec as a DataFrame DAG.
+
+Reference executor: ``PipelineProcessor.process`` at
+``PipelineProcessor.scala:13-42`` — for each dataflow, read+union sources
+(``:29``, ``:105-113``), apply ``add_fields`` (``:31``), apply
+``validate_fields`` (``:36``), persist to sinks (``:39``, ``:115-146``).
+
+Differences from the reference, all documented in SURVEY.md:
+
+- **Real DAG edges.** The reference ignores ``params.input`` and
+  hard-codes the order (``:24-39``); the engine resolves each
+  transformation's ``input`` against a node registry, so dataflows can
+  declare arbitrary chains. A ``validate_fields`` node named ``v``
+  registers both ``v_ok`` and ``v_ko`` (matching the reference's
+  implicit ``validation_ok``/``validation_ko`` tags, ``metadata.json:38``,
+  ``:59``).
+- **Single-pass split** with exact partitioning NULL semantics
+  (see ``transforms.validate_fields``).
+- **Unknown sink tags raise** a named error instead of Scala
+  ``MatchError`` (``:117-146``).
+- **Cache lifecycle**: the split point is cached (as the reference does,
+  ``:65``) and unpersisted after all sinks are written.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.io.sinks import write_sink
+from spark_kafka_airflow_pipeline_spark.io.sources import read_source, read_sources_union
+from spark_kafka_airflow_pipeline_spark.metadata import (
+    Dataflow,
+    DataflowMetadata,
+    Transformation,
+)
+from spark_kafka_airflow_pipeline_spark.transforms import add_fields, validate_fields
+
+log = logging.getLogger(__name__)
+
+
+class PipelineExecutor:
+    """Executes dataflows; one DataFrame lineage per dataflow."""
+
+    def __init__(self, spark: SparkSession, debug_show: bool = False):
+        self.spark = spark
+        # the reference force-computes both splits with show(false)
+        # (PipelineProcessor.scala:70, :84); gate that behind a flag
+        self.debug_show = debug_show
+
+    # -- public API ---------------------------------------------------
+
+    def process(self, metadata: DataflowMetadata) -> dict[str, dict[str, DataFrame]]:
+        """Run every dataflow (reference ``process()``, ``:13-42``).
+
+        Returns ``{dataflow_name: {node_name: DataFrame}}`` so tests and
+        notebooks can inspect intermediate nodes; the reference returns
+        Unit and only writes sinks.
+        """
+        return {df.name: self.run_dataflow(df) for df in metadata.dataflows}
+
+    def run_dataflow(self, flow: Dataflow) -> dict[str, DataFrame]:
+        nodes = self.build_nodes(flow)
+        cached: list[DataFrame] = [df for df in nodes.values() if df.is_cached]
+        try:
+            for sink in flow.sinks:
+                if sink.input not in nodes:
+                    raise KeyError(
+                        f"sink of dataflow {flow.name!r} references unknown node "
+                        f"{sink.input!r}; known nodes: {sorted(nodes)}")
+                write_sink(nodes[sink.input], sink)
+        finally:
+            for df in cached:
+                df.unpersist()
+        return nodes
+
+    def build_nodes(self, flow: Dataflow) -> dict[str, DataFrame]:
+        """Materialize the node registry without writing sinks."""
+        nodes: dict[str, DataFrame] = {}
+        for source in flow.sources:
+            nodes[source.name] = read_source(self.spark, source)
+        source_names = {s.name for s in flow.sources}
+        union_all = read_sources_union(self.spark, flow.sources)
+        nodes["__sources__"] = union_all
+
+        for t in flow.transformations:
+            upstream = self._resolve_input(t, nodes, source_names)
+            self._apply(t, upstream, nodes)
+        return nodes
+
+    # -- internals ----------------------------------------------------
+
+    def _resolve_input(self, t: Transformation, nodes: dict[str, DataFrame],
+                       source_names: set[str]) -> DataFrame:
+        name = t.params.input
+        if name is None:
+            return nodes["__sources__"]
+        if name in source_names and len(source_names) > 1:
+            # reference parity: multi-source dataflows consume the union
+            # regardless of the configured input (PipelineProcessor.scala:29)
+            log.info("transformation %s: input %r is one of several sources; "
+                     "using the union of all sources (reference semantics)",
+                     t.name, name)
+            return nodes["__sources__"]
+        if name not in nodes:
+            raise KeyError(f"transformation {t.name!r} references unknown input "
+                           f"{name!r}; known nodes: {sorted(nodes)}")
+        return nodes[name]
+
+    def _apply(self, t: Transformation, df: DataFrame,
+               nodes: dict[str, DataFrame]) -> None:
+        kind = t.type
+        if kind == "add_fields":
+            nodes[t.name] = add_fields(df, t.params.addFields)
+        elif kind == "validate_fields":
+            ok, ko = validate_fields(df, t.params.validations)
+            if self.debug_show:
+                ok.show(truncate=False)
+                ko.show(truncate=False)
+            nodes[f"{t.name}_ok"] = ok
+            nodes[f"{t.name}_ko"] = ko
+            nodes[t.name] = ok  # bare name == valid split, for chaining
+        elif kind == "sql":
+            for name, frame in nodes.items():
+                if not name.startswith("__"):
+                    frame.createOrReplaceTempView(name)
+            nodes[t.name] = self.spark.sql(t.params.sql)
+        elif kind == "filter":
+            nodes[t.name] = df.filter(t.params.expr)
+        elif kind == "select":
+            nodes[t.name] = df.select(*t.params.columns)
+        elif kind == "drop":
+            nodes[t.name] = df.drop(*t.params.columns)
+        elif kind == "dedup":
+            cols = t.params.columns or None
+            nodes[t.name] = df.dropDuplicates(cols)
+        else:
+            raise ValueError(f"unknown transformation type {kind!r} "
+                             f"(node {t.name!r})")

@@ -1,0 +1,143 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM, codegen) — language
+ID, quality scoring, token counting, fingerprinting, shingling. These
+feed the dedup / text operators and are designed to be mirrored in ANSI
+SQL for the DuckDB oracle.
+
+[EXT] surface: the reference has no text ops (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language; enough for a heuristic
+# language-ID / quality signal without external models.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+_WS = r"\s+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; empty/blank strings count 0."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean token length = non-space chars / tokens."""
+    t = F.trim(_c(text))
+    nonspace = F.length(F.regexp_replace(t, _WS, ""))
+    return F.when(token_count(t) > 0, nonspace / token_count(t))
+
+
+def punctuation_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    t = _c(text)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercase) stopwords."""
+    stopwords = stopwords or STOPWORDS_EN
+    toks = F.split(F.lower(F.trim(_c(text))), _WS)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    rewards reasonable length, low punctuation, presence of stopwords.
+
+    score = 0.4 * min(tokens/50, 1)
+          + 0.3 * (1 - min(punct_ratio*5, 1))
+          + 0.3 * min(stopword_ratio*5, 1)
+    """
+    tok_term = F.least(token_count(text) / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punctuation_ratio(text) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round(0.4 * tok_term + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. md5 is available verbatim in DuckDB, so the oracle
+    can reproduce it bit-for-bit."""
+    canon = F.regexp_replace(F.lower(F.trim(_c(text))), _WS, " ")
+    return F.md5(canon)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (k consecutive tokens joined by a space) —
+    the MinHash input set. Short docs (< k tokens) yield the whole doc
+    as a single shingle."""
+    toks = F.split(F.lower(F.trim(_c(text))), _WS)
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(joined)
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text (n-gram Jaccard
+    input). Uses substring over an index sequence — JVM-side, no UDF."""
+    t = F.lower(F.trim(_c(text)))
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, 1, n) if False else t.substr(i, F.lit(n))))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    """MinHash signature: for each of ``num_hashes`` hash families, the
+    minimum of ``hash(seed, i, shingle)`` over the shingle set.
+
+    ``F.hash`` (Murmur3, deterministic) keeps this JVM-side and
+    reproducible; no sampled permutations, no randomness at runtime.
+    Returns ``array<int>`` of length ``num_hashes``.
+    """
+    sigs = [
+        F.array_min(F.transform(shingle_arr,
+                                lambda s, i=i: F.hash(F.lit(seed), F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def simhash64(text: Column | str, ngram: int = 3) -> Column:
+    """64-bit SimHash over character n-grams, fully JVM-side.
+
+    Classic SimHash sums +/-1 per feature per bit then takes signs; we
+    compute, for each bit position, (#features with bit set) vs
+    (#features)/2 using ``xxhash64`` of each n-gram.
+    """
+    grams = char_ngrams(text, ngram)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n = F.size(hashes)
+    bits = []
+    for b in range(64):
+        ones = F.size(F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b).cast("long")) != 0))
+        bits.append(F.when(ones * 2 >= n, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << b).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array columns (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

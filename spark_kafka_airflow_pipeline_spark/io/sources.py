@@ -1,0 +1,80 @@
+"""Batch + streaming sources.
+
+Reference source read: format-dispatched file load with schema inference
+and glob paths (``PipelineProcessor.scala:105-112``); multi-source
+dataflows union positionally (``:113``). The engine:
+
+- supports any Spark batch format by config (json/parquet/csv/orc/avro/
+  text), local or any Hadoop FS scheme — same surface;
+- unions with ``unionByName(allowMissingColumns=True)`` instead of the
+  reference's positional ``union`` (documented deviation, SURVEY.md
+  §2.3.5: schema-inferred JSON sources with differing key sets misalign
+  positionally);
+- accepts an optional explicit DDL schema per source — required for
+  production streaming, and at scale it skips the inference scan (a full
+  extra pass over the data for JSON/CSV).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_kafka_airflow_pipeline_spark.metadata import Source
+
+
+def read_source(spark: SparkSession, source: Source) -> DataFrame:
+    """Load one configured source (``PipelineProcessor.scala:105-112``)."""
+    reader = spark.read.format(source.format.lower()).options(**source.options)
+    if source.schema:
+        reader = reader.schema(source.schema)
+    return reader.load(source.path)
+
+
+def read_sources_union(spark: SparkSession, sources: Iterable[Source]) -> DataFrame:
+    """Read every source and fold into one frame (``:106-113``),
+    by-name with missing-column tolerance instead of positional."""
+    frames = [read_source(spark, s) for s in sources]
+    if not frames:
+        raise ValueError("dataflow has no sources")
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
+                      value_schema: str,
+                      starting_offsets: str = "earliest") -> DataFrame:
+    """Structured Streaming Kafka source [EXT].
+
+    The reference uses Kafka only as a batch sink
+    (``PipelineProcessor.scala:148-156``); the streaming read is the
+    north-star extension. ``value`` is parsed with an explicit schema —
+    inference is impossible on a stream.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "timestamp",
+    ).select("key", "v.*", "timestamp")
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Deterministic-ish local stream source for tests (no Kafka broker
+    in the test environment)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

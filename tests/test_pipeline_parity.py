@@ -1,0 +1,189 @@
+"""Reference-parity tests on the reproduced 3-row fixture
+(/root/reference/src/main/resources/input.json:1-3, reproduced per
+FIXTURES.md §1) plus the SURVEY.md §2.3 edge-case pins."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from spark_kafka_airflow_pipeline_spark import (
+    AddField,
+    PipelineExecutor,
+    Validation,
+    parse_metadata,
+)
+from spark_kafka_airflow_pipeline_spark.transforms import (
+    ERROR_COLUMN,
+    add_fields,
+    validate_fields,
+)
+
+FIXTURE_ROWS = [
+    {"name": "Xabier", "age": 39, "office": ""},
+    {"name": "Miguel", "office": "RIO"},
+    {"name": "Fran", "age": 31, "office": "RIO"},
+]
+
+RULES = [Validation("office", ["notEmpty"]), Validation("age", ["notNull"])]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("fixture") / "input.json"
+    path.write_text("\n".join(json.dumps(r) for r in FIXTURE_ROWS))
+    return spark.read.json(str(path))
+
+
+def test_reference_fixture_split(fixture_df):
+    """Expected per FIXTURES.md §1: ok={Fran}, ko={Xabier:[office-notEmpty],
+    Miguel:[age-notNull]}."""
+    ok, ko = validate_fields(fixture_df, RULES)
+    ok_rows = {r["name"]: r.asDict() for r in ok.collect()}
+    ko_rows = {r["name"]: r.asDict() for r in ko.collect()}
+    assert set(ok_rows) == {"Fran"}
+    assert ok_rows["Fran"]["age"] == 31 and ok_rows["Fran"]["office"] == "RIO"
+    assert ERROR_COLUMN not in ok.columns
+    assert ko_rows["Xabier"][ERROR_COLUMN] == ["office-notEmpty"]
+    assert ko_rows["Miguel"][ERROR_COLUMN] == ["age-notNull"]
+    assert dict(ko.schema[ERROR_COLUMN].dataType.jsonValue(),
+                ) == {"type": "array", "elementType": "string", "containsNull": True}
+
+
+def test_multi_rule_failure_collects_all_codes(spark):
+    df = spark.createDataFrame([("", None)], "office string, age long")
+    _, ko = validate_fields(df, RULES)
+    assert ko.collect()[0][ERROR_COLUMN] == ["office-notEmpty", "age-notNull"]
+
+
+def test_null_on_notempty_field_goes_to_ko(spark):
+    """SURVEY.md §2.3.3: the reference drops a NULL-office row from BOTH
+    splits; the engine must route it to ko so splits partition the input."""
+    df = spark.createDataFrame([(None,), ("x",)], "office string")
+    ok, ko = validate_fields(df, [Validation("office", ["notEmpty"])])
+    assert ok.count() == 1
+    ko_rows = ko.collect()
+    assert len(ko_rows) == 1
+    assert ko_rows[0]["office"] is None
+    assert ko_rows[0][ERROR_COLUMN] == ["office-notEmpty"]
+
+
+def test_empty_rule_list_all_ok(fixture_df):
+    """SURVEY.md §2.3.2: no rules => all rows ok (reference crashes on
+    filter(''))."""
+    ok, ko = validate_fields(fixture_df, [])
+    assert ok.count() == 3
+    assert ko.count() == 0
+    assert ERROR_COLUMN in ko.columns
+
+
+def test_add_fields_expression_surface(fixture_df):
+    out = add_fields(fixture_df, [
+        AddField("dt", "current_timestamp"),
+        AddField("age2", "age * 2"),
+        AddField("age4", "age2 * 2"),  # later field references earlier one
+    ])
+    rows = {r["name"]: r.asDict() for r in out.collect()}
+    assert rows["Fran"]["age2"] == 62 and rows["Fran"]["age4"] == 124
+    assert rows["Fran"]["dt"] is not None
+    assert dict(out.schema["dt"].dataType.jsonValue() if isinstance(
+        out.schema["dt"].dataType.jsonValue(), dict) else {}) or \
+        out.schema["dt"].dataType.typeName() == "timestamp"
+
+
+def test_end_to_end_metadata_run(spark, tmp_path):
+    """Reference metadata.json shape, run end-to-end: json source ->
+    add_fields -> validate -> parquet sinks at <path>/<name>."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part1.json").write_text(
+        "\n".join(json.dumps(r) for r in FIXTURE_ROWS))
+    out_ok = tmp_path / "out-ok"
+    out_ko = tmp_path / "out-ko"
+    meta = parse_metadata({
+        "dataflows": [{
+            "name": "person-pipeline",
+            "sources": [
+                {"name": "person_inputs", "path": str(src / "*.json"),
+                 "format": "JSON"},
+            ],
+            "transformations": [
+                {"name": "validation", "type": "validate_fields", "params": {
+                    "input": "person_inputs",
+                    "validations": [
+                        {"field": "office", "validations": ["notEmpty"]},
+                        {"field": "age", "validations": ["notNull"]},
+                    ]}},
+                {"name": "ok_with_date", "type": "add_fields", "params": {
+                    "input": "validation_ok",
+                    "addFields": [{"name": "dt",
+                                   "function": "current_timestamp"}]}},
+            ],
+            "sinks": [
+                {"input": "ok_with_date", "name": "raw-ok",
+                 "paths": [str(out_ok)], "format": "PARQUET",
+                 "saveMode": "OVERWRITE"},
+                {"input": "validation_ko", "name": "raw-ko",
+                 "paths": [str(out_ko)], "format": "PARQUET",
+                 "saveMode": "OVERWRITE"},
+            ],
+        }]
+    })
+    PipelineExecutor(spark).process(meta)
+    ok = spark.read.parquet(str(out_ok / "raw-ok"))
+    ko = spark.read.parquet(str(out_ko / "raw-ko"))
+    assert [r["name"] for r in ok.collect()] == ["Fran"]
+    assert "dt" in ok.columns
+    assert sorted(r["name"] for r in ko.collect()) == ["Miguel", "Xabier"]
+    assert sorted(r[ERROR_COLUMN][0] for r in ko.collect()) == [
+        "age-notNull", "office-notEmpty"]
+
+
+def test_union_by_name_with_schema_drift(spark, tmp_path):
+    """SURVEY.md §2.3.5: two JSON sources with different key sets must
+    align by name, not position."""
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"name": "n1", "office": "X"}))
+    b.write_text(json.dumps({"office": "Y", "name": "n2", "age": 9}))
+    meta = parse_metadata({"dataflows": [{
+        "name": "drift",
+        "sources": [
+            {"name": "sa", "path": str(a), "format": "json"},
+            {"name": "sb", "path": str(b), "format": "json"},
+        ],
+        "transformations": [], "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    rows = {r["name"]: r.asDict() for r in nodes["__sources__"].collect()}
+    assert rows["n1"]["office"] == "X" and rows["n1"].get("age") is None
+    assert rows["n2"]["office"] == "Y" and rows["n2"]["age"] == 9
+
+
+def test_kafka_serialization_format(spark):
+    """Wire format parity: value = to_json(struct(*)) and nothing else
+    (PipelineProcessor.scala:150; SURVEY.md §2.3.6)."""
+    from spark_kafka_airflow_pipeline_spark.io.sinks import serialize_for_kafka
+
+    df = spark.createDataFrame([("Fran", 31)], "name string, age long")
+    out = serialize_for_kafka(df)
+    assert out.columns == ["value"]
+    assert json.loads(out.collect()[0]["value"]) == {"name": "Fran", "age": 31}
+    keyed = serialize_for_kafka(df, key_column="name")
+    assert keyed.columns == ["key", "value"]
+    assert keyed.collect()[0]["key"] == "Fran"
+
+
+def test_unknown_sink_tag_raises(spark, tmp_path):
+    meta = parse_metadata({"dataflows": [{
+        "name": "bad", "sources": [
+            {"name": "s", "path": str(tmp_path), "format": "parquet"}],
+        "transformations": [],
+        "sinks": [{"input": "nope", "name": "x", "paths": [str(tmp_path)],
+                   "format": "parquet", "saveMode": "overwrite"}],
+    }]})
+    df = spark.createDataFrame([(1,)], "a int")
+    df.write.mode("overwrite").parquet(str(tmp_path))
+    with pytest.raises(KeyError, match="unknown node"):
+        PipelineExecutor(spark).run_dataflow(meta.dataflows[0])
