@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-schema query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB oracle (rows-only entries omit the oracle).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
+    dedup,
+    events,
+    multimodal,
+    pipelineops,
+    relational,
+    similarity,
+    textops,
+)
+from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming  # noqa: E402
+
+_MODULES = (relational, events, pipelineops, textops, dedup, similarity,
+            multimodal, streaming)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: revenue by nation —
+    lineitem x orders x customer x nation x region star join with
+    broadcast dims, filter, group-agg (SURVEY.md §7)."""
+    return relational.q5_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = merged.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise RuntimeError(f"duplicate query names: {overlap}")
+        merged.update(mod.QUERIES)
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for each SQL-expressible query (rows-only ops —
+    MinHash/SimHash dedup, LSH ANN, session windows — are omitted, per
+    the driver contract)."""
+    merged: dict[str, str] = {}
+    for mod in _MODULES:
+        merged.update(mod.ORACLES)
+    return merged

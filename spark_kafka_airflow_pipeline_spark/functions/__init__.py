@@ -1,0 +1,3 @@
+from spark_kafka_airflow_pipeline_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

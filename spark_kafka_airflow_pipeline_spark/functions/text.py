@@ -126,13 +126,18 @@ def simhash64(text: Column | str, ngram: int = 3) -> Column:
     grams = char_ngrams(text, ngram)
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     n = F.size(hashes)
-    bits = []
+    # NB: the filter lambda must be single-argument — PySpark reads a
+    # two-arg lambda as (element, index), silently changing semantics
+    def _bit_test(mask):
+        return lambda h: h.bitwiseAND(mask) != 0
+
+    out = F.lit(0).cast("long")
     for b in range(64):
-        ones = F.size(F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b).cast("long")) != 0))
-        bits.append(F.when(ones * 2 >= n, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << b).cast("long"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        # shiftleft wraps correctly at bit 63 (a python 1<<63 literal
+        # overflows the JVM long)
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        ones = F.size(F.filter(hashes, _bit_test(mask)))
+        out = out + F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("long"))
     return out
 
 

@@ -1,0 +1,46 @@
+"""Shared helpers for the operator/query library.
+
+Every operator module registers its queries in a ``QUERIES`` dict
+(name -> (spark, sf_dir) -> DataFrame) and, when SQL-expressible, a
+matching DuckDB oracle in ``ORACLES`` (name -> ANSI SQL string). The
+driver contract (``__spark_entry__.py``) merges them.
+
+Determinism rules (so the driver's order-insensitive value-hash
+matches the oracle):
+- every computed column is aliased identically in Spark and SQL;
+- floating-point aggregates are ``round()``-ed to a fixed scale in BOTH
+  engines, computed in double precision;
+- top-k queries break ties on a unique key so the selected row SET is
+  unique even when the measure ties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one test table. Column pruning + predicate
+    pushdown happen automatically once the caller selects/filters.
+
+    The events table stores TIMESTAMP(NANOS), which Spark's reader
+    rejects unless nanos are read as long — so that conf is set at
+    runtime (it must work under the caller's SparkSession, not only
+    ours) and the nanos column is converted back to a timestamp
+    (truncated to micros, matching how DuckDB reads the same file).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df

@@ -1,0 +1,174 @@
+"""Event-stream operators in batch form: JSON extraction, tumbling /
+sliding windows, gaps-and-islands sessionization. The streaming module
+runs the same shapes through Structured Streaming; these batch variants
+are the DuckDB-oracle-able twins (SURVEY.md §5, FIXTURES.md §3).
+
+Scale notes: time-window aggregation shuffles once on (window, keys);
+sessionization shuffles once on user_id, then the lag/cumsum windows run
+within partitions. Both survive 100x data: the shuffle key is the
+natural partition key and there is no driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.relational import dsum, SQL_DSUM
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull a typed value out of the JSON props column and aggregate —
+    the reference's to_json wire format read back (`from_json`
+    counterpart of PipelineProcessor.scala:150)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event type (batch twin of the
+    streaming window aggregation)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {SQL_DSUM.format(expr='value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in two
+    windows. Spark's window() generates them directly; the oracle unions
+    the two aligned bucketings."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "n_events")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH starts AS (
+  -- make_timestamp(micros) keeps the timestamp naive; to_timestamp would
+  -- return TIMESTAMPTZ and drift with the session timezone
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+         AS window_start FROM events
+  UNION ALL
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM starts
+GROUP BY 1
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks after a 30-min
+    silence per user. Returns per-user session counts + event counts.
+
+    One shuffle on user_id; lag + cumulative-sum windows share the same
+    partitioning so Catalyst plans a single exchange.
+    """
+    e = table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast to double (fractional seconds) — a long cast truncates to
+    # whole seconds and disagrees with DuckDB's epoch() at boundaries
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(by_user)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = (
+        e.select("user_id", "event_id", "ts")
+        .withColumn("is_new", new_session)
+        .withColumn("session_id", F.sum("is_new").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of value over event time."""
+    e = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(20,6)")).over(w)
+        .cast("double").alias("running_value"),
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(20,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+"""
+
+
+QUERIES: dict[str, QueryFn] = {
+    "events_json_extract": events_json_extract,
+    "events_tumbling_window": events_tumbling_window,
+    "events_sliding_window": events_sliding_window,
+    "events_sessionize": events_sessionize,
+    "events_running_value": events_running_value,
+}
+
+ORACLES: dict[str, str] = {
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_running_value": EVENTS_RUNNING_SQL,
+}

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing [EXT]: opaque ``binary`` payloads with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (documented stub) — but the Spark-side plumbing is
+real and load-bearing: binary column handling, metadata structs, the
+``mapInPandas`` batch signature, and the output schema contract are
+exactly what a real decoder plugs into (swap ``_fake_decode`` for
+PIL/ffmpeg on a cluster with codecs).
+
+Scale: mapInPandas streams Arrow batches; nothing is collected. Binary
+payloads stay columnar end-to-end; a real 100 TB media table would add
+``spark.sql.files.maxPartitionBytes`` tuning and bucketing by media_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+
+FEATURE_SCHEMA = ("doc_id long, n_bytes int, first_byte int, "
+                  "checksum_mod int")
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder entry point — unavailable in this container.
+
+    On a production cluster: ``from PIL import Image; return
+    Image.open(io.BytesIO(payload))``.
+    """
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "_fake_decode provides the deterministic test double")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode+feature-extract: byte length,
+    first byte, additive checksum mod 251. Pure function of the payload
+    so the DuckDB oracle can reproduce it."""
+    n = len(payload)
+    first = payload[0] if n else -1
+    checksum = sum(payload) % 251
+    return n, first, checksum
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature frame out.
+    This function runs on executors; keep it import-light."""
+    for pdf in batches:
+        feats = [_fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "n_bytes": [f[0] for f in feats],
+            "first_byte": [f[1] for f in feats],
+            "checksum_mod": [f[2] for f in feats],
+        })
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each document's text bytes as an opaque binary payload with
+    typed metadata, run the decode/feature kernel over mapInPandas."""
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return media.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA)
+
+
+# the test documents are pure ASCII, so per-char code points == bytes;
+# a non-ASCII corpus would need a blob-indexing shim here
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1))
+                 ELSE -1 END AS INT) AS first_byte,
+       CAST(CASE WHEN length(text) > 0 THEN
+              list_reduce(list_transform(range(1, length(text) + 1),
+                          i -> ascii(substring(text, CAST(i AS INT), 1))),
+                          (a, b) -> a + b) % 251
+            ELSE 0 END AS INT) AS checksum_mod
+FROM documents
+"""
+
+
+QUERIES: dict[str, QueryFn] = {
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "multimodal_features": MULTIMODAL_SQL,
+}

@@ -1,0 +1,499 @@
+"""Relational operator catalog: scans, joins, aggregations, windows,
+set ops, sort/limit/top-k, scalar functions — the [EXT] surface of
+SURVEY.md §2.2, exercised as TPC-H-style queries over the test star
+schema with DuckDB oracles.
+
+Scale posture (100 TB):
+- Dimension tables (region/nation/supplier/part/customer) are joined
+  with explicit ``F.broadcast`` hints — the fact table never shuffles
+  for a star join.
+- Aggregates run as partial (map-side) + final automatically; sums are
+  cast to decimal so the result is order-independent (bit-identical
+  across partitionings AND engines — doubles would drift in the last
+  ulp run-to-run).
+- Filters sit directly on scans so Parquet pushdown + column pruning
+  apply (verify with ``.explain``: PushedFilters / ReadSchema).
+- Top-k uses orderBy+limit (Spark plans TakeOrderedAndProject — no full
+  sort, no single-node shuffle of the whole input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+
+# --- deterministic aggregate helpers (see module docstring) -----------
+
+def dsum(col, alias: str):
+    """Order-independent double sum: sum over decimal(20,6), cast back."""
+    return F.sum(col.cast("decimal(20,6)")).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    """Order-independent double average (decimal sum / non-null count)."""
+    return (F.sum(col.cast("decimal(20,6)")).cast("double")
+            / F.count(col)).alias(alias)
+
+
+SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE)"
+SQL_DAVG = "CAST(SUM(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ----------------------------------------------------------------------
+# q1: pricing summary — groupBy + rich aggregates (TPC-H Q1 shape)
+# ----------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= _ts("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_DSUM.format(expr='l_quantity')} AS sum_qty,
+       {SQL_DSUM.format(expr='l_extendedprice')} AS sum_base_price,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {SQL_DAVG.format(expr='l_quantity')} AS avg_qty,
+       {SQL_DAVG.format(expr='l_extendedprice')} AS avg_price,
+       {SQL_DAVG.format(expr='l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ----------------------------------------------------------------------
+# q3: shipping priority — 3-way join + group + top-k (TPC-H Q3 shape)
+# ----------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < _ts("1997-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > _ts("1997-01-01"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                        orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+# ----------------------------------------------------------------------
+# q5: revenue by nation — 5-way star join, all dims broadcast (Q5 shape)
+# ----------------------------------------------------------------------
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    orders = (table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= _ts("1996-01-01"))
+                      & (F.col("o_orderdate") < _ts("1998-01-01"))))
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # dims fold into one broadcastable customer->nation map; the big
+    # fact-fact join (lineitem x orders) stays a shuffle join on orderkey
+    dims = (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey))
+    return (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(supplier),
+              (F.col("l_suppkey") == supplier.s_suppkey)
+              & (F.col("c_nationkey") == supplier.s_nationkey))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+# ----------------------------------------------------------------------
+# q6: forecast revenue — pure pushdown filter + single aggregate (Q6)
+# ----------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= _ts("1996-01-01"))
+                  & (F.col("l_shipdate") < _ts("1997-01-01"))
+                  & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.06)
+                  & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q6_SQL = f"""
+SELECT {SQL_DSUM.format(expr='l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+# ----------------------------------------------------------------------
+# top-k: customers by lifetime revenue — join + agg + TakeOrdered
+# ----------------------------------------------------------------------
+
+def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "revenue"),
+                                        F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+TOP10_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name,
+       {SQL_DSUM.format(expr='o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+# ----------------------------------------------------------------------
+# window functions: rank + running total
+# ----------------------------------------------------------------------
+
+def latest3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (customer, orderdate desc) <= 3 — the scalable
+    per-group top-k pattern (no per-group sort of everything)."""
+    orders = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc()))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+    )
+
+
+LATEST3_SQL = """
+SELECT o_custkey, o_orderkey, rn, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS INT) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer ordered by order date (cumulative
+    window frame). Decimal running sum keeps it order-exact."""
+    orders = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).over(w)
+        .cast("double").alias("running_revenue"),
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_revenue
+FROM orders
+"""
+
+# ----------------------------------------------------------------------
+# rollup / cube — multi-level aggregates
+# ----------------------------------------------------------------------
+
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {SQL_DSUM.format(expr='l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {SQL_DSUM.format(expr='o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ----------------------------------------------------------------------
+# semi / anti joins — existence predicates without row multiplication
+# ----------------------------------------------------------------------
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+# ----------------------------------------------------------------------
+# set operations
+# ----------------------------------------------------------------------
+
+def nations_with_both_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present among customers INTERSECT among suppliers."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set semantics), matches SQL EXCEPT
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+# ----------------------------------------------------------------------
+# distinct aggregates
+# ----------------------------------------------------------------------
+
+def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+             F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+DISTINCT_SQL = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+# ----------------------------------------------------------------------
+# scalar function surface: string / math / date
+# ----------------------------------------------------------------------
+
+def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        # decimal arithmetic, not round(double): Spark rounds doubles via
+        # HALF_UP on the shortest decimal repr, DuckDB on the binary value
+        # — they disagree on ~5% of .xx5 boundaries. Decimal is exact.
+        (F.col("p_retailprice").cast("decimal(12,2)")
+         * F.lit("1.1").cast("decimal(3,1)")).cast("double").alias("price_markup"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("bucket7"),
+    )
+
+
+PART_SCALAR_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_brand, 1, 5) AS brand_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS INT) AS name_len,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS price_markup,
+       abs(p_size - 25) AS size_dev,
+       p_partkey % 7 AS bucket7
+FROM part
+"""
+
+
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").alias("yr"),
+                 F.month("o_orderdate").alias("mo"),
+                 F.dayofweek("o_orderdate").alias("dow"),
+                 "o_totalprice")
+        .groupBy("yr", "mo", "dow")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+DATE_FUNC_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(expr='o_totalprice')} AS sum_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top10_customers_by_revenue": top10_customers_by_revenue,
+    "latest3_orders_per_customer": latest3_orders_per_customer,
+    "customer_running_total": customer_running_total,
+    "rollup_lineitem_flags": rollup_lineitem_flags,
+    "cube_order_status_priority": cube_order_status_priority,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
+    "customers_without_urgent_orders": customers_without_urgent_orders,
+    "nations_with_both_roles": nations_with_both_roles,
+    "customer_only_nations": customer_only_nations,
+    "segment_distinct_stats": segment_distinct_stats,
+    "part_scalar_functions": part_scalar_functions,
+    "orders_date_functions": orders_date_functions,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_revenue_by_nation": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "top10_customers_by_revenue": TOP10_CUSTOMERS_SQL,
+    "latest3_orders_per_customer": LATEST3_SQL,
+    "customer_running_total": RUNNING_TOTAL_SQL,
+    "rollup_lineitem_flags": ROLLUP_SQL,
+    "cube_order_status_priority": CUBE_SQL,
+    "customers_with_urgent_orders": SEMI_JOIN_SQL,
+    "customers_without_urgent_orders": ANTI_JOIN_SQL,
+    "nations_with_both_roles": INTERSECT_SQL,
+    "customer_only_nations": EXCEPT_SQL,
+    "segment_distinct_stats": DISTINCT_SQL,
+    "part_scalar_functions": PART_SCALAR_SQL,
+    "orders_date_functions": DATE_FUNC_SQL,
+}

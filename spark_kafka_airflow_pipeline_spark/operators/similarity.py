@@ -1,0 +1,194 @@
+"""Similarity search over the embeddings table [EXT]:
+
+- **Brute-force cosine top-k** (the exactness baseline): query set x
+  corpus join, cosine in a fused JVM expression, per-query top-k via
+  window row_number. At 100 TB the corpus side is the big table; the
+  query set broadcasts, so this is a map-side join + one shuffle on
+  query_id for the top-k — no cross-shuffle of the corpus.
+- **LSH-bucketed ANN** (the scale path): deterministic random-hyperplane
+  signatures bucket the corpus; each query only scans its own bucket
+  (and Hamming-1 neighbors for recall). Approximate by construction ->
+  rows-only check; its recall is measured against the brute-force
+  baseline in tests.
+
+Dot products fold left-to-right via ``F.aggregate`` so the float math is
+order-deterministic; the DuckDB oracle uses ``list_reduce`` with the
+same fold order, giving bit-identical doubles before the final round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.functions import vectors as V
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+
+N_QUERIES = 10  # vec_id < 10 form the query set
+TOP_K = 5
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    # float -> double once, up front: exact widening, and every
+    # downstream product/sum is double-precision in both engines
+    return e.select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("emb"))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each query vector (vec_id < N_QUERIES), the TOP_K most
+    cosine-similar other vectors. Exact, deterministic tie-break on
+    neighbor id."""
+    emb = _embeddings(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("emb").alias("q_emb")))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("emb").alias("c_emb"))
+    sim = F.round(V.cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+    pairs = (
+        corpus.join(F.broadcast(queries),
+                    F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+
+
+COSINE_TOPK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_reduce(list_transform(list_zip(q.emb, c.emb),
+                                      p -> p[1] * p[2]), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(q.emb, x -> x * x), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(c.emb, x -> x * x), (acc, x) -> acc + x))),
+           6) AS cosine_sim
+  FROM emb q, emb c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within each label group
+    (label is the blocking key -> never a full cross join)."""
+    emb = _embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
+                   F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("label").alias("label_b"),
+                   F.col("emb").alias("emb_b"))
+    sim = F.round(V.cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("label", "id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]),
+                       (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (acc, x) -> acc + x))),
+           6) AS cosine_sim
+  FROM emb a, emb b
+  WHERE a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.95
+"""
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, then each vector's cosine to its own
+    label centroid — the classic cluster-coherence metric. Aggregates
+    per dimension via posexplode + groupBy (scales: shuffle keyed on
+    (label, dim), 64 x n_labels cells)."""
+    emb = _embeddings(spark, sf_dir)
+    by_dim = emb.select("label", F.posexplode("emb").alias("dim", "v"))
+    centroids = (
+        by_dim.groupBy("label", "dim")
+        .agg((F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+              / F.count("v")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
+    )
+    sim = F.round(V.cosine_similarity(F.col("emb"), F.col("centroid")), 6)
+    return (
+        emb.join(F.broadcast(centroids), "label")
+        .select("vec_id", "label", sim.alias("centroid_sim"))
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str,
+                 n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets the corpus; each
+    query multiprobes its own bucket plus all Hamming-1 neighbors
+    (n_planes+1 probes). The 100 TB path — bucket join replaces the full
+    query x corpus product. Approximate -> rows-only; recall vs
+    cosine_topk is asserted in tests."""
+    emb = _embeddings(spark, sf_dir)
+    bucketed = emb.withColumn(
+        "bucket", V.bits_to_bucket(V.random_hyperplane_signs("emb", n_planes)))
+    probes = F.array(F.col("bucket"), *[
+        F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+        for i in range(n_planes)
+    ])
+    queries = (bucketed.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("emb").alias("q_emb"),
+                       F.explode(probes).alias("bucket")))
+    corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("emb").alias("c_emb"), "bucket")
+    sim = F.round(V.cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+    pairs = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # multiprobe overlap
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "cosine_topk": cosine_topk,
+    "embedding_near_dups": embedding_near_dups,
+    "label_centroid_similarity": label_centroid_similarity,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "cosine_topk": COSINE_TOPK_SQL,
+    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+    # label_centroid_similarity / ann_lsh_topk: rows-only (centroid FP
+    # accumulation order / approximate recall)
+}

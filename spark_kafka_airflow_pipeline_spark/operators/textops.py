@@ -1,0 +1,167 @@
+"""Text-analysis operators over the documents table: token counting,
+quality scoring, language stats, fingerprinting — the training-data
+pipeline surface [EXT] (SURVEY.md §2.2 "LLM-data ops").
+
+Everything is built from the pure-expression library in
+``functions.text`` (JVM-side, no UDFs), and every query here has a
+DuckDB oracle that mirrors the arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.functions import text as T
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.relational import davg, SQL_DAVG
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counts — the base text-metrics pass."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+       END AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_computed,
+       n_chars
+FROM documents
+"""
+
+
+def lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-level quality profile: doc counts, mean length, mean
+    stopword ratio (rounded to a fixed scale in both engines)."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             davg(F.col("n_tokens"), "avg_tokens"),
+             davg(F.col("stop_ratio"), "avg_stop_ratio"))
+    )
+
+
+LANG_QUALITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         round(
+           CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
+                THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                     * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                ELSE 0.0 END, 6) AS stop_ratio
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       {SQL_DAVG.format(expr='n_tokens')} AS avg_tokens,
+       {SQL_DAVG.format(expr='stop_ratio')} AS avg_stop_ratio
+FROM per_doc
+GROUP BY lang
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score per document (see
+    functions.text.quality_score for the formula)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+DOC_QUALITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+           + 0.3 * least(stop_ratio * 5, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 fingerprint per document — md5 is bit-identical in
+    DuckDB, so this is an exact cross-engine check."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free heuristic language ID: stopword-hit-based en/other
+    classification, deterministic and SQL-mirrorable. (A real model is
+    out of scope for the container; the *shape* — classify + compare to
+    the labeled lang column — is the operator.)"""
+    d = table(spark, sf_dir, "documents")
+    guessed = F.when(T.stopword_ratio("text") >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        d.select("lang", guessed.alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_ID_SQL = """
+WITH g AS (
+  SELECT lang,
+         CASE WHEN (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
+                 THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                      * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 ELSE 0.0 END) >= 0.08
+              THEN 'en' ELSE 'other' END AS guessed_lang
+  FROM documents
+)
+SELECT lang, guessed_lang, COUNT(*) AS n_docs
+FROM g GROUP BY lang, guessed_lang
+"""
+
+
+QUERIES: dict[str, QueryFn] = {
+    "doc_token_stats": doc_token_stats,
+    "lang_quality_profile": lang_quality_profile,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_fingerprints": doc_fingerprints,
+    "lang_id_heuristic": lang_id_heuristic,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "lang_quality_profile": LANG_QUALITY_SQL,
+    "doc_quality_scores": DOC_QUALITY_SQL,
+    "doc_fingerprints": DOC_FINGERPRINT_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+}

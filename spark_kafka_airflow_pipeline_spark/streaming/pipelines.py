@@ -1,0 +1,128 @@
+"""Structured Streaming pipelines [EXT] (SURVEY.md §2.2 "Streaming").
+
+The reference touches Kafka only as a batch sink
+(``PipelineProcessor.scala:148-156``); this module adds the real
+streaming layer: windowed aggregation with watermarks, streaming
+dedup, and stateful sessionization. For the driver contract these run
+against the events table via the *file stream source* + memory sink
+with an ``availableNow``-style full drain, so each returns a normal
+batch-queryable DataFrame whose contents match the batch oracle — the
+same topology pointed at ``readStream.format("kafka")`` is the
+production path (see ``io.sources.read_kafka_stream``).
+
+Scale: state is keyed on (window x event_type) / dedup keys, so state
+size is bounded by key cardinality, not stream length; watermarks bound
+state for sessionization.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.relational import dsum, SQL_DSUM
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema must be
+    explicit on a stream — inference needs a batch scan)."""
+    # raw on-disk schema (ts arrives as nanos-long under the nanosAsLong
+    # conf — see operators.base.table); the stream declares the raw
+    # schema, then converts ts back to a timestamp
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return stream
+
+
+def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming query until the source is exhausted, return the
+    memory-sink table. Complete mode for aggregations (emits every
+    window regardless of watermark position at end-of-stream), append
+    for row streams."""
+    spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows with a 1-hour watermark over the event
+    stream; matches the batch tumbling-window oracle because complete
+    mode emits all windows once the source drains."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+STREAMING_TUMBLING_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {SQL_DSUM.format(expr='value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): emits each key
+    once on first sight — the streaming twin of SELECT DISTINCT."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (stream.select("user_id", "event_type")
+               .dropDuplicates(["user_id", "event_type"]))
+    return _drain_to_memory(deduped, "append")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user — Spark's
+    session_window is the streaming-stateful sessionizer; rows-only
+    check (session merging semantics aren't plain ANSI SQL, and the
+    batch gaps-and-islands twin events_sessionize is the oracle-able
+    variant)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+QUERIES: dict[str, QueryFn] = {
+    "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_session_window": streaming_session_window,
+}
+
+ORACLES: dict[str, str] = {
+    "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
+    "streaming_dedup_keys": STREAMING_DEDUP_SQL,
+    # streaming_session_window: rows-only
+}
