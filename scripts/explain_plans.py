@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Print formatted physical plans for headline queries and flag
+anti-patterns: missing parquet filter pushdown, cartesian products,
+unexpected sort-merge joins where a broadcast was intended.
+
+Usage: python scripts/explain_plans.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+from spark_kafka_airflow_pipeline_spark.session import get_spark
+
+DEFAULT = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "top10_customers_by_revenue",
+    "latest3_orders_per_customer", "dedup_exact", "minhash_lsh_pairs",
+    "cosine_topk", "events_sessionize",
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    names = args[1:] or DEFAULT
+    spark = get_spark(app_name="explain")
+    queries = entry_mod.queries()
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        flags = []
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            flags.append("!! nested-loop/cartesian join")
+        if "PushedFilters: []" in plan and "Filter" in plan:
+            flags.append("?? filter not pushed to scan")
+        print(f"\n{'=' * 70}\n{name} {' '.join(flags)}\n{'=' * 70}")
+        print(plan)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -107,12 +107,18 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 16, seed: int = 42)
     ``F.hash`` (Murmur3, deterministic) keeps this JVM-side and
     reproducible; no sampled permutations, no randomness at runtime.
     Returns ``array<int>`` of length ``num_hashes``.
+
+    NB: the per-family hash must be bound via a closure factory — a
+    ``lambda s, i=i`` default-arg lambda has arity 2, which PySpark
+    reads as (element, index), silently replacing the family id with
+    the array index. See ``operators.dedup.minhash_signature_agg`` for
+    the faster aggregate form (identical values).
     """
-    sigs = [
-        F.array_min(F.transform(shingle_arr,
-                                lambda s, i=i: F.hash(F.lit(seed), F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
+    def family(i: int):
+        return lambda s: F.hash(F.lit(seed), F.lit(i), s)
+
+    sigs = [F.array_min(F.transform(shingle_arr, family(i)))
+            for i in range(num_hashes)]
     return F.array(*sigs)
 
 

@@ -99,9 +99,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_shipdate") > _ts("1997-01-01"))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # only the customer DIM broadcasts; orders x lineitem is fact-x-fact
+    # and must stay a shuffle join at scale (AQE may still broadcast the
+    # filtered orders side when it fits — its call, not a hard hint)
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust),
-                                        orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue, "revenue"))
