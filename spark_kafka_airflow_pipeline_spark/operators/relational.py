@@ -460,6 +460,81 @@ GROUP BY 1, 2, 3
 """
 
 # ----------------------------------------------------------------------
+# pivot — wide-format conditional aggregation
+# ----------------------------------------------------------------------
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority pivoted on status. Explicit pivot
+    values keep the plan single-pass (no distinct-scan job) — the form
+    that scales."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "P", "F"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .withColumnsRenamed({"O": "n_open", "P": "n_partial", "F": "n_filled"})
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled
+FROM orders GROUP BY o_orderpriority
+"""
+
+# ----------------------------------------------------------------------
+# deterministic second moments: stddev / correlation via decimal sums
+# ----------------------------------------------------------------------
+
+def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev of quantity and quantity<->price correlation per
+    return flag, computed from exact decimal power sums so the doubles
+    are bit-identical across engines and partitionings (native stddev/
+    corr aggregate in float accumulation order — nondeterministic)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(24,6)")).cast("double").alias("sq"),
+        F.sum((q * q).cast("decimal(24,6)")).cast("double").alias("sqq"),
+        F.sum(p.cast("decimal(24,6)")).cast("double").alias("sp"),
+        F.sum((p * p).cast("decimal(30,6)")).cast("double").alias("spp"),
+        F.sum((q * p).cast("decimal(30,6)")).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
+    cov = F.col("sqp") - F.col("sq") * F.col("sp") / n
+    den = F.sqrt((F.col("sqq") - F.col("sq") * F.col("sq") / n)
+                 * (F.col("spp") - F.col("sp") * F.col("sp") / n))
+    return agg.select(
+        "l_returnflag", "n",
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(cov / den, 6).alias("corr_qty_price"),
+    )
+
+
+MOMENT_STATS_SQL = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+       round((sqp - sq * sp / n)
+             / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 6) AS corr_qty_price
+FROM s
+"""
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -480,9 +555,13 @@ QUERIES: dict[str, QueryFn] = {
     "segment_distinct_stats": segment_distinct_stats,
     "part_scalar_functions": part_scalar_functions,
     "orders_date_functions": orders_date_functions,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "lineitem_moment_stats": lineitem_moment_stats,
 }
 
 ORACLES: dict[str, str] = {
+    "pivot_status_by_priority": PIVOT_SQL,
+    "lineitem_moment_stats": MOMENT_STATS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_revenue_by_nation": Q5_SQL,

@@ -88,14 +88,23 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 def embedding_near_dups(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within each label group
-    (label is the blocking key -> never a full cross join)."""
-    emb = _embeddings(spark, sf_dir)
+    (label is the blocking key -> never a full cross join).
+
+    Norms are computed ONCE per vector (carried as a column through the
+    join), so each pair costs one dot product instead of dot + two
+    norms. sim = dot/(n_a*n_b) evaluates to the exact same double as
+    the per-pair form, so the oracle is unchanged."""
+    par = spark.sparkContext.defaultParallelism
+    emb = (_embeddings(spark, sf_dir)
+           .repartition(par, "vec_id")
+           .select("vec_id", "label", "emb", V.l2_norm("emb").alias("nrm")))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
-                   F.col("emb").alias("emb_a"))
+                   F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a"))
     b = emb.select(F.col("vec_id").alias("id_b"),
                    F.col("label").alias("label_b"),
-                   F.col("emb").alias("emb_b"))
-    sim = F.round(V.cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+                   F.col("emb").alias("emb_b"), F.col("nrm").alias("n_b"))
+    sim = F.round(V.dot(F.col("emb_a"), F.col("emb_b"))
+                  / (F.col("n_a") * F.col("n_b")), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b"))
                & (F.col("id_a") < F.col("id_b")))

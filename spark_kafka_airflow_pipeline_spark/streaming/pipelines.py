@@ -115,14 +115,73 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
+def _session_count_kernel(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user sessionization with a
+    30-minute gap rule. State carries (n_sessions, n_events, last_ts)
+    across micro-batches; each batch emits the running totals.
+
+    Runs on executors over Arrow batches; sessions never cross users,
+    so state is bounded by user cardinality.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    n_sessions, n_events, last_ts = (
+        state.get if state.exists else (0, 0, None))
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            epoch = ts.timestamp()
+            if last_ts is None or epoch - last_ts > 1800:
+                n_sessions += 1
+            last_ts = epoch
+            n_events += 1
+    state.update((n_sessions, n_events, last_ts))
+    yield pd.DataFrame({"user_id": [key[0]],
+                        "n_sessions": [n_sessions],
+                        "n_events": [n_events]})
+
+
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator [EXT]: arbitrary per-key session logic
+    via ``applyInPandasWithState`` — the escape hatch when built-in
+    windows can't express the semantics (SURVEY.md §2.2 'Streaming').
+    Matches the batch gaps-and-islands oracle on a drained stream."""
+    stream = _events_stream(spark, sf_dir)
+    sessions = stream.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _session_count_kernel,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="n_sessions long, n_events long, last_ts double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return _drain_to_memory(sessions, "update")
+
+
+STREAMING_STATEFUL_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_session_window": streaming_session_window,
+    "streaming_stateful_sessions": streaming_stateful_sessions,
 }
 
 ORACLES: dict[str, str] = {
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
+    "streaming_stateful_sessions": STREAMING_STATEFUL_SESSIONS_SQL,
     # streaming_session_window: rows-only
 }
