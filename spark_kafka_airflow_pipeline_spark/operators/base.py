@@ -37,6 +37,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (truncated to micros, matching how DuckDB reads the same file).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps are compared as formatted wall-clock strings against a
+    # timezone-naive DuckDB oracle — pin UTC even under a caller-built
+    # session (the driver uses its own SparkSession)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -535,6 +535,24 @@ FROM s
 """
 
 # ----------------------------------------------------------------------
+# approximate aggregates — the 100 TB cardinality path
+# ----------------------------------------------------------------------
+
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count next to the exact one. At 100 TB the
+    approximate form is the only affordable distinct over a high-card
+    key (no exact-distinct shuffle). Rows-only check: DuckDB's HLL
+    yields different estimates by construction; the test asserts the
+    estimate lands within the configured 2% rsd of exact."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+             F.countDistinct("o_custkey").alias("exact_customers"))
+    )
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -557,6 +575,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_date_functions": orders_date_functions,
     "pivot_status_by_priority": pivot_status_by_priority,
     "lineitem_moment_stats": lineitem_moment_stats,
+    "approx_distinct_customers": approx_distinct_customers,
 }
 
 ORACLES: dict[str, str] = {

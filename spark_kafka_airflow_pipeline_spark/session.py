@@ -55,6 +55,12 @@ def get_spark(app_name: str = "spark-kafka-airflow-pipeline-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- scan sizing: 128m splits keep 100TB scans at ~800k tasks ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- straggler mitigation: re-launch tasks stuck on a slow /
+        #     descheduled core (matters on contended hosts AND at
+        #     1000-executor scale) ---
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "3")
+        .config("spark.speculation.quantile", "0.9")
         # --- quieter local runs ---
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

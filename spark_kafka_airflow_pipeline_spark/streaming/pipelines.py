@@ -33,6 +33,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conf — see operators.base.table); the stream declares the raw
     # schema, then converts ts back to a timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")

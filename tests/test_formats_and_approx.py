@@ -1,0 +1,52 @@
+"""Source/sink format round-trips (SURVEY §2.2 'Scans/sources') and the
+approximate-distinct accuracy bound."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_kafka_airflow_pipeline_spark import parse_metadata, PipelineExecutor
+from spark_kafka_airflow_pipeline_spark.io.sinks import write_sink
+from spark_kafka_airflow_pipeline_spark.io.sources import read_source
+from spark_kafka_airflow_pipeline_spark.metadata import Sink, Source
+from spark_kafka_airflow_pipeline_spark.operators.relational import (
+    approx_distinct_customers,
+)
+
+ROWS = [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)]
+SCHEMA = "id long, name string, score double"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_sink_source_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_sink(df, Sink(input="x", name=f"out-{fmt}", paths=[str(tmp_path)],
+                        format=fmt, saveMode="overwrite",
+                        options={"header": "true"} if fmt == "csv" else {}))
+    src = Source(name="s", path=f"{tmp_path}/out-{fmt}", format=fmt,
+                 options={"header": "true"} if fmt == "csv" else {},
+                 schema=SCHEMA if fmt in ("csv", "json") else None)
+    back = read_source(spark, src)
+    got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+    assert got == sorted(ROWS)
+
+
+def test_partitioned_sink_layout(spark, tmp_path):
+    """Engine extension: partitionBy on file sinks (partition pruning is
+    the first-order 100 TB lever)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_sink(df, Sink(input="x", name="bypart", paths=[str(tmp_path)],
+                        format="parquet", saveMode="overwrite",
+                        partitionBy=["id"]))
+    assert (tmp_path / "bypart" / "id=1").exists()
+    back = spark.read.parquet(f"{tmp_path}/bypart")
+    assert back.count() == 3
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = approx_distinct_customers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(
+            r["exact_customers"], 1)
+        assert rel_err < 0.1, r
