@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     dedup,
     events,
+    joins_extra,
     multimodal,
     pipelineops,
     relational,
@@ -26,8 +27,8 @@ from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
 )
 from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming  # noqa: E402
 
-_MODULES = (relational, events, pipelineops, textops, dedup, similarity,
-            multimodal, streaming)
+_MODULES = (relational, joins_extra, events, pipelineops, textops, dedup,
+            similarity, multimodal, streaming)
 
 
 def entry(spark: SparkSession) -> DataFrame:
