@@ -150,8 +150,36 @@ FROM g GROUP BY lang, guessed_lang
 """
 
 
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization count: split into word / number /
+    punctuation runs with a regex (the GPT-2-ish pre-tokenizer shape,
+    minus byte-level merges), plus distinct-token count. All JVM regex,
+    mirrored exactly in DuckDB."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+DOC_BPE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens
+FROM t
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_token_stats": doc_token_stats,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
     "lang_quality_profile": lang_quality_profile,
     "doc_quality_scores": doc_quality_scores,
     "doc_fingerprints": doc_fingerprints,
@@ -160,6 +188,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_bpe_token_stats": DOC_BPE_SQL,
     "lang_quality_profile": LANG_QUALITY_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
