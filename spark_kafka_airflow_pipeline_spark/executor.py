@@ -36,7 +36,10 @@ from spark_kafka_airflow_pipeline_spark.metadata import (
     DataflowMetadata,
     Transformation,
 )
-from spark_kafka_airflow_pipeline_spark.transforms import add_fields, validate_fields
+from spark_kafka_airflow_pipeline_spark.transforms import add_fields
+from spark_kafka_airflow_pipeline_spark.transforms.validate_fields import (
+    validate_fields_split,
+)
 
 log = logging.getLogger(__name__)
 
@@ -62,8 +65,7 @@ class PipelineExecutor:
         return {df.name: self.run_dataflow(df) for df in metadata.dataflows}
 
     def run_dataflow(self, flow: Dataflow) -> dict[str, DataFrame]:
-        nodes = self.build_nodes(flow)
-        cached: list[DataFrame] = [df for df in nodes.values() if df.is_cached]
+        nodes, cached = self._build(flow)
         try:
             for sink in flow.sinks:
                 if sink.input not in nodes:
@@ -72,13 +74,24 @@ class PipelineExecutor:
                         f"{sink.input!r}; known nodes: {sorted(nodes)}")
                 write_sink(nodes[sink.input], sink)
         finally:
+            # cached frames are tracked explicitly at _apply time: the
+            # split point caches its internal ANNOTATED parent, whose
+            # ok/ko children report is_cached == False — scanning node
+            # outputs would find nothing and leak the cache entry per
+            # dataflow run in a long-lived session
             for df in cached:
                 df.unpersist()
         return nodes
 
     def build_nodes(self, flow: Dataflow) -> dict[str, DataFrame]:
-        """Materialize the node registry without writing sinks."""
+        """Materialize the node registry without writing sinks. NB: any
+        split-point cache stays alive — callers that never write sinks
+        manage (or accept) that lifecycle themselves."""
+        return self._build(flow)[0]
+
+    def _build(self, flow: Dataflow) -> tuple[dict[str, DataFrame], list[DataFrame]]:
         nodes: dict[str, DataFrame] = {}
+        cached: list[DataFrame] = []
         for source in flow.sources:
             nodes[source.name] = read_source(self.spark, source)
         source_names = {s.name for s in flow.sources}
@@ -87,8 +100,8 @@ class PipelineExecutor:
 
         for t in flow.transformations:
             upstream = self._resolve_input(t, nodes, source_names)
-            self._apply(t, upstream, nodes)
-        return nodes
+            self._apply(t, upstream, nodes, cached)
+        return nodes, cached
 
     # -- internals ----------------------------------------------------
 
@@ -110,12 +123,16 @@ class PipelineExecutor:
         return nodes[name]
 
     def _apply(self, t: Transformation, df: DataFrame,
-               nodes: dict[str, DataFrame]) -> None:
+               nodes: dict[str, DataFrame],
+               cached: list[DataFrame]) -> None:
         kind = t.type
         if kind == "add_fields":
             nodes[t.name] = add_fields(df, t.params.addFields)
         elif kind == "validate_fields":
-            ok, ko = validate_fields(df, t.params.validations)
+            ok, ko, cached_parent = validate_fields_split(
+                df, t.params.validations)
+            if cached_parent is not None:
+                cached.append(cached_parent)
             if self.debug_show:
                 ok.show(truncate=False)
                 ko.show(truncate=False)

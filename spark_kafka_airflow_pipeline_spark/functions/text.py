@@ -97,7 +97,7 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     t = F.lower(F.trim(_c(text)))
     ln = F.length(t)
     idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, 1, n) if False else t.substr(i, F.lit(n))))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16, seed: int = 42) -> Column:

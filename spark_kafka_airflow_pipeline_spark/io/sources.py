@@ -44,6 +44,26 @@ def read_sources_union(spark: SparkSession, sources: Iterable[Source]) -> DataFr
     )
 
 
+def parse_kafka_records(records: DataFrame, value_schema: str) -> DataFrame:
+    """Decode Kafka wire-format records (``key``/``value`` binary or
+    string columns + ``timestamp``) into typed columns with an explicit
+    DDL schema via ``from_json``.
+
+    Split out of ``read_kafka_stream`` so the parse path is testable
+    without a broker: the projection is identical on a batch frame of
+    ``io.sinks.serialize_for_kafka`` output and on the streaming frame a
+    real ``format("kafka")`` source produces — Catalyst sees the same
+    expressions either way.
+    """
+    from pyspark.sql import functions as F
+
+    return records.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "timestamp",
+    ).select("key", "v.*", "timestamp")
+
+
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
                       value_schema: str,
                       starting_offsets: str = "earliest") -> DataFrame:
@@ -54,8 +74,6 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
     north-star extension. ``value`` is parsed with an explicit schema —
     inference is impossible on a stream.
     """
-    from pyspark.sql import functions as F
-
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -63,11 +81,7 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        "timestamp",
-    ).select("key", "v.*", "timestamp")
+    return parse_kafka_records(raw, value_schema)
 
 
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -45,6 +45,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer division, NOT F.col/1000: epoch-nanos (~1.7e18) exceed
+        # double's 2^53 exact range, so a double round-trip can be off
+        # by 1 us vs DuckDB's integer truncation of TIMESTAMP_NS
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -6,10 +6,11 @@
   band buckets -> self-join within buckets -> verify with true Jaccard.
   All JVM expressions (murmur3 ``F.hash``), deterministic seed, no
   pyspark.ml dependency, no Python in the hot path.
-- **SimHash**: 64-bit signature over char n-grams; near-dup candidates
-  = identical signature (Hamming-0 buckets; banded Hamming-k is the
-  scale-out variant).
-- **n-gram Jaccard**: direct pairwise verify used on LSH candidates.
+- **SimHash**: 64-bit signature over char n-grams; ``simhash_buckets``
+  groups identical signatures (Hamming-0), ``simhash_near_dups`` bands
+  the signature 4 x 16 bits for exact recall at Hamming <= 3.
+- **n-gram Jaccard**: char-level MinHash band blocking + pairwise
+  verify (prefix blocking was a skew bomb on natural-language text).
 
 Scale: the pairwise step only ever runs on LSH bucket candidates —
 never a full cross join. Buckets are murmur3 of (band-slice), so skew =
@@ -70,13 +71,20 @@ FROM documents GROUP BY 1
 
 def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 16,
-                          k: int = 3, seed: int = 42) -> DataFrame:
+                          k: int = 3, seed: int = 42,
+                          tokens=None) -> DataFrame:
     """Scalable MinHash: explode shingles to rows, compute the
     ``num_hashes`` family mins as whole-stage-codegen aggregates (one
     shuffle on the doc id). Uses one murmur3 per shingle + a universal
     multiply-add family (odd multipliers are bijections mod 2^64, so
     each family is a valid permutation-hash); deterministic, no
-    interpreted higher-order functions in the hot path."""
+    interpreted higher-order functions in the hot path.
+
+    ``tokens`` overrides the feature extractor: a function
+    ``text_column -> array<string> Column`` (default: word ``k``-
+    shingles; pass ``lambda c: T.char_ngrams(c, 3)`` for character-level
+    MinHash)."""
+    tokens = tokens or (lambda c: T.shingles(c, k))
     # single-file tables arrive as ONE input split; spread rows before
     # the compute-heavy explode+hash so all cores work (at 100 TB the
     # scan has thousands of splits and this repartition coalesces into
@@ -84,7 +92,7 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
     par = d.sparkSession.sparkContext.defaultParallelism
     sh = (d.repartition(par, id_col)
           .select(F.col(id_col),
-                  F.explode(T.shingles(F.col(text_col), k)).alias("s")))
+                  F.explode(tokens(F.col(text_col))).alias("s")))
     # one murmur3 per shingle, then a universal-hash family over it:
     # h_i = a_i * h + b_i (64-bit wraparound) — 16 multiply-adds instead
     # of 16 murmur evaluations
@@ -98,43 +106,36 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
         id_col, F.array(*[f"m{i}" for i in range(num_hashes)]).alias("minhash"))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
-                      num_hashes: int = 16, bands: int = 4,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, verified with true shingle
-    Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
+                        id_col: str = "doc_id",
+                        sig_col: str = "minhash") -> DataFrame:
+    """Candidate near-dup pairs from banded LSH over an array-typed
+    signature column: split the signature into ``bands`` slices, hash
+    each slice to a bucket, emit every within-bucket pair.
 
     Plan shape (scales to 100 TB):
-      1. one pass: text -> shingles -> 16 minhashes    (no shuffle)
-      2. explode to (band_bucket, doc)                 (narrow)
-      3. self-join on band_bucket                      (shuffle on bucket)
-      4. distinct candidate pairs, verify Jaccard      (shuffle on pair)
-    The full cross join never happens; only same-bucket pairs are
-    compared. Rows-only correctness check (murmur3 not in DuckDB).
+      1. explode to (band, bucket, doc)                (narrow)
+      2. group docs per bucket, explode combinations   (one shuffle)
+      3. distinct candidate pairs                      (shuffle on pair)
+    Intra-bucket pairs come from collect_list + combinations, NOT a
+    bucket self-join — the signature pipeline runs exactly once (a
+    self-join would recompute it per side). Bucket skew == duplicate-
+    cluster size; collect_list is safe because a bucket holds
+    near-identical docs, not arbitrary keys.
     """
     rows_per_band = num_hashes // bands
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # slim banded frame: (doc_id, band, bucket) only — the bucket
-    # self-join must NOT shuffle the shingle arrays, and the minhash
-    # signature comes from the codegen'd aggregate form (explode +
-    # 16 min-aggs), not interpreted per-array higher-order functions
     banded = (
-        minhash_signature_agg(d, num_hashes=num_hashes)
-        .select("doc_id", F.explode(F.array(*[
+        signatures
+        .select(id_col, F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(F.slice("minhash", b * rows_per_band + 1, rows_per_band))
+                F.hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
                 .alias("bucket"),
             )
             for b in range(bands)
         ])).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bucket")
+        .select(id_col, "bb.band", "bb.bucket")
     )
-    # intra-bucket pairs WITHOUT a self-join: group docs per bucket and
-    # explode the combinations — the signature pipeline runs exactly
-    # once (a self-join would recompute it per side). Bucket skew ==
-    # duplicate-cluster size; collect_list is safe because a bucket
-    # holds near-identical docs, not arbitrary keys.
     pair_structs = F.filter(
         F.flatten(F.transform(
             F.col("docs"),
@@ -145,28 +146,76 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
         )),
         lambda p: p.isNotNull(),
     )
-    cand = (
+    return (
         banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
         .filter(F.size("docs") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # fetch shingles only for the (few) candidate pairs, then verify.
-    # broadcast the TINY candidate list explicitly — letting the planner
-    # broadcast the shingle side instead materializes thousands of
-    # string arrays as JVM objects on every task thread (GC storm).
-    par = d.sparkSession.sparkContext.defaultParallelism
-    sh = d.repartition(par).select("doc_id", T.shingles("text", k=3).alias("sh"))
+
+
+# Above this many candidate pairs the verify join falls back from an
+# explicit broadcast to a plain shuffle join: candidate volume is
+# corpus-dup-rate-dependent, NOT bounded, and a hard broadcast of an
+# unbounded frame OOMs the driver at 100 TB with a high dup rate.
+MAX_BROADCAST_PAIRS = 1_000_000
+
+
+def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
+                         jaccard_threshold: float,
+                         max_broadcast_pairs: int = MAX_BROADCAST_PAIRS
+                         ) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs with their feature sets and
+    keep pairs whose true Jaccard clears the threshold.
+
+    Broadcast posture: when the candidate list is small (the normal
+    case) broadcast it explicitly — letting the planner broadcast the
+    feature side instead materializes thousands of string arrays as JVM
+    objects on every task thread (GC storm). But the candidate count is
+    dup-rate-dependent and unbounded, so it is COUNTED first (cheap:
+    two-column frame, persisted so the count doesn't recompute the LSH
+    pipeline) and above ``max_broadcast_pairs`` the verify runs as a
+    plain shuffle join instead.
+    """
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_side = cand if cand.count() > max_broadcast_pairs else F.broadcast(cand)
     return (
-        F.broadcast(cand)
-        .join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        cand_side
+        .join(features.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
+              "doc_a")
+        .join(features.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}),
+              "doc_b")
         .withColumn("jaccard", F.round(T.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      jaccard_threshold: float = 0.5,
+                      max_broadcast_pairs: int = MAX_BROADCAST_PAIRS
+                      ) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with true shingle
+    Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    One signature pass (codegen min-aggs) -> banded buckets ->
+    within-bucket combinations -> Jaccard verify on candidates only;
+    the full cross join never happens. Rows-only correctness check
+    (murmur3 not in DuckDB).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature_agg(d, num_hashes=num_hashes)
+    cand = lsh_band_candidates(sigs, num_hashes, bands)
+    # fetch shingles only for the (few) candidate docs, then verify
+    par = d.sparkSession.sparkContext.defaultParallelism
+    sh = d.repartition(par).select("doc_id", T.shingles("text", k=3).alias("sh"))
+    return verify_pairs_jaccard(cand, sh, jaccard_threshold,
+                                max_broadcast_pairs)
 
 
 def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
@@ -218,28 +267,66 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
-                       threshold: float = 0.9) -> DataFrame:
-    """Character-3-gram Jaccard near-dups among same-fingerprint-prefix
-    groups (cheap blocking key so this is never a cross join). Returns
-    near-dup pairs; SQL-expressible blocking makes the *candidate
-    generation* oracle-able, but the jaccard arithmetic over arrays is
-    verified by the exact-dup subset, so this stays rows-only."""
-    d = table(spark, sf_dir, "documents").select(
+                       threshold: float = 0.9,
+                       num_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """Character-3-gram Jaccard near-dups, blocked by CHARACTER-level
+    MinHash band buckets (vs the word-shingle MinHash of
+    ``minhash_lsh_pairs`` — char grams catch within-word edits and
+    whitespace/punctuation variants that word shingles blow up on).
+
+    Blocking was previously the first-16-chars of canonical text — a
+    skew bomb: natural-language prefixes ("the ...") collide massively,
+    making within-block pairs quadratic on real corpora. MinHash band
+    buckets distribute uniformly by construction; block size tracks
+    true near-dup cluster size, not prefix popularity (pinned by
+    ``tests/test_dedup_similarity.py::test_ngram_blocking_skew``).
+    8 bands of 2 rows keeps candidate recall high at the 0.9 Jaccard
+    target (P[candidate] = 1-(1-j^2)^8 = 0.9996 at j=0.9).
+    Rows-only check (murmur3 not in DuckDB).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature_agg(d, num_hashes=num_hashes,
+                                 tokens=lambda c: T.char_ngrams(c, 3))
+    cand = lsh_band_candidates(sigs, num_hashes, bands)
+    par = d.sparkSession.sparkContext.defaultParallelism
+    grams = d.repartition(par).select(
+        "doc_id", T.char_ngrams("text", 3).alias("sh"))
+    return verify_pairs_jaccard(cand, grams, threshold)
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming-k SimHash near-dups: split the 64-bit signature
+    into 4 x 16-bit bands, bucket per band, verify candidates with the
+    true Hamming distance. By pigeonhole, any pair within
+    ``max_hamming`` <= 3 differing bits shares at least one intact band,
+    so recall at Hamming<=3 is exact — unlike ``simhash_buckets``,
+    which only finds identical signatures (Hamming-0).
+
+    Plan: one signature pass -> 4-way band explode -> within-bucket
+    combinations (one shuffle) -> xor/bit_count verify on candidates;
+    never a cross join. Rows-only check (xxhash64 not in DuckDB).
+    """
+    d = table(spark, sf_dir, "documents")
+    sigs = simhash64_agg(d)
+    # 16-bit band values as an array signature -> reuse the banded-LSH
+    # candidate machinery (4 bands of 1 array slot each)
+    band_sigs = sigs.select(
         "doc_id",
-        T.char_ngrams("text", 3).alias("grams"),
-        # blocking key: first 16 shingle-chars of canonical text
-        F.substring(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 16)
-        .alias("block"),
+        F.array(*[F.shiftrightunsigned("sig", 16 * b)
+                  .bitwiseAND(F.lit(0xFFFF)).cast("int")
+                  for b in range(4)]).alias("bands"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    cand = lsh_band_candidates(band_sigs, num_hashes=4, bands=4,
+                               sig_col="bands")
+    sig_a = sigs.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
+    sig_b = sigs.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn("jaccard",
-                    F.round(T.jaccard(F.col("a.grams"), F.col("b.grams")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"), "jaccard")
+        cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -248,6 +335,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_fingerprint": dedup_fingerprint,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_buckets": simhash_buckets,
+    "simhash_near_dups": simhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
 }
 

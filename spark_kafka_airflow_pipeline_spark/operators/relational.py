@@ -4,9 +4,14 @@ SURVEY.md §2.2, exercised as TPC-H-style queries over the test star
 schema with DuckDB oracles.
 
 Scale posture (100 TB):
-- Dimension tables (region/nation/supplier/part/customer) are joined
-  with explicit ``F.broadcast`` hints — the fact table never shuffles
-  for a star join.
+- Only FIXED-SIZE dimension tables (region: 5 rows, nation: 25 rows)
+  carry explicit ``F.broadcast`` hints. Tables that grow with the data
+  (customer/supplier/part/orders) get NO hard hint — AQE converts the
+  join to broadcast at runtime when the (filtered) side fits under
+  ``spark.sql.autoBroadcastJoinThreshold``, and falls back to a shuffle
+  join when it doesn't. A hard hint on a scaling table OOMs at 100 TB
+  (customer ~10^9 rows); the hint-free plan is identical at small SF
+  (AQE broadcasts it anyway) and safe at large SF.
 - Aggregates run as partial (map-side) + final automatically; sums are
   cast to decimal so the result is order-independent (bit-identical
   across partitionings AND engines — doubles would drift in the last
@@ -99,11 +104,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_shipdate") > _ts("1997-01-01"))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # only the customer DIM broadcasts; orders x lineitem is fact-x-fact
-    # and must stay a shuffle join at scale (AQE may still broadcast the
-    # filtered orders side when it fits — its call, not a hard hint)
+    # customer scales with SF — no hard broadcast hint; AQE broadcasts
+    # the filtered projection when it fits. orders x lineitem is
+    # fact-x-fact and must stay a shuffle join at scale.
     return (
-        li.join(orders.join(F.broadcast(cust),
+        li.join(orders.join(cust,
                             orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
@@ -144,14 +149,18 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("o_orderdate") < _ts("1998-01-01"))))
     li = table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # dims fold into one broadcastable customer->nation map; the big
-    # fact-fact join (lineitem x orders) stays a shuffle join on orderkey
+    # region x nation is 5 x 25 rows FIXED — the only joins that earn an
+    # unconditional broadcast hint. customer/supplier scale linearly
+    # with SF (~10^9 rows at 100 TB): no hard hint; AQE upgrades those
+    # joins to broadcast at runtime iff the side actually fits. The big
+    # fact-fact join (lineitem x orders) stays a shuffle join on
+    # orderkey (shuffle_hash avoids the sort at this cardinality).
     dims = (nation.join(F.broadcast(region),
                         nation.n_regionkey == region.r_regionkey))
     return (
         li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
-        .join(F.broadcast(supplier),
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(supplier,
               (F.col("l_suppkey") == supplier.s_suppkey)
               & (F.col("c_nationkey") == supplier.s_nationkey))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -206,7 +215,8 @@ def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "revenue"),
                                         F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # customer scales with SF — no hard broadcast; AQE decides
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_custkey", "c_name", "revenue", "n_orders")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
@@ -342,9 +352,14 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 ANTI_JOIN_SQL = """
+-- NOT EXISTS, not NOT IN: NOT IN returns zero rows if the subquery
+-- yields any NULL key, while Spark's left_anti keeps unmatched rows —
+-- NOT EXISTS matches left_anti semantics for nullable keys.
 SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 # ----------------------------------------------------------------------

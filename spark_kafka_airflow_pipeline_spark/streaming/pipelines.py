@@ -39,8 +39,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
     if dict(stream.dtypes).get("ts") == "bigint":
+        # integer division (see operators.base.table): epoch-nanos exceed
+        # double's exact-integer range, a double round-trip can flake by 1us
         stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 
@@ -48,14 +50,32 @@ def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run the streaming query until the source is exhausted, return the
     memory-sink table. Complete mode for aggregations (emits every
     window regardless of watermark position at end-of-stream), append
-    for row streams."""
+    for row streams.
+
+    The stateful shuffle-partition count is pinned small (8) for the
+    drain: a streaming query creates one state-store instance per
+    shuffle partition and pays its init+commit per micro-batch, so a
+    session left at the 200-partition default spends ~10x longer on
+    state bookkeeping than on data at test scale (measured: tumbling
+    window 8.7s at 32 partitions vs 3.0s at 8, same results). On a real
+    cluster this is sized to key cardinality x executor count — it is a
+    per-query knob, not a code change. The session value is restored
+    afterwards so batch queries are unaffected.
+    """
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(8, spark.sparkContext.defaultParallelism)))
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -98,6 +118,31 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def streaming_dedup_within_watermark(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Streaming dedup with WATERMARK-BOUNDED state
+    (``dropDuplicatesWithinWatermark``): a key's dedup entry is evicted
+    once the watermark passes its event time, so state size is bounded
+    by (keys active within the watermark horizon), not by stream
+    lifetime — the production-safe form of ``streaming_dedup_keys``,
+    whose unbounded ``dropDuplicates`` state grows forever on a real
+    stream (SURVEY.md §2.2 Streaming, §7 item 3).
+
+    Rows-only check: on this single-file drain everything lands in one
+    micro-batch so the output matches DISTINCT, but the multi-batch
+    eviction/late-drop semantics (a key re-emitted after its state
+    expired; a late duplicate dropped) are pinned by
+    ``tests/test_streaming_sinks.py::test_dedup_within_watermark_*``,
+    which feed files through a checkpointed query batch by batch.
+    """
+    stream = _events_stream(spark, sf_dir)
+    deduped = (stream
+               .withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+               .select("user_id", "event_type"))
+    return _drain_to_memory(deduped, "append")
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) per user — Spark's
     session_window is the streaming-stateful sessionizer; rows-only
@@ -118,25 +163,37 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _session_count_kernel(key, pdf_iter, state):
     """applyInPandasWithState kernel: per-user sessionization with a
-    30-minute gap rule. State carries (n_sessions, n_events, last_ts)
+    30-minute gap rule. State carries (n_sessions, n_events, last_us)
     across micro-batches; each batch emits the running totals.
 
-    Runs on executors over Arrow batches; sessions never cross users,
-    so state is bounded by user cardinality.
+    Runs on executors over Arrow batches, fully VECTORIZED: timestamps
+    become int64 microseconds, session starts are one numpy comparison
+    on the diff — no per-row Python. Integer microseconds make the
+    gap>1800s test exact (1800s == 1_800_000_000 us precisely), matching
+    DuckDB's epoch() double comparison on every boundary.
+
+    Sessions never cross users, so state is bounded by user cardinality.
     """
+    import numpy as np  # noqa: PLC0415 — executor-side import
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
-    n_sessions, n_events, last_ts = (
+    n_sessions, n_events, last_us = (
         state.get if state.exists else (0, 0, None))
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts in pdf["ts"]:
-            epoch = ts.timestamp()
-            if last_ts is None or epoch - last_ts > 1800:
-                n_sessions += 1
-            last_ts = epoch
-            n_events += 1
-    state.update((n_sessions, n_events, last_ts))
+    gap_us = 1_800_000_000
+    # concatenate the batch's chunks and sort ONCE — chunk boundaries
+    # carry no ordering guarantee
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"])
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        starts = np.empty(len(us), dtype=bool)
+        np.greater(us[1:] - us[:-1], gap_us, out=starts[1:])
+        starts[0] = last_us is None or us[0] - last_us > gap_us
+        n_sessions += int(starts.sum())
+        n_events += len(us)
+        last_us = int(us[-1])
+    state.update((n_sessions, n_events, last_us))
     yield pd.DataFrame({"user_id": [key[0]],
                         "n_sessions": [n_sessions],
                         "n_events": [n_events]})
@@ -151,7 +208,7 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = stream.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandasWithState(
         _session_count_kernel,
         outputStructType="user_id long, n_sessions long, n_events long",
-        stateStructType="n_sessions long, n_events long, last_ts double",
+        stateStructType="n_sessions long, n_events long, last_us long",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -176,6 +233,7 @@ GROUP BY user_id
 QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_session_window": streaming_session_window,
     "streaming_stateful_sessions": streaming_stateful_sessions,
 }

@@ -61,19 +61,24 @@ def register_rule(name: str, predicate_factory) -> None:
     _RULES[name] = predicate_factory
 
 
-def validate_fields(df: DataFrame,
-                    validations: Iterable[Validation],
-                    cache: bool = True) -> tuple[DataFrame, DataFrame]:
-    """Return ``(ok_df, ko_df)``.
+def validate_fields_split(
+        df: DataFrame, validations: Iterable[Validation],
+        cache: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Return ``(ok_df, ko_df, cached_frame_or_None)``.
 
     ``ok_df`` has the input schema; ``ko_df`` adds the
     ``arraycoderrorbyfield`` array<string> column. The two splits
     partition the input exactly (every row lands in exactly one).
 
-    The frame is cached at the split point because both splits consume
-    it — the reference does the same for the same reason
-    (``PipelineProcessor.scala:64-65``); at scale this avoids re-scanning
-    the source per sink.
+    The ANNOTATED parent frame is cached at the split point because both
+    splits consume it — the reference does the same for the same reason
+    (``PipelineProcessor.scala:64-65``); at scale this avoids
+    re-scanning the source per sink. That parent is the third return
+    value so the caller can ``unpersist()`` it after all sinks are
+    written — the ok/ko children report ``is_cached == False``
+    (the cache sits on the parent plan), so a caller scanning outputs
+    for cached frames would find nothing and leak the cache entry.
     """
     rules: list[tuple[Column, str]] = []
     for v in validations:
@@ -83,7 +88,7 @@ def validate_fields(df: DataFrame,
     if not rules:
         # no rules => everything valid (reference would crash on filter(""))
         empty_errors = F.array().cast("array<string>")
-        return df, df.withColumn(ERROR_COLUMN, empty_errors).limit(0)
+        return df, df.withColumn(ERROR_COLUMN, empty_errors).limit(0), None
 
     # one projection computes all error codes; NULL predicate == failure
     error_entries = [
@@ -98,4 +103,13 @@ def validate_fields(df: DataFrame,
         annotated = annotated.cache()
     ok = annotated.filter(F.size(ERROR_COLUMN) == 0).drop(ERROR_COLUMN)
     ko = annotated.filter(F.size(ERROR_COLUMN) > 0)
+    return ok, ko, annotated if cache else None
+
+
+def validate_fields(df: DataFrame,
+                    validations: Iterable[Validation],
+                    cache: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Two-value form of :func:`validate_fields_split` (``ok, ko``) for
+    callers that manage no cache lifecycle."""
+    ok, ko, _ = validate_fields_split(df, validations, cache=cache)
     return ok, ko

@@ -23,6 +23,9 @@ def doc_dir(spark, tmp_path_factory):
         (3, "completely unrelated short text", "en", "src3", 31),
         (4, "another separate document with its own words entirely "
             "unlike anything else present here", "en", "src4", 90),
+        # 1-character edit whose simhash lands exactly 1 bit from doc 0
+        # (probed deterministically: xxhash64 is seed-free)
+        (5, base.replace("cold", "colder"), "en", "src5", len(base) + 2),
     ]
     d = tmp_path_factory.mktemp("docs")
     spark.createDataFrame(
@@ -49,6 +52,63 @@ def test_ngram_jaccard_dups(spark, doc_dir):
     pairs = {(r["doc_a"], r["doc_b"]) for r in
              dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8).collect()}
     assert (0, 1) in pairs
+
+
+def test_simhash_near_dups_finds_bit_flips(spark, doc_dir):
+    """Banded Hamming-k: a 1-bit-flip near-dup (doc 5) and a 3-bit one
+    (doc 2) are both found — ``simhash_buckets`` (Hamming-0) sees
+    neither. Pigeonhole over 4 x 16-bit bands guarantees recall <= 3."""
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_dups(spark, doc_dir).collect()}
+    assert pairs[(0, 1)] == 0        # exact dup: identical signature
+    assert pairs[(0, 5)] == 1        # planted 1-bit flip
+    assert pairs[(0, 2)] == 3        # planted 3-bit near dup
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ngram_blocking_skew(spark, tmp_path):
+    """1000 docs sharing a 16-char prefix but otherwise distinct: the
+    old prefix-16 blocking key put all of them in ONE block (~500k
+    within-block pairs — quadratic skew); char-MinHash band blocking
+    must keep the candidate set near-empty and every band bucket
+    small."""
+    import random
+
+    rows = []
+    for i in range(1000):
+        rng = random.Random(i)
+        words = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(7))
+            for _ in range(12))
+        rows.append((i, f"the common start {words}"))
+    d = tmp_path / "skew"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+
+    docs = table(spark, str(d), "documents")
+    sigs = dedup.minhash_signature_agg(
+        docs, num_hashes=16, tokens=lambda c: T.char_ngrams(c, 3))
+    cand = dedup.lsh_band_candidates(sigs, num_hashes=16, bands=8)
+    n_cand = cand.count()
+    # all-pairs within the shared-prefix block would be 499_500
+    assert n_cand < 5_000, f"skewed candidate blowup: {n_cand} pairs"
+    # and the full operator terminates quickly with no real dups found
+    dups = dedup.ngram_jaccard_dups(spark, str(d), threshold=0.9).collect()
+    assert dups == []
+
+
+def test_verify_broadcast_fallback(spark, doc_dir):
+    """max_broadcast_pairs=0 forces the shuffle-join verify branch; the
+    result set must be identical to the broadcast path."""
+    bc = {(r["doc_a"], r["doc_b"], r["jaccard"])
+          for r in dedup.minhash_lsh_pairs(spark, doc_dir).collect()}
+    sj = {(r["doc_a"], r["doc_b"], r["jaccard"])
+          for r in dedup.minhash_lsh_pairs(
+              spark, doc_dir, max_broadcast_pairs=0).collect()}
+    assert bc == sj and bc
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):

@@ -175,6 +175,34 @@ def test_kafka_serialization_format(spark):
     assert keyed.collect()[0]["key"] == "Fran"
 
 
+def test_split_cache_released_after_sinks(spark, tmp_path):
+    """The split point caches its internal annotated parent, whose ok/ko
+    children report is_cached == False — run_dataflow must track and
+    unpersist the PARENT, or every dataflow run leaks a cache entry in a
+    long-lived session. Asserted against the JVM cacheManager itself."""
+    src = tmp_path / "in.json"
+    src.write_text("\n".join(json.dumps(r) for r in FIXTURE_ROWS))
+    meta = parse_metadata({"dataflows": [{
+        "name": "cachecheck",
+        "sources": [{"name": "s", "path": str(src), "format": "json"}],
+        "transformations": [
+            {"name": "v", "type": "validate_fields", "params": {
+                "input": "s",
+                "validations": [{"field": "age", "validations": ["notNull"]}]}},
+        ],
+        "sinks": [
+            {"input": "v_ok", "name": "ok", "paths": [str(tmp_path / "o")],
+             "format": "parquet", "saveMode": "overwrite"},
+            {"input": "v_ko", "name": "ko", "paths": [str(tmp_path / "o")],
+             "format": "parquet", "saveMode": "overwrite"},
+        ],
+    }]})
+    spark.catalog.clearCache()  # earlier tests cache without an executor
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    PipelineExecutor(spark).process(meta)
+    assert cache_manager.isEmpty(), "split cache leaked after sinks"
+
+
 def test_unknown_sink_tag_raises(spark, tmp_path):
     meta = parse_metadata({"dataflows": [{
         "name": "bad", "sources": [
