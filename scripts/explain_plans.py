@@ -26,6 +26,39 @@ DEFAULT = [
 ]
 
 
+# logical-plan Relation nodes print column lists, not file paths: detect
+# each SF-scaling table by a column name unique to it
+SCALING_TABLES = {"customer": "c_custkey", "supplier": "s_suppkey",
+                  "part": "p_partkey", "orders": "o_orderkey",
+                  "lineitem": "l_orderkey", "events": "event_id",
+                  "documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
+    """Inspect the analyzed logical plan: for every broadcast
+    ResolvedHint, scan its (deeper-indented) subtree for scans of tables
+    that grow with SF. Fixed-size region/nation hints are fine."""
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    flags = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        base = _indent(line)
+        for sub in lines[i + 1:]:
+            if _indent(sub) <= base:
+                break
+            if "Relation" not in sub:
+                continue
+            for tbl, marker in SCALING_TABLES.items():
+                if marker in sub:
+                    flags.append(f"!! hard broadcast hint over {tbl}")
+    return flags
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -43,6 +76,9 @@ def main() -> None:
             flags.append("!! nested-loop/cartesian join")
         if "PushedFilters: []" in plan and "Filter" in plan:
             flags.append("?? filter not pushed to scan")
+        # hard broadcast hints on SF-scaling tables OOM at 100 TB; only
+        # fixed-size region/nation earn unconditional hints (PLANS.md)
+        flags.extend(hard_broadcast_hints_on_scaling_tables(df))
         print(f"\n{'=' * 70}\n{name} {' '.join(flags)}\n{'=' * 70}")
         print(plan)
     spark.stop()

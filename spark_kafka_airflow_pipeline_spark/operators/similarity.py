@@ -154,6 +154,36 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LABEL_CENTROID_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+by_dim AS (
+  SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+  FROM emb
+),
+cent AS (
+  -- exact decimal per-dim sums mirror the Spark side, so the centroid
+  -- doubles are bit-identical regardless of accumulation order
+  SELECT label, dim,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(v) AS c
+  FROM by_dim GROUP BY label, dim
+),
+centroids AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(
+         list_reduce(list_transform(list_zip(e.emb, c.centroid),
+                                    p -> p[1] * p[2]), (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(e.emb, x -> x * x), (acc, x) -> acc + x))
+          * sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (acc, x) -> acc + x))),
+         6) AS centroid_sim
+FROM emb e JOIN centroids c USING (label)
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str,
                  n_planes: int = 6) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets the corpus; each
@@ -198,6 +228,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
-    # label_centroid_similarity / ann_lsh_topk: rows-only (centroid FP
-    # accumulation order / approximate recall)
+    "label_centroid_similarity": LABEL_CENTROID_SQL,
+    # ann_lsh_topk: rows-only (approximate by construction; recall vs
+    # the exact top-k is asserted in tests)
 }
