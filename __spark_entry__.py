@@ -22,13 +22,14 @@ from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     multimodal,
     pipelineops,
     relational,
+    relational_extra,
     similarity,
     textops,
 )
 from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming  # noqa: E402
 
-_MODULES = (relational, joins_extra, events, pipelineops, textops, dedup,
-            similarity, multimodal, streaming)
+_MODULES = (relational, relational_extra, joins_extra, events, pipelineops,
+            textops, dedup, similarity, multimodal, streaming)
 
 
 def entry(spark: SparkSession) -> DataFrame:

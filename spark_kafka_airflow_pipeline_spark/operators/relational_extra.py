@@ -1,0 +1,341 @@
+"""Second wave of relational coverage [EXT]: correlated-existence
+joins, scalar subqueries, join-back-to-aggregate (HAVING-IN), outer-join
+count distributions, analytic windows (lag/lead/ntile/percent_rank),
+array aggregation, and regex/CASE scalar surfaces — TPC-H Q4/Q7/Q13/
+Q18/Q22 shapes adapted to the test schema (no partsupp/phone columns).
+
+Scale posture follows PLANS.md: no hard broadcast hints on SF-scaling
+tables; fact-fact joins shuffle on their keys; aggregates are decimal-
+summed for cross-engine determinism (see operators.relational.dsum).
+
+Reference provenance: the reference has none of these operators
+(SURVEY.md §2.2 — grep ``join``/``groupBy``/``window`` over
+``/root/reference/src`` = 0 hits); shapes follow the public TPC-H spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.relational import (
+    SQL_DSUM,
+    dsum,
+)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ----------------------------------------------------------------------
+# q4 shape: correlated EXISTS -> semi join with extra-table predicate
+# ----------------------------------------------------------------------
+
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (one quarter) having at least one line item shipped more
+    than 60 days after the order date — TPC-H Q4's correlated EXISTS,
+    planned as a LEFT SEMI join so the fact table never multiplies rows.
+    The semi join shuffles on orderkey; the date predicate rides inside
+    the join condition (evaluated pre-shuffle output, no second pass)."""
+    o = (table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= _ts("1996-07-01"))
+                 & (F.col("o_orderdate") < _ts("1996-10-01"))))
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+# ----------------------------------------------------------------------
+# q7 shape: two dimension lineages on one fact, nation-pair volume
+# ----------------------------------------------------------------------
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue between distinct (supplier-nation, customer-nation) pairs
+    per year — the fact joins TWO independently-derived dimension
+    lineages (supplier->nation, orders->customer->nation). Nation (25
+    rows, fixed) broadcasts; customer/supplier joins are left to the
+    planner/AQE (PLANS.md)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2")
+                & F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {SQL_DSUM.format(expr='volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name != n2.n_name
+    AND n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# ----------------------------------------------------------------------
+# q13 shape: LEFT OUTER join preserving zero-count customers
+# ----------------------------------------------------------------------
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count, INCLUDING zero-order
+    customers (left outer join, count of non-null keys). Two
+    aggregations; both shuffle on bounded keys (custkey, then the tiny
+    count domain)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips NULLs
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+# ----------------------------------------------------------------------
+# q18 shape: HAVING on an aggregate, joined back to the detail tables
+# ----------------------------------------------------------------------
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 300, with customer detail —
+    TPC-H Q18's group->filter->join-back, expressed as one aggregation
+    reused for both the predicate and the output (no IN-subquery
+    recompute; the reference pattern would scan lineitem twice)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum(F.col("l_quantity"), "total_qty"))
+           .filter(F.col("total_qty") > 300))
+    return (
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {SQL_DSUM.format(expr='l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 300
+"""
+
+# ----------------------------------------------------------------------
+# q22 shape: scalar subquery + anti join
+# ----------------------------------------------------------------------
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and NO orders —
+    scalar aggregate subquery (global avg, broadcast as a 1-row frame)
+    + anti join, grouped by nation. The 1-row cross join is the
+    idiomatic Spark scalar-subquery plan (BroadcastNestedLoopJoin over
+    one row — constant cost at any SF)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             dsum(F.col("c_acctbal"), "total_bal"))
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       {SQL_DSUM.format(expr='c_acctbal')} AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+# ----------------------------------------------------------------------
+# analytic window functions: lag / lead / ntile / percent_rank
+# ----------------------------------------------------------------------
+
+def orders_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics: previous/next order totals
+    (lag/lead), price quartile within the customer (ntile), and
+    percent_rank — one window spec, shuffled once on custkey."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice, 1)  OVER w  AS prev_price,
+       lead(o_totalprice, 1) OVER w  AS next_price,
+       CAST(ntile(4) OVER wp AS INT) AS price_quartile,
+       round(percent_rank() OVER wp, 6) AS price_pct_rank
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+# ----------------------------------------------------------------------
+# array aggregation: collect + sort + join, min/max by struct ordering
+# ----------------------------------------------------------------------
+
+def customer_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order profile: sorted distinct statuses as one
+    string (array agg surface), first/last order dates. collect_set is
+    order-nondeterministic across partitionings — sort_array makes the
+    result canonical before join/hash."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+            .alias("statuses"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+STATUS_PROFILE_SQL = """
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+         AS statuses,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+# ----------------------------------------------------------------------
+# regex + CASE scalar surface
+# ----------------------------------------------------------------------
+
+def part_type_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + CASE classification over part: first word of
+    p_type, size class, counts per combination — pure codegen
+    expressions on the scan."""
+    p = table(spark, sf_dir, "part")
+    size_class = (F.when(F.col("p_size") < 10, "small")
+                  .when(F.col("p_size") < 30, "medium")
+                  .otherwise("large"))
+    return (
+        p.select(
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+            size_class.alias("size_class"),
+        )
+        .groupBy("type_head", "size_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+PART_TAXONOMY_SQL = """
+SELECT regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QueryFn] = {
+    "q4_late_shipment_orders": q4_late_shipment_orders,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "orders_window_analytics": orders_window_analytics,
+    "customer_status_profile": customer_status_profile,
+    "part_type_taxonomy": part_type_taxonomy,
+}
+
+ORACLES: dict[str, str] = {
+    "q4_late_shipment_orders": Q4_SQL,
+    "q7_nation_trade_volume": Q7_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q18_large_volume_orders": Q18_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
+    "orders_window_analytics": WINDOW_ANALYTICS_SQL,
+    "customer_status_profile": STATUS_PROFILE_SQL,
+    "part_type_taxonomy": PART_TAXONOMY_SQL,
+}

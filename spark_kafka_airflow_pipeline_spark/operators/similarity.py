@@ -132,14 +132,13 @@ SELECT * FROM (
 """
 
 
-def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean embedding per label, then each vector's cosine to its own
-    label centroid — the classic cluster-coherence metric. Aggregates
-    per dimension via posexplode + groupBy (scales: shuffle keyed on
-    (label, dim), 64 x n_labels cells)."""
-    emb = _embeddings(spark, sf_dir)
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Mean embedding per label as ``(label, centroid array<double>)``.
+    Aggregates per dimension via posexplode + groupBy (scales: shuffle
+    keyed on (label, dim), dims x n_labels cells); exact decimal sums
+    make the centroid doubles accumulation-order-independent."""
     by_dim = emb.select("label", F.posexplode("emb").alias("dim", "v"))
-    centroids = (
+    return (
         by_dim.groupBy("label", "dim")
         .agg((F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
               / F.count("v")).alias("c"))
@@ -147,9 +146,15 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
     )
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector's cosine to its own label centroid — the classic
+    cluster-coherence metric."""
+    emb = _embeddings(spark, sf_dir)
     sim = F.round(V.cosine_similarity(F.col("emb"), F.col("centroid")), 6)
     return (
-        emb.join(F.broadcast(centroids), "label")
+        emb.join(F.broadcast(label_centroids(emb)), "label")
         .select("vec_id", "label", sim.alias("centroid_sim"))
     )
 
@@ -218,17 +223,95 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
 
 
+def ivf_ann_topk(spark: SparkSession, sf_dir: str,
+                 nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: the label partition is the inverted file — each
+    query ranks the (tiny, broadcast) centroid table by cosine, probes
+    its ``nprobe`` nearest cells, and scans ONLY those cells' vectors
+    for the exact top-k. At 100 TB the corpus is read once, pre-
+    partitioned by cell; per query the scan cost is nprobe/n_cells of
+    brute force. (A production system would k-means its own centroids;
+    the label column stands in as the coarse quantizer here, keeping the
+    plumbing — centroid build, probe ranking, cell-restricted scan —
+    identical.) Approximate -> rows-only; recall vs cosine_topk is
+    asserted in tests."""
+    emb = _embeddings(spark, sf_dir)
+    cents = label_centroids(emb)
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("emb").alias("q_emb")))
+    cent_sim = V.cosine_similarity(F.col("q_emb"), F.col("centroid"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("label"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "label", cent_sim.alias("cent_sim"))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "q_emb", "label")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("emb").alias("c_emb"), "label")
+    sim = F.round(V.cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+    pairs = (
+        corpus.join(F.broadcast(probes), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — the sanity pass before any
+    cosine work (catches unnormalized or degenerate vectors). Row-level
+    norms fold left-to-right; the label aggregate sums them as decimals
+    so min/max/avg are engine- and partitioning-exact."""
+    emb = _embeddings(spark, sf_dir)
+    nrm = F.round(V.l2_norm("emb"), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.min("nrm").alias("min_norm"),
+             F.max("nrm").alias("max_norm"),
+             (F.sum(F.col("nrm").cast("decimal(20,6)")).cast("double")
+              / F.count("nrm")).alias("avg_norm"))
+    )
+
+
+EMBEDDING_NORM_STATS_SQL = """
+WITH norms AS (
+  SELECT label,
+         round(sqrt(list_reduce(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (acc, x) -> acc + x)), 6) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       CAST(SUM(CAST(nrm AS DECIMAL(20,6))) AS DOUBLE) / COUNT(nrm) AS avg_norm
+FROM norms GROUP BY label
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "cosine_topk": cosine_topk,
     "embedding_near_dups": embedding_near_dups,
     "label_centroid_similarity": label_centroid_similarity,
+    "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_topk": ann_lsh_topk,
+    "ivf_ann_topk": ivf_ann_topk,
 }
 
 ORACLES: dict[str, str] = {
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "label_centroid_similarity": LABEL_CENTROID_SQL,
-    # ann_lsh_topk: rows-only (approximate by construction; recall vs
-    # the exact top-k is asserted in tests)
+    "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
+    # ann_lsh_topk / ivf_ann_topk: rows-only (approximate by
+    # construction; recall vs the exact top-k is asserted in tests)
 }

@@ -177,7 +177,36 @@ FROM t
 """
 
 
+def word_freq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word frequencies — the vocabulary-head pass of
+    a training-data pipeline. explode -> count is one shuffle on the
+    word (partial counts combine map-side); top-k is TakeOrderedAndProject
+    with a word tie-break so the selected SET is unique."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+WORD_FREQ_SQL = """
+SELECT word, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents)
+WHERE word != ''
+GROUP BY word
+ORDER BY n_occurrences DESC, word
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "word_freq_topk": word_freq_topk,
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "lang_quality_profile": lang_quality_profile,
@@ -187,6 +216,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "word_freq_topk": WORD_FREQ_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_bpe_token_stats": DOC_BPE_SQL,
     "lang_quality_profile": LANG_QUALITY_SQL,

@@ -123,6 +123,24 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.05, f"suspiciously low LSH recall: {recall}"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF cell probing is approximate; returned sims must be true
+    cosines and recall of the exact top-k must be substantial (cells
+    are label partitions — same-label vectors cluster, so probing the
+    nearest cells finds most true neighbors)."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(spark, sf_dir).collect()}
+    approx_rows = similarity.ivf_ann_topk(spark, sf_dir).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert approx, "IVF returned nothing"
+    per_query = {}
+    for q, n in approx:
+        per_query.setdefault(q, set()).add(n)
+    assert all(len(v) <= 5 for v in per_query.values())
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, f"suspiciously low IVF recall: {recall}"
+
+
 def test_label_centroid_similarity_bounds(spark, sf_dir):
     rows = similarity.label_centroid_similarity(spark, sf_dir).collect()
     assert rows
