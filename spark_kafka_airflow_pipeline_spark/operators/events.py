@@ -157,7 +157,58 @@ FROM events
 """
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, count/sum the same user's clicks in the
+    preceding hour ([ts-1h, ts)).
+
+    A naive inequality join plans as BroadcastNestedLoopJoin — quadratic
+    per user-pairing and a 100 TB non-starter. This BUCKETS time into
+    1-hour grains: a click at t can only match purchases in its own or
+    the next bucket, so each click emits <= 2 (user, bucket) keys, the
+    join becomes an EQUALITY join on (user_id, bucket) (hash-join,
+    shuffle on bounded keys), and the exact interval predicate filters
+    the residue. Left outer + coalesce keeps zero-click purchases.
+    Bucket width == range width bounds fan-out at 2x regardless of data.
+    """
+    e = table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    bucket = (F.unix_micros("ts") / hour_us).cast("long")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"), bucket.alias("bucket")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("c_ts"),
+                      F.col("value").alias("c_value"),
+                      F.explode(F.array(bucket, bucket + 1)).alias("bucket")))
+    in_range = ((F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("c_ts") < F.col("p_ts")))
+    joined = (purchases.join(clicks, ["user_id", "bucket"], "left_outer")
+              .withColumn("hit", F.when(in_range, 1).otherwise(0)))
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.sum("hit").alias("n_clicks_1h"),
+             dsum(F.when(in_range, F.col("c_value")).otherwise(F.lit(None)),
+                  "click_value_1h"))
+        .select("purchase_id", "n_clicks_1h",
+                F.coalesce("click_value_1h", F.lit(0.0)).alias("click_value_1h"))
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h,
+       COALESCE({SQL_DSUM.format(expr='c.value')}, 0.0) AS click_value_1h
+FROM events p
+LEFT OUTER JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_range_join": events_range_join,
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
@@ -166,6 +217,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,

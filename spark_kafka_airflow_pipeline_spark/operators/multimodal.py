@@ -93,10 +93,108 @@ FROM documents
 """
 
 
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """mapInPandas kernel for the *resize* step: stride-2 byte
+    downsample (the deterministic stand-in for an image resize — same
+    batch shape, binary in / binary-stats out; swap the numpy slice for
+    PIL ``Image.resize`` on a cluster with codecs)."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    for pdf in batches:
+        downs = [np.frombuffer(p, dtype=np.uint8)[::2] for p in pdf["payload"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "n_bytes_out": [len(a) for a in downs],
+            "checksum_out": [int(a.sum()) % 251 if len(a) else 0
+                             for a in downs],
+        })
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads: Arrow batches in, reduced
+    payload stats out — one row per media item (1:1 mapInPandas)."""
+    d = table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return media.mapInPandas(
+        _resize_batches, schema="doc_id long, n_bytes_out int, checksum_out int")
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(ceil(length(text) / 2.0) AS INT) AS n_bytes_out,
+       CAST(CASE WHEN length(text) > 0 THEN
+              list_reduce(list_transform(range(1, length(text) + 1, 2),
+                          i -> ascii(substring(text, CAST(i AS INT), 1))),
+                          (a, b) -> a + b) % 251
+            ELSE 0 END AS INT) AS checksum_out
+FROM documents
+"""
+
+
+FRAME_SIZE = 256
+FRAME_STEP = 2
+
+
+def _frame_sample_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """mapInPandas kernel for the *frame-sample* step: treat the payload
+    as a sequence of FRAME_SIZE-byte frames, keep every FRAME_STEP-th —
+    the 1:N (video -> sampled frames) batch shape; a real pipeline swaps
+    the byte slicing for ffmpeg keyframe extraction."""
+    for pdf in batches:
+        doc, idx, nb, ck = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+            for j in range(0, n_frames, FRAME_STEP):
+                fr = payload[j * FRAME_SIZE:(j + 1) * FRAME_SIZE]
+                doc.append(doc_id)
+                idx.append(j)
+                nb.append(len(fr))
+                ck.append(sum(fr) % 251)
+        yield pd.DataFrame({"doc_id": doc, "frame_idx": idx,
+                            "frame_bytes": nb, "frame_checksum": ck})
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads — one input row fans out to
+    its sampled frames (row-multiplying mapInPandas)."""
+    d = table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return media.mapInPandas(
+        _frame_sample_batches,
+        schema="doc_id long, frame_idx int, frame_bytes int, frame_checksum int")
+
+
+MULTIMODAL_FRAME_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_SIZE}.0) AS BIGINT),
+                      {FRAME_STEP})) AS frame_idx
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least({FRAME_SIZE}, length(text) - frame_idx * {FRAME_SIZE}) AS INT)
+         AS frame_bytes,
+       CAST(list_reduce(
+              list_transform(
+                range(CAST(1 + frame_idx * {FRAME_SIZE} AS BIGINT),
+                      CAST(1 + least((frame_idx + 1) * {FRAME_SIZE},
+                                     length(text)) AS BIGINT)),
+                i -> ascii(substring(text, CAST(i AS INT), 1))),
+              (a, b) -> a + b) % 251 AS INT) AS frame_checksum
+FROM f
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
     "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
 }

@@ -161,6 +161,32 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a STATIC
+    dimension table (customer, keyed on user_id = c_custkey), then a
+    windowless aggregate per segment. The static side is read fresh per
+    micro-batch by Spark (no state kept for it) and broadcasts when it
+    fits — the canonical dimension-enrichment topology for a Kafka
+    stream at scale."""
+    stream = _events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(cust, stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "sum_value"))
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+STREAMING_STATIC_JOIN_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       {SQL_DSUM.format(expr='value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _session_count_kernel(key, pdf_iter, state):
     """applyInPandasWithState kernel: per-user sessionization with a
     30-minute gap rule. State carries (n_sessions, n_events, last_us)
@@ -236,11 +262,13 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_session_window": streaming_session_window,
     "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_static_join": streaming_static_join,
 }
 
 ORACLES: dict[str, str] = {
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_stateful_sessions": STREAMING_STATEFUL_SESSIONS_SQL,
-    # streaming_session_window: rows-only
+    "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
+    # streaming_session_window / streaming_dedup_within_watermark: rows-only
 }
