@@ -110,9 +110,14 @@ class PipelineExecutor:
         name = t.params.input
         if name is None:
             return nodes["__sources__"]
-        if name in source_names and len(source_names) > 1:
-            # reference parity: multi-source dataflows consume the union
-            # regardless of the configured input (PipelineProcessor.scala:29)
+        if (name in source_names and len(source_names) > 1
+                and t.type in ("add_fields", "validate_fields")):
+            # reference parity for the REFERENCE's transformation types:
+            # multi-source dataflows consume the union regardless of the
+            # configured input (PipelineProcessor.scala:29). Engine
+            # extensions (join/aggregate/union/...) address individual
+            # sources — a join's build side must not silently become the
+            # union of both join inputs.
             log.info("transformation %s: input %r is one of several sources; "
                      "using the union of all sources (reference semantics)",
                      t.name, name)
@@ -153,6 +158,29 @@ class PipelineExecutor:
         elif kind == "dedup":
             cols = t.params.columns or None
             nodes[t.name] = df.dropDuplicates(cols)
+        elif kind == "join":
+            if t.params.right not in nodes:
+                raise KeyError(f"join {t.name!r} references unknown right "
+                               f"node {t.params.right!r}; known: {sorted(nodes)}")
+            nodes[t.name] = df.join(nodes[t.params.right],
+                                    on=t.params.on, how=t.params.how)
+        elif kind == "aggregate":
+            aggs = [F.expr(a.function).alias(a.name)
+                    for a in t.params.aggregates]
+            if not aggs:
+                raise ValueError(f"aggregate {t.name!r} declares no aggregates")
+            nodes[t.name] = df.groupBy(*t.params.groupBy).agg(*aggs)
+        elif kind == "union":
+            names = t.params.inputs
+            missing = [n for n in names if n not in nodes]
+            if missing:
+                raise KeyError(f"union {t.name!r} references unknown nodes "
+                               f"{missing}; known: {sorted(nodes)}")
+            frames = [nodes[n] for n in names] or [df]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f, allowMissingColumns=True)
+            nodes[t.name] = out
         else:
             raise ValueError(f"unknown transformation type {kind!r} "
                              f"(node {t.name!r})")

@@ -74,6 +74,12 @@ class TransformationParams:
     sql: str | None = None            # type="sql": full SQL over named inputs
     expr: str | None = None           # type="filter": predicate string
     columns: list[str] = field(default_factory=list)  # type="select"/"drop"/"dedup"
+    right: str | None = None          # type="join": right-side node name
+    on: list[str] = field(default_factory=list)       # type="join": equi-join keys
+    how: str = "inner"                # type="join": join strategy
+    groupBy: list[str] = field(default_factory=list)  # type="aggregate"
+    aggregates: list[AddField] = field(default_factory=list)  # type="aggregate": name + agg expr
+    inputs: list[str] = field(default_factory=list)   # type="union": node names
 
 
 @dataclass(frozen=True)
@@ -83,7 +89,7 @@ class Transformation:
     Reference dispatches exactly two types: ``add_fields``
     (``PipelineProcessor.scala:25``) and ``validate_fields`` (``:35``).
     The engine's registry adds: ``sql``, ``filter``, ``select``,
-    ``drop``, ``dedup``.
+    ``drop``, ``dedup``, ``join``, ``aggregate``, ``union``.
     """
 
     name: str
@@ -133,6 +139,13 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         sql=raw.get("sql"),
         expr=raw.get("expr"),
         columns=list(raw.get("columns") or []),
+        right=raw.get("right"),
+        on=list(raw.get("on") or []),
+        how=raw.get("how", "inner"),
+        groupBy=list(raw.get("groupBy") or []),
+        aggregates=[AddField(a["name"], a["function"])
+                    for a in raw.get("aggregates") or []],
+        inputs=list(raw.get("inputs") or []),
     )
 
 

@@ -205,7 +205,93 @@ LIMIT 20
 """
 
 
+def doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing pass: mask email-shaped tokens, URLs and
+    digit runs with typed placeholders; report per-doc replacement
+    counts and the scrubbed fingerprint. Pure regexp expressions on the
+    scan — the shape of every redaction pass in a training-data
+    pipeline (swap patterns for production PII rules)."""
+    d = table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    num = r"[0-9]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), url, "<URL>"),
+        num, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).alias("n_emails"),
+        F.regexp_count("text", F.lit(url)).alias("n_urls"),
+        F.regexp_count("text", F.lit(num)).alias("n_numbers"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+DOC_SCRUB_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[0-9]+', '<NUM>', 'g')) AS scrubbed_fp
+FROM documents
+"""
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token chunks, stride 40) —
+    the context-window packing pass of a training pipeline. One narrow
+    explode per doc (no shuffle until a consumer aggregates); chunk
+    fingerprints let a downstream exact-dedup run at chunk granularity."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / CHUNK_STRIDE).cast("int") * CHUNK_STRIDE,
+        F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("toks"),
+                 F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.slice("toks", F.col("start") + 1, CHUNK_TOKENS).alias("chunk"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_fp"))
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(floor((len(t) - 1) / {CHUNK_STRIDE}) AS BIGINT)
+                         * {CHUNK_STRIDE} + 1, {CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, len(t) - start) AS INT) AS n_tokens,
+       md5(array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "doc_scrub": doc_scrub,
+    "doc_chunks": doc_chunks,
     "word_freq_topk": word_freq_topk,
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -216,6 +302,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_scrub": DOC_SCRUB_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "word_freq_topk": WORD_FREQ_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_bpe_token_stats": DOC_BPE_SQL,

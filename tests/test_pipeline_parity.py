@@ -175,6 +175,66 @@ def test_kafka_serialization_format(spark):
     assert keyed.collect()[0]["key"] == "Fran"
 
 
+def test_declarative_join_aggregate_union(spark, sf_dir):
+    """Engine-extension transformation types: a metadata-declared
+    star join + aggregate must match the directly-built DataFrame, and
+    `union` must concatenate named nodes by name."""
+    from pyspark.sql import functions as F
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "declarative-star",
+        "sources": [
+            {"name": "orders_src", "path": f"{sf_dir}/orders.parquet"},
+            {"name": "customer_src", "path": f"{sf_dir}/customer.parquet"},
+        ],
+        "transformations": [
+            # select nodes address INDIVIDUAL sources (engine-extension
+            # types skip the reference's multi-source union redirect)
+            {"name": "o_sel", "type": "select", "params": {
+                "input": "orders_src",
+                "columns": ["o_custkey", "o_totalprice"]}},
+            {"name": "c_sel", "type": "select", "params": {
+                "input": "customer_src",
+                "columns": ["c_custkey", "c_mktsegment"]}},
+            {"name": "o2", "type": "add_fields", "params": {
+                "input": "o_sel",
+                "addFields": [{"name": "custkey", "function": "o_custkey"}]}},
+            {"name": "c2", "type": "add_fields", "params": {
+                "input": "c_sel",
+                "addFields": [{"name": "custkey", "function": "c_custkey"}]}},
+            {"name": "j", "type": "join", "params": {
+                "input": "o2", "right": "c2", "on": ["custkey"],
+                "how": "inner"}},
+            {"name": "agg", "type": "aggregate", "params": {
+                "input": "j", "groupBy": ["c_mktsegment"],
+                "aggregates": [
+                    {"name": "n_orders", "function": "count(1)"},
+                    {"name": "total",
+                     "function":
+                     "cast(sum(cast(o_totalprice as decimal(20,6))) as double)"},
+                ]}},
+            {"name": "both", "type": "union", "params": {
+                "inputs": ["agg", "agg"]}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    expected = {
+        (r["c_mktsegment"], r["n_orders"], round(r["total"], 4)) for r in
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+             .cast("double").alias("total"))
+        .collect()}
+    got = {(r["c_mktsegment"], r["n_orders"], round(r["total"], 4))
+           for r in nodes["agg"].collect()}
+    assert got and got == expected
+    assert nodes["both"].count() == 2 * nodes["agg"].count()
+
+
 def test_split_cache_released_after_sinks(spark, tmp_path):
     """The split point caches its internal annotated parent, whose ok/ko
     children report is_cached == False — run_dataflow must track and
