@@ -112,7 +112,8 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 16, seed: int = 42)
     ``lambda s, i=i`` default-arg lambda has arity 2, which PySpark
     reads as (element, index), silently replacing the family id with
     the array index. See ``operators.dedup.minhash_signature_agg`` for
-    the faster aggregate form (identical values).
+    the faster aggregate form (same construction, different family
+    constants — signatures are not interchangeable between the two).
     """
     def family(i: int):
         return lambda s: F.hash(F.lit(seed), F.lit(i), s)

@@ -75,10 +75,19 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
                           tokens=None) -> DataFrame:
     """Scalable MinHash: explode shingles to rows, compute the
     ``num_hashes`` family mins as whole-stage-codegen aggregates (one
-    shuffle on the doc id). Uses one murmur3 per shingle + a universal
-    multiply-add family (odd multipliers are bijections mod 2^64, so
-    each family is a valid permutation-hash); deterministic, no
-    interpreted higher-order functions in the hot path.
+    shuffle on the doc id). Each family is an INDEPENDENT hash: one
+    xxhash64 per shingle string, then murmur3(i, h64) per family —
+    hashing the 8-byte long per family is far cheaper than re-hashing
+    the string, and murmur3 with a distinct first argument is a
+    distinct function.
+
+    NB: the obvious "universal family" shortcut ``min(h * odd_i + c_i)``
+    is WRONG here: without 64-bit wraparound (products of a 32-bit hash
+    by small odd constants never overflow a long) the transform is
+    MONOTONE, so every family selects the same argmin shingle and the
+    whole signature degenerates to one effective hash function — at
+    sf0.1 that admitted 60% of all doc pairs as LSH candidates
+    (7.5M pairs from 5000 docs).
 
     ``tokens`` overrides the feature extractor: a function
     ``text_column -> array<string> Column`` (default: word ``k``-
@@ -93,13 +102,9 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
     sh = (d.repartition(par, id_col)
           .select(F.col(id_col),
                   F.explode(tokens(F.col(text_col))).alias("s")))
-    # one murmur3 per shingle, then a universal-hash family over it:
-    # h_i = a_i * h + b_i (64-bit wraparound) — 16 multiply-adds instead
-    # of 16 murmur evaluations
-    h = F.hash(F.lit(seed), F.col("s")).cast("long")
+    h = F.xxhash64(F.lit(seed), F.col("s"))
     mins = sh.select(id_col, h.alias("h")).groupBy(id_col).agg(*[
-        F.min(F.col("h") * F.lit(2 * i + 1).cast("long")
-              + F.lit(i * 0x9E3779B1).cast("long")).alias(f"m{i}")
+        F.min(F.hash(F.lit(i), F.col("h"))).alias(f"m{i}")
         for i in range(num_hashes)
     ])
     return mins.select(
@@ -268,7 +273,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.9,
-                       num_hashes: int = 16, bands: int = 8) -> DataFrame:
+                       num_hashes: int = 32, bands: int = 4) -> DataFrame:
     """Character-3-gram Jaccard near-dups, blocked by CHARACTER-level
     MinHash band buckets (vs the word-shingle MinHash of
     ``minhash_lsh_pairs`` — char grams catch within-word edits and
@@ -280,9 +285,15 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
     buckets distribute uniformly by construction; block size tracks
     true near-dup cluster size, not prefix popularity (pinned by
     ``tests/test_dedup_similarity.py::test_ngram_blocking_skew``).
-    8 bands of 2 rows keeps candidate recall high at the 0.9 Jaccard
-    target (P[candidate] = 1-(1-j^2)^8 = 0.9996 at j=0.9).
-    Rows-only check (murmur3 not in DuckDB).
+
+    Band geometry matters MORE for char grams than word shingles: two
+    unrelated same-language docs already share ~0.3-0.5 of their
+    trigram set, so a permissive S-curve (8 bands x 2 rows: P=0.9 at
+    j=0.5!) admits nearly every pair and the verify join goes quadratic
+    (measured 106 s at sf0.1). 4 bands x 8 rows puts the knee at the
+    0.9 threshold: P[candidate] = 1-(1-j^8)^4 = 0.90 at j=0.9 (1.0 for
+    exact dups) but 0.015 at j=0.5. Rows-only check (murmur3 not in
+    DuckDB).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = minhash_signature_agg(d, num_hashes=num_hashes,

@@ -89,9 +89,10 @@ def test_ngram_blocking_skew(spark, tmp_path):
     from spark_kafka_airflow_pipeline_spark.operators.base import table
 
     docs = table(spark, str(d), "documents")
+    # the operator's own band geometry (32 hashes, 4 bands x 8 rows)
     sigs = dedup.minhash_signature_agg(
-        docs, num_hashes=16, tokens=lambda c: T.char_ngrams(c, 3))
-    cand = dedup.lsh_band_candidates(sigs, num_hashes=16, bands=8)
+        docs, num_hashes=32, tokens=lambda c: T.char_ngrams(c, 3))
+    cand = dedup.lsh_band_candidates(sigs, num_hashes=32, bands=4)
     n_cand = cand.count()
     # all-pairs within the shared-prefix block would be 499_500
     assert n_cand < 5_000, f"skewed candidate blowup: {n_cand} pairs"

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): semantic invariants that a fixed
+fixture can't pin — the validate split must PARTITION any input exactly
+(SURVEY.md §2.3.3), fingerprints must be canonicalization-invariant,
+and Jaccard must be a bounded symmetric similarity.
+
+Each hypothesis example generates a whole row batch and runs ONE Spark
+job over it (not one job per row), keeping runtime sane.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.functions import text as T
+from spark_kafka_airflow_pipeline_spark.metadata import Validation
+from spark_kafka_airflow_pipeline_spark.transforms.validate_fields import (
+    ERROR_COLUMN,
+    validate_fields,
+)
+
+# ASCII letters/digits/whitespace: case-fold round-trips (unlike e.g.
+# 'ß' -> 'SS'), so upper/lower variants are true canonicalization pairs
+_txt = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t",
+    max_size=30)
+_row = st.tuples(st.one_of(st.none(), _txt),
+                 st.one_of(st.none(), st.integers(-5, 120)))
+_raw_rows = st.lists(_row, min_size=0, max_size=40)
+# unique row ids via enumerate — the test tracks rows by id
+_rows = _raw_rows.map(lambda rs: [(i, o, a) for i, (o, a) in enumerate(rs)])
+
+_SLOW = settings(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+RULES = [Validation("office", ["notEmpty"]), Validation("age", ["notNull"])]
+
+
+@given(rows=_rows)
+@_SLOW
+def test_validate_split_partitions_any_input(spark, rows):
+    """ok + ko == input exactly, for ANY combination of NULL / empty /
+    valid fields — including the reference's dropped-from-both-splits
+    NULL trap (SURVEY.md §2.3.3)."""
+    df = spark.createDataFrame(rows, "id long, office string, age long")
+    ok, ko = validate_fields(df, RULES, cache=False)
+    ok_ids = [r["id"] for r in ok.select("id").collect()]
+    ko_rows = {r["id"]: list(r[ERROR_COLUMN]) for r in ko.collect()}
+    # exact partition: every input id in exactly one split
+    all_ids = [r[0] for r in rows]
+    assert sorted(ok_ids + list(ko_rows)) == sorted(all_ids)
+    assert not (set(ok_ids) & set(ko_rows))
+    # per-row error codes match the rule semantics
+    for rid, office, age in rows:
+        should_fail = []
+        if office is None or office == "":
+            should_fail.append("office-notEmpty")
+        if age is None:
+            should_fail.append("age-notNull")
+        if should_fail:
+            assert ko_rows[rid] == should_fail, (rid, office, age)
+        else:
+            assert rid in ok_ids
+
+
+@given(texts=st.lists(_txt.filter(lambda s: s.strip() != ""),
+                      min_size=1, max_size=20))
+@_SLOW
+def test_fingerprint_canonicalization_invariant(spark, texts):
+    """fingerprint(text) must equal fingerprint of the same text with
+    case flipped and whitespace runs expanded — the exact invariant
+    dedup_fingerprint relies on."""
+    rows = [(t, "  " + t.upper().replace(" ", "   ") + " ") for t in texts]
+    df = spark.createDataFrame(rows, "a string, b string")
+    bad = df.filter(T.fingerprint("a") != T.fingerprint("b")).count()
+    assert bad == 0
+
+
+@given(pairs=st.lists(st.tuples(_txt, _txt), min_size=1, max_size=20))
+@_SLOW
+def test_jaccard_bounded_symmetric_reflexive(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        T.char_ngrams("a", 3).alias("ga"), T.char_ngrams("b", 3).alias("gb"))
+    checked = df.select(
+        T.jaccard("ga", "gb").alias("j_ab"),
+        T.jaccard("gb", "ga").alias("j_ba"),
+        T.jaccard("ga", "ga").alias("j_aa"),
+        F.size("ga").alias("n_a"),
+    ).collect()
+    for r in checked:
+        assert 0.0 <= r["j_ab"] <= 1.0
+        assert r["j_ab"] == r["j_ba"]
+        # reflexivity whenever the gram set is non-empty
+        if r["n_a"] > 0:
+            assert r["j_aa"] == 1.0
