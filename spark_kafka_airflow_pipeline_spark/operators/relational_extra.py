@@ -318,7 +318,82 @@ GROUP BY 1, 2
 """
 
 
+# ----------------------------------------------------------------------
+# exact quantiles, histogram binning, first/last window values
+# ----------------------------------------------------------------------
+
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per status (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` semantics, probed bit-equal). At 100 TB the
+    approx_percentile sketch replaces this; the exact form is the
+    correctness baseline."""
+    o = table(spark, sf_dir, "orders")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return o.groupBy("o_orderstatus").agg(*[
+        F.round(F.expr(f"percentile(o_totalprice, {q})"), 6).alias(name)
+        for name, q in qs.items()
+    ])
+
+
+ORDER_QUANTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k bins) — one shuffle on
+    the (tiny) bin domain; partial counts combine map-side, so the
+    histogram of 100 TB costs one scan + a 32-row shuffle."""
+    o = table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50_000).cast("int")
+    return (o.groupBy(bin_.alias("price_bin"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+                 F.round(F.max("o_totalprice"), 2).alias("bin_max")))
+
+
+ORDER_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS INT) AS price_bin,
+       COUNT(*) AS n_orders,
+       round(MIN(o_totalprice), 2) AS bin_min,
+       round(MAX(o_totalprice), 2) AS bin_max
+FROM orders GROUP BY 1
+"""
+
+
+def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over an explicit full-partition frame —
+    the frame spec is the trap (default frame ends at CURRENT ROW, which
+    silently makes last_value == current row)."""
+    o = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (o.select(
+        "o_custkey",
+        F.first_value("o_orderkey").over(w).alias("first_orderkey"),
+        F.last_value("o_orderkey").over(w).alias("last_orderkey"),
+    ).dropDuplicates(["o_custkey"]))
+
+
+FIRST_LAST_SQL = """
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_orderkey,
+       last_value(o_orderkey)  OVER w AS last_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "order_price_quantiles": order_price_quantiles,
+    "order_price_histogram": order_price_histogram,
+    "customer_first_last_orders": customer_first_last_orders,
     "q4_late_shipment_orders": q4_late_shipment_orders,
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -330,6 +405,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "order_price_quantiles": ORDER_QUANTILES_SQL,
+    "order_price_histogram": ORDER_HISTOGRAM_SQL,
+    "customer_first_last_orders": FIRST_LAST_SQL,
     "q4_late_shipment_orders": Q4_SQL,
     "q7_nation_trade_volume": Q7_SQL,
     "q13_order_count_distribution": Q13_SQL,
