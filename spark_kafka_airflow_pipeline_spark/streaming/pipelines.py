@@ -187,6 +187,45 @@ GROUP BY c_mktsegment
 """
 
 
+def streaming_stream_stream_join(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join: purchases joined to the same user's
+    clicks within the preceding hour, both sides watermarked so the
+    join state is bounded — Spark buffers each side only until the
+    watermark passes the time-range condition, the production topology
+    for correlating two Kafka topics. Emits matched pairs in append
+    mode; on a drained stream the pair set equals the batch range join,
+    so this IS oracle-checkable."""
+    purchases = (_events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    clicks = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND "
+               "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
+        "inner",
+    ).select("purchase_id", "click_id")
+    return _drain_to_memory(joined, "append")
+
+
+STREAMING_STREAM_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+"""
+
+
 def _session_count_kernel(key, pdf_iter, state):
     """applyInPandasWithState kernel: per-user sessionization with a
     30-minute gap rule. State carries (n_sessions, n_events, last_us)
@@ -263,6 +302,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_session_window": streaming_session_window,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_static_join": streaming_static_join,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -270,5 +310,6 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_stateful_sessions": STREAMING_STATEFUL_SESSIONS_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
+    "streaming_stream_stream_join": STREAMING_STREAM_STREAM_JOIN_SQL,
     # streaming_session_window / streaming_dedup_within_watermark: rows-only
 }
