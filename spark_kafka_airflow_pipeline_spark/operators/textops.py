@@ -289,7 +289,94 @@ FROM chunks
 """
 
 
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str,
+                      seed: int = 42) -> DataFrame:
+    """Language-stratified sampling (downsample the dominant language,
+    keep the tail) — the class-rebalancing pass of corpus construction.
+    ``sampleBy`` is per-row Bernoulli with a fixed seed: deterministic
+    for a given input, one scan, no shuffle. Rows-only check (Spark's
+    sampling RNG is not reproducible in DuckDB); per-stratum rates and
+    determinism are pinned in tests."""
+    d = table(spark, sf_dir, "documents")
+    sampled = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=seed)
+    return (sampled.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, composed from this module's ops:
+    canonical-fingerprint dedup (keep min doc_id) -> quality gate
+    (score >= 0.5) -> per-language corpus stats with chunk counts at
+    the 50-token/stride-40 geometry. One scan feeds dedup + scoring;
+    the only shuffles are the dedup window and the final tiny
+    per-language aggregate — the shape of a real 100 TB corpus build."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = T.token_count("text")
+    n_chunks = (F.when(toks <= 0, F.lit(0).cast("long"))
+                .otherwise(F.floor((toks - 1) / CHUNK_STRIDE) + 1))
+    scored = d.select(
+        "doc_id", "lang", T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("q"),
+        toks.alias("n_tokens"), n_chunks.alias("n_chunks"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (scored.withColumn("rn", F.row_number().over(w))
+                 .filter((F.col("rn") == 1) & (F.col("q") >= 0.5)))
+    return (survivors.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_chunks").alias("total_chunks")))
+
+
+# quality formula mirrors DOC_QUALITY_SQL above (same rounding, same
+# guards); chunk count mirrors DOC_CHUNKS_SQL's start grid
+CORPUS_PREP_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              ELSE 0.0 END AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, fp, n_tokens,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.3 * least(stop_ratio * 5, 1.0), 6) AS q,
+         CASE WHEN n_tokens <= 0 THEN 0
+              ELSE CAST(floor((n_tokens - 1) / {CHUNK_STRIDE}) + 1 AS BIGINT)
+         END AS n_chunks
+  FROM m
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM scored)
+  WHERE rn = 1 AND q >= 0.5
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       SUM(n_chunks) AS total_chunks
+FROM survivors GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "stratified_sample": stratified_sample,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     "doc_scrub": doc_scrub,
     "doc_chunks": doc_chunks,
     "word_freq_topk": word_freq_topk,
@@ -302,6 +389,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "corpus_prep_pipeline": CORPUS_PREP_SQL,
+    # stratified_sample: rows-only (Spark's Bernoulli RNG has no DuckDB twin)
     "doc_scrub": DOC_SCRUB_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "word_freq_topk": WORD_FREQ_SQL,
