@@ -390,7 +390,128 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# ----------------------------------------------------------------------
+# q10 shape: 4-way join + group + top-k on revenue
+# ----------------------------------------------------------------------
+
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue on RETURNED items in one quarter —
+    lineitem(filter R) x orders(filter quarter) x customer x nation.
+    Nation broadcasts (fixed 25 rows); customer join is AQE's call."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    orders = (table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= _ts("1996-01-01"))
+                      & (F.col("o_orderdate") < _ts("1996-07-01")))
+              .select("o_orderkey", "o_custkey"))
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey
+  AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# ----------------------------------------------------------------------
+# q14 shape: conditional-aggregation ratio over a fact x dim join
+# ----------------------------------------------------------------------
+
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from 'PROMO%' parts: lineitem x part
+    with a CASE numerator over the total — both sums come out of ONE
+    aggregation pass (no second scan for the denominator)."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= _ts("1996-03-01"))
+                  & (F.col("l_shipdate") < _ts("1996-04-01"))))
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue) \
+        .otherwise(F.lit(0).cast("decimal(20,6)"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg((F.sum(promo).cast("double") * 100.0
+              / F.sum(revenue).cast("double")).alias("promo_revenue_pct"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .select(F.round("promo_revenue_pct", 6).alias("promo_revenue_pct"),
+                "n_lineitems")
+    )
+
+
+Q14_SQL = """
+SELECT round(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) * 100.0
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE),
+           6) AS promo_revenue_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+# ----------------------------------------------------------------------
+# q19 shape: disjunctive multi-column predicate (OR-of-ANDs)
+# ----------------------------------------------------------------------
+
+def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three conjunctive brand/size/quantity
+    baskets — exercises Catalyst's handling of disjunctions: the common
+    `l_partkey = p_partkey` stays a join key, per-branch column bounds
+    (e.g. combined quantity/size ranges) still push to the scans."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    basket = (
+        ((b == "Brand#1") & (q >= 1) & (q <= 11) & (s >= 1) & (s <= 5))
+        | ((b == "Brand#2") & (q >= 10) & (q <= 20) & (s >= 1) & (s <= 10))
+        | ((b == "Brand#3") & (q >= 20) & (q <= 30) & (s >= 1) & (s <= 15))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(basket).agg(
+        dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_rows"))
+
+
+Q19_SQL = f"""
+SELECT {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q10_returned_revenue_topk": q10_returned_revenue_topk,
+    "q14_promo_revenue_pct": q14_promo_revenue_pct,
+    "q19_disjunctive_predicate": q19_disjunctive_predicate,
     "order_price_quantiles": order_price_quantiles,
     "order_price_histogram": order_price_histogram,
     "customer_first_last_orders": customer_first_last_orders,
@@ -405,6 +526,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q10_returned_revenue_topk": Q10_SQL,
+    "q14_promo_revenue_pct": Q14_SQL,
+    "q19_disjunctive_predicate": Q19_SQL,
     "order_price_quantiles": ORDER_QUANTILES_SQL,
     "order_price_histogram": ORDER_HISTOGRAM_SQL,
     "customer_first_last_orders": FIRST_LAST_SQL,
