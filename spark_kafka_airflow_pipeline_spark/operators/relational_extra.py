@@ -508,7 +508,90 @@ WHERE l_partkey = p_partkey
 """
 
 
+# ----------------------------------------------------------------------
+# q15 shape: aggregate once, select the argmax via a scalar subquery
+# ----------------------------------------------------------------------
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in one quarter. The revenue
+    aggregate is computed ONCE and reused for both the max (1-row
+    broadcast) and the selection — the reference pattern (a view read
+    twice) would scan lineitem twice."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= _ts("1996-01-01"))
+                  & (F.col("l_shipdate") < _ts("1996-04-01"))))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(dsum(revenue, "total_revenue")))
+    max_rev = per_supp.agg(F.max("total_revenue").alias("mr"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mr"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+# ----------------------------------------------------------------------
+# q17 shape: correlated per-group average threshold
+# ----------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost to small orders: line items whose
+    quantity is below 20% of their part's average quantity — TPC-H
+    Q17's correlated scalar subquery, planned as ONE aggregation over
+    lineitem joined back to lineitem (group-avg then join), never a
+    per-row subquery execution."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = (table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#3")
+            .select("p_partkey"))
+    avg_q = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+             .agg((F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+                   .cast("double") / F.count("l_quantity")).alias("avg_qty")))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+              .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_small"))
+        .select(F.round("avg_yearly", 6).alias("avg_yearly"), "n_small")
+    )
+
+
+Q17_SQL = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l, part
+WHERE l.l_partkey = p_partkey
+  AND p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_quantity)
+    FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q15_top_suppliers": q15_top_suppliers,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q10_returned_revenue_topk": q10_returned_revenue_topk,
     "q14_promo_revenue_pct": q14_promo_revenue_pct,
     "q19_disjunctive_predicate": q19_disjunctive_predicate,
@@ -526,6 +609,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q15_top_suppliers": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "q10_returned_revenue_topk": Q10_SQL,
     "q14_promo_revenue_pct": Q14_SQL,
     "q19_disjunctive_predicate": Q19_SQL,
