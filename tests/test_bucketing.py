@@ -1,0 +1,65 @@
+"""Bucketed co-located joins: the shuffle must be paid at WRITE time
+only — a join of two tables bucketed on the join key plans with no
+Exchange on either side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.io.bucketing import (
+    read_bucketed,
+    write_bucketed,
+)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                   "orders_bkt", "custkey", n_buckets=8)
+    write_bucketed(cust.withColumnRenamed("c_custkey", "custkey"),
+                   "customer_bkt", "custkey", n_buckets=8)
+    try:
+        # disable broadcast so the test proves the SMJ itself is
+        # exchange-free, not that one side got broadcast
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = read_bucketed(spark, "orders_bkt")
+            c = read_bucketed(spark, "customer_bkt")
+            joined = o.join(c, "custkey").select(
+                "custkey", "o_orderkey", "c_mktsegment")
+            plan = _physical_plan(joined)
+            assert "Exchange" not in plan, plan
+            # and the result is still correct
+            expected = (orders.join(
+                cust, orders.o_custkey == cust.c_custkey).count())
+            assert joined.count() == expected
+            # contrast: the unbucketed join DOES shuffle both sides
+            unbucketed = orders.join(
+                cust, orders.o_custkey == cust.c_custkey)
+            assert "Exchange" in _physical_plan(unbucketed)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_bucketed_aggregate_has_no_shuffle(spark, sf_dir):
+    """groupBy on the bucket key reuses the write-time partitioning —
+    no Exchange before the final aggregate either."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                   "orders_bkt_agg", "custkey", n_buckets=8)
+    try:
+        agg = (read_bucketed(spark, "orders_bkt_agg")
+               .groupBy("custkey").agg(F.count(F.lit(1)).alias("n")))
+        assert "Exchange" not in _physical_plan(agg), _physical_plan(agg)
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt_agg")
