@@ -28,8 +28,13 @@ from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
 )
 from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming  # noqa: E402
 
-_MODULES = (relational, relational_extra, joins_extra, events, pipelineops,
-            textops, dedup, similarity, multimodal, streaming)
+# Ordered newest/least-stable FIRST: the driver's CORRECTNESS file holds
+# the first 50 queries() entries, so the modules whose internals changed
+# most recently must land inside that window; the relational family has
+# been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
+# "What's wrong #1").
+_MODULES = (streaming, dedup, similarity, multimodal, textops, pipelineops,
+            events, joins_extra, relational_extra, relational)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -162,8 +162,16 @@ class PipelineExecutor:
             if t.params.right not in nodes:
                 raise KeyError(f"join {t.name!r} references unknown right "
                                f"node {t.params.right!r}; known: {sorted(nodes)}")
+            if not t.params.on and t.params.how != "cross":
+                # a metadata file that omits 'on' would silently plan a
+                # cartesian product — a runaway job at scale; cartesian
+                # intent must be explicit via how="cross"
+                raise ValueError(
+                    f"join {t.name!r} declares no join keys ('on'); "
+                    f"set how='cross' to request a cartesian product")
             nodes[t.name] = df.join(nodes[t.params.right],
-                                    on=t.params.on, how=t.params.how)
+                                    on=t.params.on or None,
+                                    how=t.params.how)
         elif kind == "aggregate":
             aggs = [F.expr(a.function).alias(a.name)
                     for a in t.params.aggregates]

@@ -111,12 +111,23 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
         id_col, F.array(*[f"m{i}" for i in range(num_hashes)]).alias("minhash"))
 
 
+# Bound on the all-pairs (clique) expansion within one LSH bucket.
+# Above this size a bucket is a mega-cluster (boilerplate pages, empty
+# docs): emitting its full clique is O(n^2) pairs for zero extra dedup
+# information, so members beyond the cap are connected by STAR pairs to
+# the bucket's minimum doc id instead — O(n) pairs that keep every
+# member attached to the cluster's survivor for connected-component
+# dedup (pinned by tests/test_dedup_similarity.py::test_mega_cluster_cap).
+MAX_BUCKET_CLIQUE = 256
+
+
 def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
                         id_col: str = "doc_id",
-                        sig_col: str = "minhash") -> DataFrame:
+                        sig_col: str = "minhash",
+                        max_bucket: int = MAX_BUCKET_CLIQUE) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over an array-typed
     signature column: split the signature into ``bands`` slices, hash
-    each slice to a bucket, emit every within-bucket pair.
+    each slice to a bucket, emit within-bucket pairs.
 
     Plan shape (scales to 100 TB):
       1. explode to (band, bucket, doc)                (narrow)
@@ -124,9 +135,14 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
       3. distinct candidate pairs                      (shuffle on pair)
     Intra-bucket pairs come from collect_list + combinations, NOT a
     bucket self-join — the signature pipeline runs exactly once (a
-    self-join would recompute it per side). Bucket skew == duplicate-
-    cluster size; collect_list is safe because a bucket holds
-    near-identical docs, not arbitrary keys.
+    self-join would recompute it per side).
+
+    Adversarial skew guard: a bucket's clique expansion is capped at
+    ``max_bucket`` members (C(256,2) ~ 32k pairs); members beyond the
+    cap each emit ONE star pair to the bucket's min doc id, so a
+    100 TB corpus with a million identical boilerplate pages yields
+    O(n) candidates for that cluster, not O(n^2), and every member
+    still reaches the cluster survivor through the star center.
     """
     rows_per_band = num_hashes // bands
     banded = (
@@ -141,16 +157,22 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
         ])).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
     )
-    pair_structs = F.filter(
-        F.flatten(F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2,
-                        F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
-        )),
-        lambda p: p.isNotNull(),
+    capped = F.slice(F.col("docs"), 1, max_bucket)
+    clique_pairs = F.flatten(F.transform(
+        capped,
+        lambda x, i: F.transform(
+            F.slice(capped, i + 2,
+                    F.greatest(F.size(capped) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+    ))
+    star_pairs = F.transform(
+        F.slice(F.col("docs"), max_bucket + 1,
+                F.greatest(F.size(F.col("docs")) - max_bucket, F.lit(0))),
+        lambda y: F.struct(F.element_at(F.col("docs"), 1).alias("doc_a"),
+                           y.alias("doc_b")),
     )
+    pair_structs = F.filter(F.concat(clique_pairs, star_pairs),
+                            lambda p: p.isNotNull())
     return (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
@@ -179,14 +201,17 @@ def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
     case) broadcast it explicitly — letting the planner broadcast the
     feature side instead materializes thousands of string arrays as JVM
     objects on every task thread (GC storm). But the candidate count is
-    dup-rate-dependent and unbounded, so it is COUNTED first (cheap:
-    two-column frame, persisted so the count doesn't recompute the LSH
-    pipeline) and above ``max_broadcast_pairs`` the verify runs as a
-    plain shuffle join instead.
-    """
-    from pyspark import StorageLevel
+    dup-rate-dependent and unbounded, so it is COUNTED first and above
+    ``max_broadcast_pairs`` the verify runs as a plain shuffle join.
 
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    The count intentionally does NOT persist ``cand``: this function
+    returns a lazy frame, so a cache taken here could never be
+    unpersisted before the caller's action and every call would leak a
+    CacheManager entry in a long-lived session (the r2 ADVICE leak).
+    The price is one extra run of the candidate lineage — a linear
+    signature pass; at 100 TB the right amortization is checkpointing
+    the signatures to durable storage, not driver-lifetime caches.
+    """
     cand_side = cand if cand.count() > max_broadcast_pairs else F.broadcast(cand)
     return (
         cand_side
@@ -273,7 +298,9 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.9,
-                       num_hashes: int = 32, bands: int = 4) -> DataFrame:
+                       num_hashes: int = 32, bands: int = 4,
+                       max_broadcast_pairs: int = MAX_BROADCAST_PAIRS
+                       ) -> DataFrame:
     """Character-3-gram Jaccard near-dups, blocked by CHARACTER-level
     MinHash band buckets (vs the word-shingle MinHash of
     ``minhash_lsh_pairs`` — char grams catch within-word edits and
@@ -302,7 +329,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
     par = d.sparkSession.sparkContext.defaultParallelism
     grams = d.repartition(par).select(
         "doc_id", T.char_ngrams("text", 3).alias("sh"))
-    return verify_pairs_jaccard(cand, grams, threshold)
+    return verify_pairs_jaccard(cand, grams, threshold, max_broadcast_pairs)
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str,

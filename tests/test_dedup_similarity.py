@@ -112,6 +112,68 @@ def test_verify_broadcast_fallback(spark, doc_dir):
     assert bc == sj and bc
 
 
+def test_ngram_broadcast_fallback(spark, doc_dir):
+    """ngram_jaccard_dups forwards max_broadcast_pairs: the shuffle-join
+    fallback branch must return the same verified pairs."""
+    bc = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+          dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8).collect()}
+    sj = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+          dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8,
+                                   max_broadcast_pairs=0).collect()}
+    assert bc == sj and bc
+
+
+def test_verify_no_cache_leak(spark, doc_dir):
+    """Session-reuse hygiene: repeated minhash/ngram runs must not
+    accumulate CacheManager entries (the r2 ADVICE leak —
+    verify_pairs_jaccard used to persist the candidate frame with no
+    unpersist path)."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(2):
+        dedup.minhash_lsh_pairs(spark, doc_dir).collect()
+        dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before, f"cache entries leaked: {before} -> {after}"
+
+
+def test_mega_cluster_cap(spark, tmp_path):
+    """Adversarial mega-bucket: 10k IDENTICAL documents (the 100 TB
+    boilerplate-page scenario). Uncapped, every LSH bucket would emit
+    C(10k,2) ~ 50M clique pairs; the cap bounds candidates to
+    C(256,2) + (10k - 256) star pairs, and the star pairs keep every
+    member connected to the cluster survivor (doc 0)."""
+    rows = [(i, "exactly the same boilerplate footer text on every page "
+                "of this crawled site") for i in range(10_000)]
+    d = tmp_path / "mega"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    sigs = dedup.minhash_signature_agg(
+        spark.read.parquet(str(d / "documents.parquet")))
+    cand = dedup.lsh_band_candidates(sigs, num_hashes=16, bands=4)
+    n_cand = cand.count()
+    cap_bound = (dedup.MAX_BUCKET_CLIQUE * (dedup.MAX_BUCKET_CLIQUE - 1)) // 2 \
+        + (10_000 - dedup.MAX_BUCKET_CLIQUE)
+    assert n_cand <= cap_bound, f"cap breached: {n_cand} > {cap_bound}"
+
+    pairs = dedup.minhash_lsh_pairs(spark, str(d)).collect()
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    # union-find: all 10k members must form ONE component (star pairs
+    # attach every capped-out member to doc 0)
+    parent = list(range(10_000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r["doc_a"])] = find(r["doc_b"])
+    roots = {find(i) for i in range(10_000)}
+    assert len(roots) == 1, f"cluster split into {len(roots)} components"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """The LSH path is approximate; assert it (a) returns only true
     cosine values and (b) achieves nonzero recall of the exact top-k."""

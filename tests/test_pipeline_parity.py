@@ -235,6 +235,32 @@ def test_declarative_join_aggregate_union(spark, sf_dir):
     assert nodes["both"].count() == 2 * nodes["agg"].count()
 
 
+def test_join_without_keys_rejected(spark, sf_dir):
+    """A metadata join that omits 'on' must raise instead of silently
+    planning a cartesian product (a runaway job at scale); an explicit
+    how='cross' opts in."""
+    import pytest
+
+    def flow(how_params):
+        return parse_metadata({"dataflows": [{
+            "name": "xjoin",
+            "sources": [
+                {"name": "n_src", "path": f"{sf_dir}/nation.parquet"},
+                {"name": "r_src", "path": f"{sf_dir}/region.parquet"},
+            ],
+            "transformations": [
+                {"name": "j", "type": "join",
+                 "params": {"input": "n_src", "right": "r_src", **how_params}},
+            ],
+            "sinks": [],
+        }]}).dataflows[0]
+
+    with pytest.raises(ValueError, match="no join keys"):
+        PipelineExecutor(spark).build_nodes(flow({}))
+    nodes = PipelineExecutor(spark).build_nodes(flow({"how": "cross"}))
+    assert nodes["j"].count() == 25 * 5  # nation x region cartesian
+
+
 def test_split_cache_released_after_sinks(spark, tmp_path):
     """The split point caches its internal annotated parent, whose ok/ko
     children report is_cached == False — run_dataflow must track and
