@@ -77,19 +77,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _feature_batches, schema=FEATURE_SCHEMA)
 
 
-# the test documents are pure ASCII, so per-char code points == bytes;
-# a non-ASCII corpus would need a blob-indexing shim here
-MULTIMODAL_SQL = """
+# The Spark kernels operate on UTF-8 BYTES of encode(text); the oracles
+# must too, or any non-ASCII document diverges (r2 ADVICE). DuckDB has
+# no blob-byte indexing, so byte i is decoded from hex(encode(text)):
+# two hex chars per byte, value = 16*hi + lo via strpos on the hex
+# alphabet (strpos is 1-based: '0' -> 1, hence the -17).
+_SQL_BYTE = ("(strpos('0123456789ABCDEF', substring(hx, 2*({i}) - 1, 1)) * 16"
+             " + strpos('0123456789ABCDEF', substring(hx, 2*({i}), 1)) - 17)")
+
+_SQL_HEX_CTE = """
+SELECT doc_id, hex(encode(text)) AS hx,
+       octet_length(encode(text)) AS n
+FROM documents
+"""
+
+MULTIMODAL_SQL = f"""
+WITH h AS ({_SQL_HEX_CTE})
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1))
+       CAST(n AS INT) AS n_bytes,
+       CAST(CASE WHEN n > 0 THEN {_SQL_BYTE.format(i='1')}
                  ELSE -1 END AS INT) AS first_byte,
-       CAST(CASE WHEN length(text) > 0 THEN
-              list_reduce(list_transform(range(1, length(text) + 1),
-                          i -> ascii(substring(text, CAST(i AS INT), 1))),
+       CAST(CASE WHEN n > 0 THEN
+              list_reduce(list_transform(range(1, CAST(n AS INT) + 1),
+                          i -> {_SQL_BYTE.format(i='i')}),
                           (a, b) -> a + b) % 251
             ELSE 0 END AS INT) AS checksum_mod
-FROM documents
+FROM h
 """
 
 
@@ -119,15 +132,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_batches, schema="doc_id long, n_bytes_out int, checksum_out int")
 
 
-MULTIMODAL_RESIZE_SQL = """
+MULTIMODAL_RESIZE_SQL = f"""
+WITH h AS ({_SQL_HEX_CTE})
 SELECT doc_id,
-       CAST(ceil(length(text) / 2.0) AS INT) AS n_bytes_out,
-       CAST(CASE WHEN length(text) > 0 THEN
-              list_reduce(list_transform(range(1, length(text) + 1, 2),
-                          i -> ascii(substring(text, CAST(i AS INT), 1))),
+       CAST(ceil(n / 2.0) AS INT) AS n_bytes_out,
+       CAST(CASE WHEN n > 0 THEN
+              list_reduce(list_transform(range(1, CAST(n AS INT) + 1, 2),
+                          i -> {_SQL_BYTE.format(i='i')}),
                           (a, b) -> a + b) % 251
             ELSE 0 END AS INT) AS checksum_out
-FROM documents
+FROM h
 """
 
 
@@ -166,22 +180,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIMODAL_FRAME_SQL = f"""
-WITH f AS (
-  SELECT doc_id, text,
-         unnest(range(0, CAST(ceil(length(text) / {FRAME_SIZE}.0) AS BIGINT),
+WITH h AS ({_SQL_HEX_CTE}),
+f AS (
+  SELECT doc_id, hx, n,
+         unnest(range(0, CAST(ceil(n / {FRAME_SIZE}.0) AS BIGINT),
                       {FRAME_STEP})) AS frame_idx
-  FROM documents
-  WHERE length(text) > 0
+  FROM h
+  WHERE n > 0
 )
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-       CAST(least({FRAME_SIZE}, length(text) - frame_idx * {FRAME_SIZE}) AS INT)
+       CAST(least({FRAME_SIZE}, n - frame_idx * {FRAME_SIZE}) AS INT)
          AS frame_bytes,
        CAST(list_reduce(
               list_transform(
                 range(CAST(1 + frame_idx * {FRAME_SIZE} AS BIGINT),
                       CAST(1 + least((frame_idx + 1) * {FRAME_SIZE},
-                                     length(text)) AS BIGINT)),
-                i -> ascii(substring(text, CAST(i AS INT), 1))),
+                                     n) AS BIGINT)),
+                i -> {_SQL_BYTE.format(i='i')}),
               (a, b) -> a + b) % 251 AS INT) AS frame_checksum
 FROM f
 """

@@ -106,3 +106,117 @@ def test_dedup_within_watermark_evicts_state_and_drops_late(spark, tmp_path):
     b3 = feed("b3.json", [("K", "2026-01-05 13:30:00"),
                           ("LATE", "2026-01-05 10:30:00")])
     assert [k for k, _ in sorted(b3)] == ["K"], b3
+
+
+def test_session_window_matches_batch_gaps_and_islands(spark, sf_dir):
+    """Cross-check the native session_window drain against a batch
+    gaps-and-islands twin at per-session granularity: (user_id,
+    session_start, n_events) must agree exactly. Spark's session_window
+    is half-open ([t, t+gap)), so the batch twin breaks a session when
+    gap >= 1800s — the boundary convention session_window documents."""
+    from pyspark.sql import Window
+
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+    from spark_kafka_airflow_pipeline_spark.streaming import pipelines as sp
+
+    got = {(r["user_id"], r["session_start"], r["n_events"]) for r in
+           sp.streaming_session_window(spark, sf_dir).collect()}
+
+    e = table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(by_user))
+    sess = (e.select("user_id", "event_id", "ts")
+            .withColumn("is_new",
+                        F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0))
+            .withColumn("sid", F.sum("is_new").over(
+                by_user.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow))))
+    batch = {(r["user_id"], r["session_start"], r["n_events"]) for r in
+             sess.groupBy("user_id", "sid")
+             .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_start"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .select("user_id", "session_start", "n_events")
+             .collect()}
+    assert got == batch and got
+
+
+def _drain_stream_stream_join(spark, src_dir: str, ckpt: str) -> list:
+    """One availableNow pass of the checkpointed purchase-click
+    stream-stream join (same topology as streaming_stream_stream_join)
+    over the json files in src_dir; returns pairs EMITTED this pass."""
+    schema = "user_id long, event_id string, event_type string, ts timestamp"
+
+    def side(etype, ucol, icol, tcol):
+        return (spark.readStream.schema(schema).json(src_dir)
+                .filter(F.col("event_type") == etype)
+                .select(F.col("user_id").alias(ucol),
+                        F.col("event_id").alias(icol),
+                        F.col("ts").alias(tcol))
+                .withWatermark(tcol, "1 hour"))
+
+    joined = side("purchase", "p_user", "purchase_id", "p_ts").join(
+        side("click", "c_user", "click_id", "c_ts"),
+        F.expr("p_user = c_user AND "
+               "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
+        "inner",
+    ).select("purchase_id", "click_id")
+    emitted: list = []
+    q = (joined.writeStream
+         .foreachBatch(lambda bdf, _id: emitted.extend(
+             (r["purchase_id"], r["click_id"]) for r in bdf.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return emitted
+
+
+def test_stream_stream_join_drops_late_click(spark, tmp_path):
+    """Pins the bounded-state claim of streaming_stream_stream_join:
+    after the watermark advances, (1) a buffered purchase's join state
+    is evicted and (2) a click older than the watermark horizon is
+    dropped at ingest — so a late click NEVER joins, even though a
+    matching purchase existed. Fresh in-horizon pairs still join,
+    proving the query stayed live."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(name, rows):
+        with open(src / name, "w") as f:
+            for user, eid, etype, ts in rows:
+                f.write(_json.dumps({"user_id": user, "event_id": eid,
+                                     "event_type": etype, "ts": ts}) + "\n")
+        return _drain_stream_stream_join(spark, str(src), ckpt)
+
+    # b1: u1 click+purchase join immediately; u2 purchase buffers, its
+    # matching click intentionally not sent yet
+    b1 = feed("b1.json", [
+        (1, "C1", "click", "2026-01-05 10:00:00"),
+        (1, "P1", "purchase", "2026-01-05 10:30:00"),
+        (2, "P2", "purchase", "2026-01-05 10:40:00"),
+    ])
+    assert set(b1) == {("P1", "C1")}
+
+    # b2: advance the watermark to ~15:00 (16:00 - 1h); P2's buffered
+    # state (needs clicks >= 09:40) is now evictable
+    b2 = feed("b2.json", [
+        (9, "ADVC", "click", "2026-01-05 15:30:00"),
+        (9, "ADVP", "purchase", "2026-01-05 16:00:00"),
+    ])
+    assert set(b2) == {("ADVP", "ADVC")}
+
+    # b3: the LATE click for P2 (10:10 << watermark 15:00) must be
+    # dropped, while a fresh u3 pair still joins
+    b3 = feed("b3.json", [
+        (2, "C2", "click", "2026-01-05 10:10:00"),
+        (3, "C3", "click", "2026-01-05 16:10:00"),
+        (3, "P3", "purchase", "2026-01-05 16:40:00"),
+    ])
+    assert ("P2", "C2") not in set(b3)
+    assert ("P3", "C3") in set(b3)
