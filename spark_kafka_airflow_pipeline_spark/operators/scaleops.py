@@ -1,0 +1,139 @@
+"""Scale-posture operators [EXT]: the two patterns that decide whether a
+fact-fact workload survives 100 TB — paying the shuffle at write time
+(bucketed co-located joins) and de-skewing hot aggregation keys
+(salted two-stage aggregation).
+
+Both are *query-shaped* here so the driver's DuckDB oracle can pin
+that the scale machinery does not change answers: the bucketed join
+must equal the plain-parquet join, and the salted aggregate must equal
+the naive one-stage groupBy.
+
+Reference provenance: the reference has no joins or aggregations at all
+(grep over ``src/``: 0 hits — SURVEY.md §2.2), so these are north-star
+[EXT] components; the write-once-join-many layout is standard Spark
+(``DataFrameWriter.bucketBy``), the salting pattern is the standard
+remedy documented in PLANS.md §skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.io.bucketing import write_bucketed
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.relational import SQL_DSUM, dsum
+
+#: bucket count for the orders/lineitem pair. Test-scale value; on a
+#: real cluster size it so one bucket ~ 100-500 MB of the LARGER table
+#: (100 TB lineitem -> tens of thousands of buckets).
+N_BUCKETS = 8
+
+_WAREHOUSE = "/tmp/spark_graft_bucketed"
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str,
+                    n_buckets: int = N_BUCKETS) -> tuple[DataFrame, DataFrame]:
+    """Orders + lineitem as catalog tables bucketed (and bucket-sorted)
+    on the orderkey. Written once per (session, sf_dir); every
+    subsequent join or aggregate on the orderkey plans with NO Exchange
+    on either side — the write shuffle is amortized over all of them.
+    The files live under an explicit external-table path so the layout
+    survives the in-memory catalog of a fresh session (the next session
+    re-registers by rewriting once)."""
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = []
+    for tname, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        cat_name = f"bkt_{tname}_{token}"
+        if not spark.catalog.tableExists(cat_name):
+            df = table(spark, sf_dir, tname)
+            df = df.withColumn("orderkey", F.col(key))
+            (df.write.mode("overwrite").format("parquet")
+             .option("path", f"{_WAREHOUSE}/{token}/{tname}")
+             .bucketBy(n_buckets, "orderkey").sortBy("orderkey")
+             .saveAsTable(cat_name))
+        out.append(spark.table(cat_name))
+    return out[0], out[1]
+
+
+def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on pre-bucketed tables: lineitem x orders on the
+    orderkey with zero join-side Exchanges (asserted in
+    tests/test_bucketing.py::test_bucketed_query_plan), aggregated to
+    revenue per order priority. Oracle = the same join on the plain
+    parquet — bucketing must be invisible in the answer."""
+    orders, lineitem = bucketed_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(rev, "revenue"))
+    )
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+#: salt fan-out for hot keys. Sized to executor-core count on a real
+#: cluster (enough slices that one hot key spreads over the cluster).
+N_SALTS = 16
+
+
+def salted_group_agg(spark: SparkSession, sf_dir: str,
+                     n_salts: int = N_SALTS) -> DataFrame:
+    """Skew-resistant two-stage aggregation over a LOW-CARDINALITY key
+    (l_returnflag: 3 values — at 100 TB a naive groupBy lands ~33 TB on
+    three reducers). Stage 1 aggregates on (key, salt) so every core
+    takes a slice of each hot key; stage 2 merges the n_salts partials
+    per key. Decimal partials keep both stages exact, so the oracle is
+    the plain one-stage groupBy — salting must be invisible in the
+    answer.
+
+    The salt is a hash of high-cardinality payload columns, not rand():
+    deterministic for the oracle AND uniformly spread. AQE's skew-join
+    handling (enabled in session.py) solves skewed JOINS at runtime;
+    skewed AGGREGATION keys need this explicit rewrite (PLANS.md §skew).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    partial = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                                     F.lit(n_salts)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(20,6)")).alias("q"),
+             F.sum(rev.cast("decimal(20,6)")).alias("r"))
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("n").alias("n_items"),
+             F.sum("q").cast("double").alias("sum_qty"),
+             F.sum("r").cast("double").alias("revenue"))
+    )
+
+
+SALTED_AGG_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {SQL_DSUM.format(expr='l_quantity')} AS sum_qty,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES: dict[str, QueryFn] = {
+    "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
+    "salted_group_agg": salted_group_agg,
+}
+
+ORACLES: dict[str, str] = {
+    "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,
+    "salted_group_agg": SALTED_AGG_SQL,
+}

@@ -63,3 +63,36 @@ def test_bucketed_aggregate_has_no_shuffle(spark, sf_dir):
         assert agg.count() == orders.select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt_agg")
+
+
+def test_bucketed_query_plan_and_parity(spark, sf_dir):
+    """The queries() entry itself: join side must be Exchange-free (the
+    write-time shuffle is the only one), and the answer must equal the
+    plain-parquet join."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    orders, lineitem = scaleops.bucketed_tables(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_only = lineitem.join(orders, "orderkey")
+        assert "Exchange" not in _physical_plan(join_only), \
+            _physical_plan(join_only)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    got = {(r["o_orderpriority"], r["n_items"], round(r["revenue"], 2))
+           for r in scaleops.bucketed_orders_lineitem_join(spark, sf_dir)
+           .collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    expected = {(r["o_orderpriority"], r["n_items"], round(r["revenue"], 2))
+                for r in li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(20,6)"))
+                     .cast("double").alias("revenue"))
+                .collect()}
+    assert got == expected and got
