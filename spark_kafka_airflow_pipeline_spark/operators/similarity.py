@@ -351,7 +351,80 @@ FROM norms GROUP BY label
 """
 
 
+
+
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization quality report per label: quantize each
+    vector to 256 levels over its own [min, max] range, dequantize, and
+    aggregate reconstruction error — the storage-compression validation
+    pass of an embedding pipeline (4x smaller vectors; is the recall
+    loss tolerable?).
+
+    Plan: array_min/max stay vector-local (no explode), then one
+    posexplode for the per-dimension error and ONE groupBy(label)
+    shuffle — since every vector has the same dimensionality, the mean
+    per-vector MSE equals the mean per-dimension squared error, so no
+    per-vector intermediate aggregate is needed.
+
+    Cross-engine determinism: elements are cast float->double up front
+    (exact); the quant bucket uses floor() (exact in both engines, no
+    half-rounding convention involved); squared errors are summed as
+    decimals so partial-aggregation order cannot perturb the sum; the
+    single final division happens in double, once.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    v = v.select(
+        "vec_id", "label", "v",
+        F.array_min("v").alias("mn"), F.array_max("v").alias("mx"))
+    x = v.select(
+        "vec_id", "label", "mn", "mx",
+        F.posexplode("v").alias("pos", "x"))
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.least(F.lit(255.0),
+                F.floor((F.col("x") - F.col("mn")) * 255.0
+                        / (F.col("mx") - F.col("mn")))))
+    deq = F.col("mn") + q * (F.col("mx") - F.col("mn")) / 255.0
+    err = F.col("x") - deq
+    return (x.withColumn("err2", (err * err).cast("decimal(25,18)"))
+            .withColumn("abs_err", F.abs(err))
+            .groupBy("label")
+            .agg(F.countDistinct("vec_id").alias("n_vectors"),
+                 F.round(F.sum("err2").cast("double") * 1e6
+                         / F.count(F.lit(1)), 6).alias("avg_mse_ppm"),
+                 F.round(F.max("abs_err"), 9).alias("max_abs_err")))
+
+
+EMBEDDING_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, a -> CAST(a AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, label, v,
+         list_min(v) AS mn, list_max(v) AS mx
+  FROM v
+), x AS (
+  SELECT vec_id, label, mn, mx, unnest(v) AS x FROM b
+), e AS (
+  SELECT vec_id, label,
+         x - (mn + (CASE WHEN mx = mn THEN 0.0
+                    ELSE least(255.0, floor((x - mn) * 255.0 / (mx - mn)))
+                    END) * (mx - mn) / 255.0) AS err
+  FROM x
+)
+SELECT label, COUNT(DISTINCT vec_id) AS n_vectors,
+       round(CAST(SUM(CAST(err * err AS DECIMAL(25,18))) AS DOUBLE) * 1e6
+             / COUNT(*), 6) AS avg_mse_ppm,
+       round(MAX(abs(err)), 9) AS max_abs_err
+FROM e GROUP BY label
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "embedding_int8_quant_error": embedding_int8_quant_error,
     "cosine_topk": cosine_topk,
     "embedding_near_dups": embedding_near_dups,
     "label_centroid_similarity": label_centroid_similarity,
@@ -361,6 +434,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_int8_quant_error": EMBEDDING_INT8_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "label_centroid_similarity": LABEL_CENTROID_SQL,

@@ -374,7 +374,69 @@ FROM survivors GROUP BY lang
 """
 
 
+
+
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword-extraction pass of
+    a training-data pipeline. One explode + two shuffles (tf on
+    (doc, term), df on term); the corpus size is a 1-row aggregate
+    cross-joined in (constant cost).
+
+    Cross-engine determinism: idf is ROUNDED to 6 decimals before the
+    tf multiply — natural log is only 1-ulp reproducible across libm
+    implementations, and the rounding collapses that difference before
+    it can reorder the rank window; ranking ties break on the term.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1, 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term != '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term,
+         round(tf * (round(ln((n_docs + 1) / (df + 1)) + 1, 6)), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "doc_tfidf_topterms": doc_tfidf_topterms,
     "stratified_sample": stratified_sample,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "doc_scrub": doc_scrub,
@@ -389,6 +451,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     # stratified_sample: rows-only (Spark's Bernoulli RNG has no DuckDB twin)
     "doc_scrub": DOC_SCRUB_SQL,
