@@ -207,7 +207,110 @@ GROUP BY p.event_id
 """
 
 
+
+
+def events_hourly_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per event, the sum/count of the same user's
+    values over the PRECEDING HOUR of event time — the moving-window
+    analytic a ROWS frame cannot express (peers are selected by time
+    distance, not row position).
+
+    The frame key is integer epoch-MICROSECONDS in both engines (Spark
+    rangeBetween needs a numeric orderBy; micros keep the comparison
+    exact — a seconds cast would truncate and disagree with an INTERVAL
+    frame). One shuffle on user_id; decimal sums keep the frame
+    aggregation order-independent.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(20,6)")).over(w)
+        .cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("n_events_hour"),
+    )
+
+
+EVENTS_RANGE_FRAME_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(20,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS hour_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_events_hour
+FROM events
+"""
+
+
+def _asof_cogroup_kernel(purchases, clicks):
+    """Cogrouped-applyInPandas kernel (runs per user on executors):
+    replay both event sets in (ts, event_id) order, forward-fill the
+    click value, and emit each purchase with the value carried from the
+    PREVIOUS row — bitwise the same semantics as the window-based
+    ``asof_last_click_before_purchase``."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    if not len(purchases):
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "last_click_value": pd.Series(dtype="float64")})
+    purchases = purchases.assign(is_purchase=True)
+    clicks = clicks.assign(is_purchase=False)
+    both = (pd.concat([purchases, clicks], ignore_index=True)
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True))
+    carried = both["value"].where(~both["is_purchase"]).ffill().shift(1)
+    out = both[both["is_purchase"]]
+    return pd.DataFrame({"user_id": out["user_id"],
+                         "event_id": out["event_id"],
+                         "last_click_value": carried[out.index]})
+
+
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join via COGROUPED ``applyInPandas`` — the pandas-UDF
+    escape hatch for per-key merge logic Spark can't express natively
+    (SURVEY.md §2.2 UDF surface). Purchases and clicks arrive as two
+    frames per user (one shuffle each on user_id); the kernel is
+    vectorized pandas, no per-row Python. Shares the window-based
+    twin's DuckDB oracle, so the exotic API is held to the same
+    hash-exact gate."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value")
+    return (purchases.groupBy("user_id")
+            .cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(
+                _asof_cogroup_kernel,
+                schema="user_id long, event_id long, last_click_value double"))
+
+
+ASOF_COGROUP_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type, value
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_value
+  FROM tagged
+)
+SELECT user_id, event_id, last_click_value
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_hourly_range_sum": events_hourly_range_sum,
+    "asof_cogroup_pandas": asof_cogroup_pandas,
     "events_range_join": events_range_join,
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -217,6 +320,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_hourly_range_sum": EVENTS_RANGE_FRAME_SQL,
+    "asof_cogroup_pandas": ASOF_COGROUP_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
