@@ -206,13 +206,35 @@ def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
     also strictly safer: it bounds broadcast BYTES, not a pair count
     proxy. The shuffle path is exercised in tests by disabling the
     broadcast threshold (tests/test_dedup_similarity.py).
+
+    Join shape (r3): the pair list is MELTED to (pair, side, doc_id) so
+    the feature table is probed ONCE — the naive cand.join(sh_a)
+    .join(sh_b) runs the full corpus feature pass twice, and Spark's
+    ReuseExchange cannot share it because the feature projection sits
+    above the exchange (moving it below serializes the projection into
+    the lone pre-exchange task — measured 2.4x slower). The melted
+    matches regroup on the pair key — a shuffle bounded by candidate
+    volume (which the bucket cap bounds), not corpus size. At sf0.1 the
+    two shapes bench within noise of each other (corpus featurize is
+    ~0.2 s); the win is structural — at 100 TB the removed probe is a
+    full corpus scan+featurize.
     """
+    melted = cand.select(
+        "doc_a", "doc_b",
+        F.explode(F.array(
+            F.struct(F.lit("a").alias("side"), F.col("doc_a").alias("doc_id")),
+            F.struct(F.lit("b").alias("side"), F.col("doc_b").alias("doc_id")),
+        )).alias("s")).select("doc_a", "doc_b", "s.side", "s.doc_id")
+    pairs = (
+        melted.join(features, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first(F.when(F.col("side") == "a", F.col("sh")),
+                     ignorenulls=True).alias("sh_a"),
+             F.first(F.when(F.col("side") == "b", F.col("sh")),
+                     ignorenulls=True).alias("sh_b"))
+    )
     return (
-        cand
-        .join(features.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
-              "doc_a")
-        .join(features.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}),
-              "doc_b")
+        pairs
         .withColumn("jaccard", F.round(T.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -235,6 +257,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     cand = lsh_band_candidates(sigs, num_hashes, bands)
     # fetch shingles only for the (few) candidate docs, then verify
     par = d.sparkSession.sparkContext.defaultParallelism
+    # repartition FIRST: the single-file scan arrives as one split, and
+    # the shingle projection must run on all cores, not inside the lone
+    # pre-exchange task (tried the other order to chase ReuseExchange
+    # across the two verify-join probes: 2.4x slower, reuse never fired)
     sh = d.repartition(par).select("doc_id", T.shingles("text", k=3).alias("sh"))
     return verify_pairs_jaccard(cand, sh, jaccard_threshold)
 
@@ -358,7 +384,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str,
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str,
-                   rounds: int = 3) -> DataFrame:
+                   rounds: int = 2) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash-LSH pair graph via ``rounds`` of min-label propagation —
     the survivor-selection step of corpus dedup (every member maps to
@@ -368,9 +394,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     elementwise min (one shuffle per round, both on doc id). Near-dup
     clusters are dense (cliques/stars around the min member — the LSH
     cap in ``lsh_band_candidates`` emits star pairs by construction),
-    so diameter <= 2·rounds covers real corpora; a production run at
-    unknown diameter iterates to fixpoint with periodic reliable
-    checkpoints instead of a fixed round count. Rows-only check
+    and min-label reach roughly doubles per round (a neighbor's label
+    may itself be several hops old), so 2 rounds resolves diameter-3
+    chains — ample for real corpora; a production run at unknown
+    diameter iterates to fixpoint with periodic reliable checkpoints
+    instead of a fixed round count. Each round's plan re-evaluates the
+    pair pipeline (no caching: lazily-returned frames must not pin
+    CacheManager entries), so rounds is also a cost knob. Rows-only check
     (murmur3 not in DuckDB); chain-transitivity pinned by
     ``tests/test_dedup_similarity.py::test_dedup_clusters_chain``.
     """
