@@ -158,6 +158,21 @@ class PipelineExecutor:
         elif kind == "dedup":
             cols = t.params.columns or None
             nodes[t.name] = df.dropDuplicates(cols)
+        elif kind == "sort":
+            # "-col" sorts descending, bare name ascending
+            if not t.params.columns:
+                raise ValueError(f"sort {t.name!r} declares no columns")
+            keys = [F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+                    for c in t.params.columns]
+            nodes[t.name] = df.orderBy(*keys)
+        elif kind == "limit":
+            if t.params.n is None or t.params.n < 0:
+                raise ValueError(f"limit {t.name!r} needs a non-negative 'n'")
+            nodes[t.name] = df.limit(t.params.n)
+        elif kind == "rename":
+            if not t.params.mapping:
+                raise ValueError(f"rename {t.name!r} declares no mapping")
+            nodes[t.name] = df.withColumnsRenamed(t.params.mapping)
         elif kind == "join":
             if t.params.right not in nodes:
                 raise KeyError(f"join {t.name!r} references unknown right "

@@ -80,6 +80,8 @@ class TransformationParams:
     groupBy: list[str] = field(default_factory=list)  # type="aggregate"
     aggregates: list[AddField] = field(default_factory=list)  # type="aggregate": name + agg expr
     inputs: list[str] = field(default_factory=list)   # type="union": node names
+    n: int | None = None                              # type="limit": row count
+    mapping: dict[str, str] = field(default_factory=dict)  # type="rename": old -> new
 
 
 @dataclass(frozen=True)
@@ -89,7 +91,8 @@ class Transformation:
     Reference dispatches exactly two types: ``add_fields``
     (``PipelineProcessor.scala:25``) and ``validate_fields`` (``:35``).
     The engine's registry adds: ``sql``, ``filter``, ``select``,
-    ``drop``, ``dedup``, ``join``, ``aggregate``, ``union``.
+    ``drop``, ``dedup``, ``join``, ``aggregate``, ``union``, ``sort``,
+    ``limit``, ``rename``.
     """
 
     name: str
@@ -146,6 +149,8 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         aggregates=[AddField(a["name"], a["function"])
                     for a in raw.get("aggregates") or []],
         inputs=list(raw.get("inputs") or []),
+        n=raw.get("n"),
+        mapping=dict(raw.get("mapping") or {}),
     )
 
 

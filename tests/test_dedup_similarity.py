@@ -238,3 +238,34 @@ def test_dedup_clusters_chain(spark, tmp_path):
     clusters = {r["cluster_id"]: r["n_docs"] for r in
                 dedup_clusters(spark, str(d)).collect()}
     assert clusters == {0: 3}, clusters
+
+
+def test_empty_corpus_schema_stability(spark, tmp_path):
+    """Every dedup operator must return an EMPTY frame with its normal
+    schema on a 0-row documents table — not crash, not change columns
+    (schema stability is what the driver smoke-checks)."""
+    d = tmp_path / "empty"
+    spark.createDataFrame([], "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    for name, fn in dedup.QUERIES.items():
+        df = fn(spark, str(d))
+        assert df.columns, name
+        assert df.collect() == [], name
+
+
+def test_salted_agg_matches_plain_for_any_salt_count(spark, sf_dir):
+    """Salting must be answer-invisible for every fan-out, including
+    the degenerate salt=1 (== plain two-stage agg)."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    def rows(n_salts):
+        return sorted(
+            (r["l_returnflag"], r["n_items"], round(r["sum_qty"], 6),
+             round(r["revenue"], 6))
+            for r in scaleops.salted_group_agg(spark, sf_dir,
+                                               n_salts=n_salts).collect())
+
+    base = rows(16)
+    assert base
+    for n in (1, 7, 64):
+        assert rows(n) == base, n

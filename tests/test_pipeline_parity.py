@@ -301,3 +301,33 @@ def test_unknown_sink_tag_raises(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path))
     with pytest.raises(KeyError, match="unknown node"):
         PipelineExecutor(spark).run_dataflow(meta.dataflows[0])
+
+
+def test_declarative_sort_limit_rename(spark, sf_dir):
+    """Engine-extension top-k pipeline declared in metadata: sort
+    (desc via '-' prefix) -> limit -> rename must match the direct
+    DataFrame chain."""
+    from pyspark.sql import functions as F
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "topk",
+        "sources": [{"name": "o", "path": f"{sf_dir}/orders.parquet"}],
+        "transformations": [
+            {"name": "s", "type": "sort",
+             "params": {"input": "o", "columns": ["-o_totalprice", "o_orderkey"]}},
+            {"name": "top5", "type": "limit", "params": {"input": "s", "n": 5}},
+            {"name": "out", "type": "rename",
+             "params": {"input": "top5",
+                        "mapping": {"o_totalprice": "price",
+                                    "o_orderkey": "okey"}}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    got = [(r["okey"], r["price"]) for r in
+           nodes["out"].select("okey", "price").collect()]
+    expected = [(r["o_orderkey"], r["o_totalprice"]) for r in
+                spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+                .limit(5).collect()]
+    assert got == expected and len(got) == 5
