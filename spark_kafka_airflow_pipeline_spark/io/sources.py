@@ -84,6 +84,29 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
     return parse_kafka_records(raw, value_schema)
 
 
+def read_kafka_batch(spark: SparkSession, bootstrap_servers: str, topic: str,
+                     value_schema: str,
+                     starting_offsets: str = "earliest",
+                     ending_offsets: str = "latest") -> DataFrame:
+    """BOUNDED batch read of a Kafka topic — the read-side dual of the
+    reference's batch publish (``PipelineProcessor.scala:148-156``):
+    ``spark.read.format("kafka")`` with explicit offset bounds, then the
+    same wire-format decode as the streaming path. Used for backfills
+    and replay jobs where a topic segment is processed as a normal
+    batch frame. No broker exists in this environment; the decode
+    projection is the broker-free-tested ``parse_kafka_records``.
+    """
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+        .load()
+    )
+    return parse_kafka_records(raw, value_schema)
+
+
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Deterministic-ish local stream source for tests (no Kafka broker
     in the test environment)."""
