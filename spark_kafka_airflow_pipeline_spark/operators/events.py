@@ -308,7 +308,65 @@ FROM carried WHERE event_type = 'purchase'
 """
 
 
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: first view -> click within 1 h ->
+    purchase within 1 h of that click, per user; emits users surviving
+    each stage. Each stage is an aggregate anchored on the previous
+    stage's MIN timestamp (deterministic — no row-order dependence),
+    joined on user_id: three shuffles on the same key, which AQE plans
+    as consecutive co-partitioned joins."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") >= F.col("v_ts"))
+                 & (F.col("ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") >= F.col("c_ts"))
+                 & (F.col("ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (
+        v.agg(F.lit("1_view").alias("funnel_stage"),
+              F.count(F.lit(1)).alias("n_users"))
+        .unionByName(c.agg(F.lit("2_click").alias("funnel_stage"),
+                           F.count(F.lit(1)).alias("n_users")))
+        .unionByName(p.agg(F.lit("3_purchase").alias("funnel_stage"),
+                           F.count(F.lit(1)).alias("n_users")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts >= v.v_ts AND e.ts < v.v_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.c_ts AND e.ts < c.c_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS funnel_stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click', COUNT(*) FROM c
+UNION ALL
+SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_funnel_conversion": events_funnel_conversion,
     "events_hourly_range_sum": events_hourly_range_sum,
     "asof_cogroup_pandas": asof_cogroup_pandas,
     "events_range_join": events_range_join,
@@ -320,6 +378,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_funnel_conversion": EVENTS_FUNNEL_SQL,
     "events_hourly_range_sum": EVENTS_RANGE_FRAME_SQL,
     "asof_cogroup_pandas": ASOF_COGROUP_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,

@@ -435,7 +435,79 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: per-document mean bigram
+    log-probability under an add-one-smoothed corpus bigram model —
+    the statistical-LM fluency filter of a training-data pipeline
+    (gibberish scores far below fluent text).
+
+    Plan: tokenize + lag window per doc (one shuffle on doc_id), corpus
+    bigram/unigram counts (shuffles on the gram keys), then a join of
+    doc-bigrams to the model. Cross-engine determinism: ln() is rounded
+    to 6dp per bigram (libm is only ulp-reproducible), the rounded
+    values are summed EXACTLY as decimals, and the single mean division
+    happens in double.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("pos", "w"))
+        .filter(F.col("w") != ""))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (toks.withColumn("prev", F.lag("w").over(w_ord))
+               .filter(F.col("prev").isNotNull())
+               .select("doc_id", "prev", "w"))
+    bc = bigrams.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("bc"))
+    uc = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    logp = F.round(F.log((F.col("bc") + 1) / (F.col("uc") + F.col("v"))), 6)
+    return (
+        bigrams.join(bc, ["prev", "w"]).join(uc, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.cast("decimal(20,6)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6)
+             .alias("avg_bigram_logprob"))
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS r(i)
+  WHERE t[i] != ''
+), bigrams AS (
+  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+  FROM toks
+  QUALIFY prev IS NOT NULL
+), bc AS (
+  SELECT prev, w, COUNT(*) AS bc FROM bigrams GROUP BY 1, 2
+), uc AS (
+  SELECT prev, COUNT(*) AS uc FROM bigrams GROUP BY 1
+), vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(round(ln((bc + 1) / (uc + v)), 6)
+                      AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_bigram_logprob
+FROM bigrams
+JOIN bc USING (prev, w)
+JOIN uc USING (prev)
+CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "bigram_logprob_scores": bigram_logprob_scores,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "stratified_sample": stratified_sample,
     "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -451,6 +523,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     # stratified_sample: rows-only (Spark's Bernoulli RNG has no DuckDB twin)
