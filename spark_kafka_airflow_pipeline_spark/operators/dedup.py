@@ -75,7 +75,8 @@ FROM documents GROUP BY 1
 def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 16,
                           k: int = 3, seed: int = 42,
-                          tokens=None) -> DataFrame:
+                          tokens=None,
+                          with_feature_set: bool = False) -> DataFrame:
     """Scalable MinHash: explode shingles to rows, compute the
     ``num_hashes`` family mins as whole-stage-codegen aggregates (one
     shuffle on the doc id). Each family is an INDEPENDENT hash: one
@@ -95,7 +96,13 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
     ``tokens`` overrides the feature extractor: a function
     ``text_column -> array<string> Column`` (default: word ``k``-
     shingles; pass ``lambda c: T.char_ngrams(c, 3)`` for character-level
-    MinHash)."""
+    MinHash).
+
+    ``with_feature_set=True`` additionally aggregates the doc's
+    DISTINCT feature hashes (``fset``: array<long>) in the SAME pass —
+    the verify join then computes true Jaccard on these hash sets
+    (identical to string-set Jaccard up to 64-bit collisions), so the
+    whole dedup pipeline tokenizes the corpus exactly once."""
     tokens = tokens or (lambda c: T.shingles(c, k))
     # single-file tables arrive as ONE input split; spread rows before
     # the compute-heavy explode+hash so all cores work (at 100 TB the
@@ -106,12 +113,17 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
           .select(F.col(id_col),
                   F.explode(tokens(F.col(text_col))).alias("s")))
     h = F.xxhash64(F.lit(seed), F.col("s"))
-    mins = sh.select(id_col, h.alias("h")).groupBy(id_col).agg(*[
-        F.min(F.hash(F.lit(i), F.col("h"))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ])
-    return mins.select(
-        id_col, F.array(*[f"m{i}" for i in range(num_hashes)]).alias("minhash"))
+    extra = [F.collect_set("h").alias("fset")] if with_feature_set else []
+    mins = sh.select(id_col, h.alias("h")).groupBy(id_col).agg(
+        *[F.min(F.hash(F.lit(i), F.col("h"))).alias(f"m{i}")
+          for i in range(num_hashes)],
+        *extra,
+    )
+    out_cols = [id_col,
+                F.array(*[f"m{i}" for i in range(num_hashes)]).alias("minhash")]
+    if with_feature_set:
+        out_cols.append(F.col("fset"))
+    return mins.select(*out_cols)
 
 
 # Bound on the all-pairs (clique) expansion within one LSH bucket.
@@ -247,22 +259,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     """MinHash-LSH near-duplicate pairs, verified with true shingle
     Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    One signature pass (codegen min-aggs) -> banded buckets ->
-    within-bucket combinations -> Jaccard verify on candidates only;
-    the full cross join never happens. Rows-only correctness check
-    (murmur3 not in DuckDB).
+    ONE tokenize pass total (codegen min-aggs + the doc's distinct
+    feature-hash set aggregated together, ``with_feature_set``) ->
+    banded buckets -> within-bucket combinations -> Jaccard verify on
+    the hash sets (identical to string-set Jaccard up to 64-bit
+    collisions; the old separate featurize pass re-scanned and
+    re-tokenized the corpus). The full cross join never happens.
+    Rows-only correctness check (murmur3 not in DuckDB).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature_agg(d, num_hashes=num_hashes)
-    cand = lsh_band_candidates(sigs, num_hashes, bands)
-    # fetch shingles only for the (few) candidate docs, then verify
-    par = d.sparkSession.sparkContext.defaultParallelism
-    # repartition FIRST: the single-file scan arrives as one split, and
-    # the shingle projection must run on all cores, not inside the lone
-    # pre-exchange task (tried the other order to chase ReuseExchange
-    # across the two verify-join probes: 2.4x slower, reuse never fired)
-    sh = d.repartition(par).select("doc_id", T.shingles("text", k=3).alias("sh"))
-    return verify_pairs_jaccard(cand, sh, jaccard_threshold)
+    sigs = minhash_signature_agg(d, num_hashes=num_hashes,
+                                 with_feature_set=True)
+    cand = lsh_band_candidates(sigs.select("doc_id", "minhash"),
+                               num_hashes, bands)
+    feats = sigs.select("doc_id", F.col("fset").alias("sh"))
+    return verify_pairs_jaccard(cand, feats, jaccard_threshold)
 
 
 def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
@@ -339,12 +350,12 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = minhash_signature_agg(d, num_hashes=num_hashes,
-                                 tokens=lambda c: T.char_ngrams(c, 3))
-    cand = lsh_band_candidates(sigs, num_hashes, bands)
-    par = d.sparkSession.sparkContext.defaultParallelism
-    grams = d.repartition(par).select(
-        "doc_id", T.char_ngrams("text", 3).alias("sh"))
-    return verify_pairs_jaccard(cand, grams, threshold)
+                                 tokens=lambda c: T.char_ngrams(c, 3),
+                                 with_feature_set=True)
+    cand = lsh_band_candidates(sigs.select("doc_id", "minhash"),
+                               num_hashes, bands)
+    feats = sigs.select("doc_id", F.col("fset").alias("sh"))
+    return verify_pairs_jaccard(cand, feats, threshold)
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str,
