@@ -506,7 +506,105 @@ GROUP BY doc_id
 """
 
 
+
+
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str,
+                                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the held-out eval set (here: every 100th doc
+    plays the benchmark role) — the exact-substring contamination check
+    run before LLM training. Returns each contaminated train doc with
+    how many distinct n-grams it shares and how many eval docs it hits.
+
+    Plan: explode n-grams on both sides, equi-join on the gram (never a
+    doc x doc product), aggregate per train doc. The eval side of the
+    join is the small side and broadcasts under AQE; the gram join key
+    is naturally high-cardinality so no skew handling is needed.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(T.shingles("text", n)).alias("g"))
+    train = grams.filter(F.col("doc_id") % 100 != 0)
+    ev = (grams.filter(F.col("doc_id") % 100 == 0)
+          .select(F.col("doc_id").alias("eval_doc_id"), "g")
+          .dropDuplicates())
+    return (
+        train.dropDuplicates()
+        .join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"),
+             F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"))
+    )
+
+
+DECONTAMINATION_SQL = """
+WITH grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, t,
+           unnest(CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+                  END) AS g
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents))
+), train AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 100 != 0
+), ev AS (
+  SELECT DISTINCT doc_id AS eval_doc_id, g FROM grams WHERE doc_id % 100 = 0
+)
+SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams,
+       COUNT(DISTINCT eval_doc_id) AS n_eval_docs_hit
+FROM train JOIN ev USING (g)
+GROUP BY doc_id
+"""
+
+
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition detector: fraction of duplicated word
+    3-grams per document (1 - distinct/total) — high values catch the
+    repeated-boilerplate / looping-text failure mode that poisons
+    training corpora. Pure narrow expressions, no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    # RAW (non-distinct) grams — T.shingles dedups its output, which
+    # would make every repetition_ratio 0 by construction
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        F.round(F.when(total > 0, 1.0 - distinct / total)
+                .otherwise(F.lit(0.0)), 6).alias("repetition_ratio"),
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+)
+SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+       round(CASE WHEN len(grams) > 0
+             THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             ELSE 0.0 END, 6) AS repetition_ratio
+FROM g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "decontamination_ngram_overlap": decontamination_ngram_overlap,
+    "doc_repetition_scores": doc_repetition_scores,
     "bigram_logprob_scores": bigram_logprob_scores,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "stratified_sample": stratified_sample,
@@ -523,6 +621,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "decontamination_ngram_overlap": DECONTAMINATION_SQL,
+    "doc_repetition_scores": DOC_REPETITION_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
