@@ -463,7 +463,9 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("prev").isNotNull())
                .select("doc_id", "prev", "w"))
     bc = bigrams.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("bc"))
-    uc = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("uc"))
+    # context totals derive from the (much smaller) bigram-count table,
+    # not a second pass over the raw bigram stream
+    uc = bc.groupBy("prev").agg(F.sum("bc").alias("uc"))
     vocab = toks.agg(F.countDistinct("w").alias("v"))
     logp = F.round(F.log((F.col("bc") + 1) / (F.col("uc") + F.col("v"))), 6)
     return (

@@ -57,3 +57,29 @@ def test_approx_distinct_within_rsd(spark, sf):
         rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(
             r["exact_customers"], 1)
         assert rel_err < 0.1, (sf, r)
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """200 tiny files -> one size-targeted file; rows and values
+    survive the rewrite bit-for-bit."""
+    from spark_kafka_airflow_pipeline_spark.io.maintenance import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(200).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/part-*")) == 200
+
+    n = compact_parquet(spark, src, dst)
+    assert n == 1  # sf0.001 orders ~ a few hundred KB << 128 MB target
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+    import pytest
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
