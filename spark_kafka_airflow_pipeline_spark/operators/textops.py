@@ -446,9 +446,12 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: tokenize + lag window per doc (one shuffle on doc_id), corpus
     bigram/unigram counts (shuffles on the gram keys), then a join of
     doc-bigrams to the model. Cross-engine determinism: ln() is rounded
-    to 6dp per bigram (libm is only ulp-reproducible), the rounded
-    values are summed EXACTLY as decimals, and the single mean division
-    happens in double.
+    to 6dp per bigram (libm is only ulp-reproducible) and the rounded
+    values are summed EXACTLY as decimals. The output is the exact
+    TOTAL + the bigram count, NOT their quotient: a 6dp-decimal sum
+    divided by an integer lands on exact half-boundaries often, where
+    Spark's BigDecimal rounding and DuckDB's multiply-based rounding
+    disagree (caught by the sf0.1 sweep — sf0.01 was green).
     """
     from pyspark.sql import Window
 
@@ -474,8 +477,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", logp.cast("decimal(20,6)").alias("lp"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6)
-             .alias("avg_bigram_logprob"))
+             F.sum("lp").cast("double").alias("total_logprob"))
     )
 
 
@@ -497,9 +499,8 @@ WITH toks AS (
   SELECT prev, COUNT(*) AS uc FROM bigrams GROUP BY 1
 ), vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       round(CAST(SUM(CAST(round(ln((bc + 1) / (uc + v)), 6)
-                      AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
-         AS avg_bigram_logprob
+       CAST(SUM(CAST(round(ln((bc + 1) / (uc + v)), 6)
+                AS DECIMAL(20,6))) AS DOUBLE) AS total_logprob
 FROM bigrams
 JOIN bc USING (prev, w)
 JOIN uc USING (prev)
