@@ -3,8 +3,8 @@
 - **exact**: hash-groupBy on the raw text (and on the canonical
   fingerprint) — one shuffle on the dedup key, keep min doc_id.
 - **MinHash + banding LSH**: shingle -> 16-hash MinHash signature ->
-  band buckets -> self-join within buckets -> verify with true Jaccard.
-  All JVM expressions (murmur3 ``F.hash``), deterministic seed, no
+  band buckets -> within-bucket combinations -> verify with true
+  Jaccard. All JVM expressions (``xxhash64``), deterministic seed, no
   pyspark.ml dependency, no Python in the hot path.
 - **SimHash**: 64-bit signature over char n-grams; ``simhash_buckets``
   groups identical signatures (Hamming-0), ``simhash_near_dups`` bands
@@ -75,34 +75,33 @@ FROM documents GROUP BY 1
 def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 16,
                           k: int = 3, seed: int = 42,
-                          tokens=None,
-                          with_feature_set: bool = False) -> DataFrame:
+                          tokens=None) -> DataFrame:
     """Scalable MinHash: explode shingles to rows, compute the
     ``num_hashes`` family mins as whole-stage-codegen aggregates (one
     shuffle on the doc id). Each family is an INDEPENDENT hash: one
-    xxhash64 per shingle string, then murmur3(i, h64) per family —
+    xxhash64 per shingle string, then xxhash64(i, h64) per family —
     hashing the 8-byte long per family is far cheaper than re-hashing
-    the string, and murmur3 with a distinct first argument is a
-    distinct function.
+    the string, and a distinct first argument makes a distinct function.
 
     NB: the obvious "universal family" shortcut ``min(h * odd_i + c_i)``
-    is WRONG here: without 64-bit wraparound (products of a 32-bit hash
-    by small odd constants never overflow a long) the transform is
+    is WRONG here twice over: without 64-bit wraparound the transform is
     MONOTONE, so every family selects the same argmin shingle and the
-    whole signature degenerates to one effective hash function — at
-    sf0.1 that admitted 60% of all doc pairs as LSH candidates
-    (7.5M pairs from 5000 docs).
+    whole signature degenerates to one effective hash function (at
+    sf0.1 that admitted 60% of all doc pairs as LSH candidates —
+    7.5M pairs from 5000 docs), and under ANSI mode (Spark 4 default)
+    the wraparound that would fix it throws ARITHMETIC_OVERFLOW.
 
     ``tokens`` overrides the feature extractor: a function
     ``text_column -> array<string> Column`` (default: word ``k``-
     shingles; pass ``lambda c: T.char_ngrams(c, 3)`` for character-level
     MinHash).
 
-    ``with_feature_set=True`` additionally aggregates the doc's
-    DISTINCT feature hashes (``fset``: array<long>) in the SAME pass —
-    the verify join then computes true Jaccard on these hash sets
-    (identical to string-set Jaccard up to 64-bit collisions), so the
-    whole dedup pipeline tokenizes the corpus exactly once."""
+    With only min-aggregates the whole aggregation stays a codegen'd
+    HashAggregate — adding any collection aggregate (e.g. a per-doc
+    feature set) demotes it to ObjectHashAggregate and ships
+    corpus-sized array state through the shuffle; the verify step
+    instead re-tokenizes ONLY candidate docs (see
+    ``verify_pairs_jaccard``)."""
     tokens = tokens or (lambda c: T.shingles(c, k))
     # single-file tables arrive as ONE input split; spread rows before
     # the compute-heavy explode+hash so all cores work (at 100 TB the
@@ -113,17 +112,25 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
           .select(F.col(id_col),
                   F.explode(tokens(F.col(text_col))).alias("s")))
     h = F.xxhash64(F.lit(seed), F.col("s"))
-    extra = [F.collect_set("h").alias("fset")] if with_feature_set else []
+    # xxhash64(i, h) per family: measured ~25% cheaper than the
+    # murmur3 `hash(i, h)` equivalent at sf0.1 (both are independent
+    # families via the distinct first argument; the multiply-add
+    # shortcut is out — ANSI mode makes the wraparound throw).
+    # F.expr instead of nested Column calls: one py4j roundtrip per
+    # family instead of four (plan-build time is real at 16-32 hashes).
     mins = sh.select(id_col, h.alias("h")).groupBy(id_col).agg(
-        *[F.min(F.hash(F.lit(i), F.col("h"))).alias(f"m{i}")
+        *[F.expr(f"min(xxhash64({i}, h)) as m{i}")
           for i in range(num_hashes)],
-        *extra,
     )
-    out_cols = [id_col,
-                F.array(*[f"m{i}" for i in range(num_hashes)]).alias("minhash")]
-    if with_feature_set:
-        out_cols.append(F.col("fset"))
-    return mins.select(*out_cols)
+    return mins.select(
+        id_col,
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("minhash"))
+
+
+def _hash_token_fn(seed: int):
+    """Closure factory for the token->hash lambda (a plain 2-arg lambda
+    in a HOF would be reinterpreted as (element, index))."""
+    return lambda s: F.xxhash64(F.lit(seed), s)
 
 
 # Bound on the all-pairs (clique) expansion within one LSH bucket.
@@ -139,7 +146,9 @@ MAX_BUCKET_CLIQUE = 256
 def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
                         id_col: str = "doc_id",
                         sig_col: str = "minhash",
-                        max_bucket: int = MAX_BUCKET_CLIQUE) -> DataFrame:
+                        max_bucket: int = MAX_BUCKET_CLIQUE,
+                        distinct: bool = True,
+                        carry: str | None = None) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over an array-typed
     signature column: split the signature into ``bands`` slices, hash
     each slice to a bucket, emit within-bucket pairs.
@@ -152,6 +161,17 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
     bucket self-join — the signature pipeline runs exactly once (a
     self-join would recompute it per side).
 
+    ``carry`` names a column to ship through the bucket pipeline onto
+    the emitted pairs as ``carry_a`` / ``carry_b`` (e.g. the signature
+    itself, for a pair-local similarity estimate) — joining pairs back
+    to the signature table would recompute the whole signature pipeline
+    once per join side; carrying costs only ``bands`` copies of the
+    (small, fixed-size) signature through one shuffle.
+
+    ``distinct=False`` skips the final pair-dedup shuffle for callers
+    whose next step is a pair-keyed groupBy that collapses multi-band
+    duplicates anyway; a pair can then appear up to ``bands`` times.
+
     Adversarial skew guard: a bucket's clique expansion is capped at
     ``max_bucket`` members (C(256,2) ~ 32k pairs); members beyond the
     cap each emit ONE star pair to the bucket's min doc id, so a
@@ -160,9 +180,12 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
     still reaches the cluster survivor through the star center.
     """
     rows_per_band = num_hashes // bands
+    member_fields = [F.col(id_col).alias("id")]
+    if carry:
+        member_fields.append(F.col(carry).alias("c"))
     banded = (
         signatures
-        .select(id_col, F.explode(F.array(*[
+        .select(F.struct(*member_fields).alias("m"), F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
                 F.hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
@@ -170,66 +193,103 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
             )
             for b in range(bands)
         ])).alias("bb"))
-        .select(id_col, "bb.band", "bb.bucket")
+        .select("m", "bb.band", "bb.bucket")
     )
+
+    def pair(x, y):
+        fields = [x["id"].alias("doc_a"), y["id"].alias("doc_b")]
+        if carry:
+            fields += [x["c"].alias("carry_a"), y["c"].alias("carry_b")]
+        return F.struct(*fields)
+
     capped = F.slice(F.col("docs"), 1, max_bucket)
     clique_pairs = F.flatten(F.transform(
         capped,
         lambda x, i: F.transform(
             F.slice(capped, i + 2,
                     F.greatest(F.size(capped) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+            lambda y: pair(x, y)),
     ))
     star_pairs = F.transform(
         F.slice(F.col("docs"), max_bucket + 1,
                 F.greatest(F.size(F.col("docs")) - max_bucket, F.lit(0))),
-        lambda y: F.struct(F.element_at(F.col("docs"), 1).alias("doc_a"),
-                           y.alias("doc_b")),
+        lambda y: pair(F.element_at(F.col("docs"), 1), y),
     )
     pair_structs = F.filter(F.concat(clique_pairs, star_pairs),
                             lambda p: p.isNotNull())
-    return (
+    out = ["p.doc_a", "p.doc_b"] + (["p.carry_a", "p.carry_b"] if carry else [])
+    pairs = (
         banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
+        # sort_array on the member structs orders by id (first field),
+        # keeping the star center (min id) deterministic
+        .agg(F.sort_array(F.collect_list("m")).alias("docs"))
         .filter(F.size("docs") > 1)
         .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(*out)
     )
+    return pairs.dropDuplicates(["doc_a", "doc_b"]) if distinct else pairs
 
 
-def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
-                         jaccard_threshold: float) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs with their feature sets and
-    keep pairs whose true Jaccard clears the threshold.
+def estimate_filter_pairs(cand: DataFrame, num_hashes: int,
+                          jaccard_threshold: float) -> DataFrame:
+    """Cheap pair-local pre-filter on candidate pairs that carry their
+    MinHash signatures (``carry_a``/``carry_b``): keep pairs whose
+    signature-agreement fraction (an unbiased Jaccard estimate) clears
+    ``jaccard_threshold`` minus 3.5 binomial sigma — pairs genuinely at
+    the threshold survive with P > 0.9997, while the spurious bulk of a
+    high-collision blocking key (char-gram buckets admit ~150k
+    candidates per 255 true pairs at sf0.1 — 0.17% precision) is
+    dropped before the expensive exact verify. Pure codegen comparisons,
+    no joins, no tokenization."""
+    terms = "+".join(
+        f"if(carry_a[{i}]=carry_b[{i}],1,0)" for i in range(num_hashes))
+    est = F.expr(f"({terms})/{num_hashes}d")
+    sigma = (jaccard_threshold * (1 - jaccard_threshold) / num_hashes) ** 0.5
+    tau = max(0.0, jaccard_threshold - 3.5 * sigma)
+    return cand.filter(est >= tau).select("doc_a", "doc_b")
 
-    Broadcast posture (r3): NO hint, NO driver-side count — AQE decides
-    at runtime from the ACTUAL shuffle sizes. When the candidate set is
-    small (the normal case) AQE converts the join to a broadcast of the
-    candidate side; when a high-dup corpus produces a huge candidate
-    set, its real size exceeds ``spark.sql.autoBroadcastJoinThreshold``
-    and the join stays a shuffle join. This supersedes r2's counted
-    ``MAX_BROADCAST_PAIRS`` guard, which needed either a persisted
-    candidate frame (a CacheManager leak per call — the r2 ADVICE
-    finding: the cache under a lazily-returned frame can never be
-    unpersisted before the caller's action) or a second run of the
-    candidate lineage to pay for the count (2x the signature pass —
-    measured +1.1 s on minhash_lsh_pairs at sf0.1). AQE's size check is
-    also strictly safer: it bounds broadcast BYTES, not a pair count
-    proxy. The shuffle path is exercised in tests by disabling the
-    broadcast threshold (tests/test_dedup_similarity.py).
 
-    Join shape (r3): the pair list is MELTED to (pair, side, doc_id) so
-    the feature table is probed ONCE — the naive cand.join(sh_a)
-    .join(sh_b) runs the full corpus feature pass twice, and Spark's
-    ReuseExchange cannot share it because the feature projection sits
-    above the exchange (moving it below serializes the projection into
-    the lone pre-exchange task — measured 2.4x slower). The melted
-    matches regroup on the pair key — a shuffle bounded by candidate
-    volume (which the bucket cap bounds), not corpus size. At sf0.1 the
-    two shapes bench within noise of each other (corpus featurize is
-    ~0.2 s); the win is structural — at 100 TB the removed probe is a
-    full corpus scan+featurize.
+def verify_pairs_jaccard(cand: DataFrame, docs: DataFrame, tokens,
+                         jaccard_threshold: float,
+                         seed: int = 42,
+                         featurize: str = "pairs") -> DataFrame:
+    """Keep candidate (doc_a, doc_b) pairs whose TRUE Jaccard (on the
+    64-bit feature-hash sets — identical to string-set Jaccard up to
+    hash collisions) clears the threshold.
+
+    The pair list is MELTED to (pair, side, doc_id) and joined with
+    ``docs``; ``featurize`` picks WHERE tokenization runs, matching the
+    candidate regime:
+
+    - ``"pairs"`` (default): tokenize + ``array_distinct`` as per-row
+      expressions on the JOINED rows — O(candidate pairs), nothing
+      corpus-wide. Right when candidates are rare relative to the
+      corpus (word-shingle MinHash: ~255 candidates from 5000 docs at
+      sf0.1). A doc in k pairs tokenizes k times; k is bounded by the
+      bucket clique cap.
+    - ``"docs"``: tokenize ONCE per document as a corpus projection and
+      join the feature sets to the melted pairs — one extra corpus
+      pass, but each doc featurizes exactly once. Right when the
+      blocking key is low-precision and candidates blanket the corpus
+      (char-trigram buckets: ~150k candidates at sf0.1; tokenizing per
+      pair-slot there was measured 5x slower than the corpus pass).
+
+    Neither mode uses a collection AGGREGATE: the r2 shape that fused
+    ``collect_set(h)`` into the signature aggregate demoted the whole
+    16-min HashAggregate to ObjectHashAggregate (no whole-stage
+    codegen) and shuffled a corpus-sized array per doc.
+
+    Broadcast posture: NO hint, NO driver-side count — AQE decides at
+    runtime from the ACTUAL shuffle sizes. A small candidate set (the
+    normal case) broadcasts; a high-dup corpus whose melted pairs
+    exceed ``spark.sql.autoBroadcastJoinThreshold`` stays a shuffle
+    join. This supersedes r2's counted ``MAX_BROADCAST_PAIRS`` guard,
+    which needed either a persisted candidate frame (a CacheManager
+    leak per call — the r2 ADVICE finding) or a second run of the
+    candidate lineage to pay for the count. AQE's size check is also
+    strictly safer: it bounds broadcast BYTES, not a pair-count proxy.
+    The shuffle path is exercised in tests by disabling the broadcast
+    threshold (tests/test_dedup_similarity.py).
     """
     melted = cand.select(
         "doc_a", "doc_b",
@@ -237,9 +297,15 @@ def verify_pairs_jaccard(cand: DataFrame, features: DataFrame,
             F.struct(F.lit("a").alias("side"), F.col("doc_a").alias("doc_id")),
             F.struct(F.lit("b").alias("side"), F.col("doc_b").alias("doc_id")),
         )).alias("s")).select("doc_a", "doc_b", "s.side", "s.doc_id")
+    sh_expr = F.array_distinct(F.transform(tokens(F.col("text")),
+                                           _hash_token_fn(seed)))
+    if featurize == "docs":
+        joined = melted.join(docs.select("doc_id", sh_expr.alias("sh")),
+                             "doc_id")
+    else:
+        joined = melted.join(docs, "doc_id").withColumn("sh", sh_expr)
     pairs = (
-        melted.join(features, "doc_id")
-        .groupBy("doc_a", "doc_b")
+        joined.groupBy("doc_a", "doc_b")
         .agg(F.first(F.when(F.col("side") == "a", F.col("sh")),
                      ignorenulls=True).alias("sh_a"),
              F.first(F.when(F.col("side") == "b", F.col("sh")),
@@ -259,21 +325,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     """MinHash-LSH near-duplicate pairs, verified with true shingle
     Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    ONE tokenize pass total (codegen min-aggs + the doc's distinct
-    feature-hash set aggregated together, ``with_feature_set``) ->
-    banded buckets -> within-bucket combinations -> Jaccard verify on
-    the hash sets (identical to string-set Jaccard up to 64-bit
-    collisions; the old separate featurize pass re-scanned and
-    re-tokenized the corpus). The full cross join never happens.
-    Rows-only correctness check (murmur3 not in DuckDB).
+    ONE corpus tokenize total (the codegen min-agg signature pass) ->
+    banded buckets -> within-bucket combinations carrying the
+    signatures -> signature-agreement pre-filter
+    (``estimate_filter_pairs``, codegen, no joins) -> exact Jaccard
+    verify that re-tokenizes ONLY the docs in surviving pairs
+    (O(survivors), see ``verify_pairs_jaccard``). The full cross join
+    never happens and no stage re-reads the corpus. Rows-only
+    correctness check (xxhash64 not in DuckDB).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature_agg(d, num_hashes=num_hashes,
-                                 with_feature_set=True)
-    cand = lsh_band_candidates(sigs.select("doc_id", "minhash"),
-                               num_hashes, bands)
-    feats = sigs.select("doc_id", F.col("fset").alias("sh"))
-    return verify_pairs_jaccard(cand, feats, jaccard_threshold)
+    tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+    sigs = minhash_signature_agg(d, num_hashes=num_hashes, tokens=tokens)
+    cand = lsh_band_candidates(sigs, num_hashes, bands, distinct=False,
+                               carry="minhash")
+    good = estimate_filter_pairs(cand, num_hashes, jaccard_threshold)
+    return verify_pairs_jaccard(good, d, tokens, jaccard_threshold)
 
 
 def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
@@ -349,13 +416,13 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
     DuckDB).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature_agg(d, num_hashes=num_hashes,
-                                 tokens=lambda c: T.char_ngrams(c, 3),
-                                 with_feature_set=True)
-    cand = lsh_band_candidates(sigs.select("doc_id", "minhash"),
-                               num_hashes, bands)
-    feats = sigs.select("doc_id", F.col("fset").alias("sh"))
-    return verify_pairs_jaccard(cand, feats, threshold)
+    tokens = lambda c: T.char_ngrams(c, 3)  # noqa: E731
+    sigs = minhash_signature_agg(d, num_hashes=num_hashes, tokens=tokens)
+    cand = lsh_band_candidates(sigs, num_hashes, bands, distinct=False,
+                               carry="minhash")
+    good = estimate_filter_pairs(cand, num_hashes, threshold)
+    return verify_pairs_jaccard(good, d, tokens, threshold,
+                                featurize="docs")
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str,
@@ -367,29 +434,31 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str,
     so recall at Hamming<=3 is exact — unlike ``simhash_buckets``,
     which only finds identical signatures (Hamming-0).
 
-    Plan: one signature pass -> 4-way band explode -> within-bucket
-    combinations (one shuffle) -> xor/bit_count verify on candidates;
-    never a cross join. Rows-only check (xxhash64 not in DuckDB).
+    Plan: one signature pass -> 4-way band explode CARRYING the 64-bit
+    signature -> within-bucket combinations (one shuffle) ->
+    xor/bit_count verify directly on the carried pair; never a cross
+    join, and no join back to the signature table (each such join
+    re-ran the whole corpus signature pass — 3 corpus passes total
+    before r3). Rows-only check (xxhash64 not in DuckDB).
     """
     d = table(spark, sf_dir, "documents")
     sigs = simhash64_agg(d)
     # 16-bit band values as an array signature -> reuse the banded-LSH
     # candidate machinery (4 bands of 1 array slot each)
     band_sigs = sigs.select(
-        "doc_id",
+        "doc_id", "sig",
         F.array(*[F.shiftrightunsigned("sig", 16 * b)
                   .bitwiseAND(F.lit(0xFFFF)).cast("int")
                   for b in range(4)]).alias("bands"),
     )
     cand = lsh_band_candidates(band_sigs, num_hashes=4, bands=4,
-                               sig_col="bands")
-    sig_a = sigs.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
-    sig_b = sigs.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
+                               sig_col="bands", distinct=False,
+                               carry="sig")
     return (
-        cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
-        .withColumn("hamming",
-                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("carry_a").bitwiseXOR(F.col("carry_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
