@@ -605,6 +605,145 @@ FROM g
 """
 
 
+def incremental_dedup_exact(spark: SparkSession, sf_dir: str,
+                            new_source: str = "src0") -> DataFrame:
+    """Incremental corpus ingestion: dedup a NEW batch (one crawl
+    source) against the EXISTING corpus (all other sources), the
+    steady-state shape of a production training-data pipeline — the
+    corpus is never re-deduped from scratch, each incoming batch is.
+
+    Anti-join on the canonical fingerprint removes new docs already
+    present in the corpus, then a min-per-fingerprint collapse dedups
+    the batch internally. Scale: both sides reduce to (fingerprint)
+    before the join — at 100 TB the anti join moves 16-byte digests,
+    never text; the new batch is the small side and broadcasts under
+    AQE."""
+    d = table(spark, sf_dir, "documents")
+    new = (d.filter(F.col("source") == new_source)
+           .select("doc_id", T.fingerprint("text").alias("fp")))
+    corpus = (d.filter(F.col("source") != new_source)
+              .select(T.fingerprint("text").alias("fp")))
+    return (new.join(corpus, "fp", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_batch_copies")))
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+FROM fps n
+WHERE source = 'src0'
+  AND NOT EXISTS (SELECT 1 FROM fps c
+                  WHERE c.source <> 'src0' AND c.fp = n.fp)
+GROUP BY fp
+"""
+
+
+def cross_doc_span_dups(spark: SparkSession, sf_dir: str,
+                        n: int = 8) -> DataFrame:
+    """Boilerplate-span detection: per document, the fraction of its
+    distinct word ``n``-grams that also occur in at least one OTHER
+    document (RefinedWeb-style line/span dedup, over grams since the
+    synthetic corpus has no line structure). High ratios flag docs
+    made of corpus-wide boilerplate even when no single whole-doc
+    near-dup exists.
+
+    Plan: one gram explode -> gram-frequency agg (shuffle on gram) ->
+    join back on gram -> per-doc agg. Linear in corpus gram volume,
+    never doc x doc. The ratio is emitted as a raw IEEE division
+    (identical expression in the oracle), not rounded — round() at
+    half-boundary digits is where Spark/DuckDB diverge."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(T.shingles("text", n)).alias("g"))
+    shared = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    return (
+        grams.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"))
+        .withColumn("span_dup_ratio",
+                    F.col("n_shared").cast("double") / F.col("n_grams"))
+    )
+
+
+CROSS_DOC_SPAN_SQL = """
+WITH grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+             END)) AS g
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents))
+), shared AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS n_shared,
+       CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / COUNT(*) AS span_dup_ratio
+FROM grams JOIN shared USING (g)
+GROUP BY doc_id
+"""
+
+
+def context_packing_stats(spark: SparkSession, sf_dir: str,
+                          window_tokens: int = 4096) -> DataFrame:
+    """Sample-packing layout: assign documents (in deterministic doc_id
+    order WITHIN each source shard) to fixed-size context windows by
+    cumulative token count, and report per-window document count and
+    token fill — the planning pass for packing training sequences.
+
+    Scale posture: the running sum is windowed PER SOURCE (the shard
+    key), so no global single-partition sort exists; a 100 TB corpus
+    packs each shard independently, which is also what a trainer wants
+    (shard-local files). A doc belongs to the window its cumulative
+    START offset falls in (docs may straddle window boundaries; the
+    trainer's concatenation handles the overflow)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id",
+                    T.token_count("text").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = toks.withColumn(
+        "win_id", F.floor(start / F.lit(window_tokens)).cast("long"))
+    return (binned.groupBy("source", "win_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("win_tokens")))
+
+
+CONTEXT_PACKING_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+         END AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT source, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 4096) AS BIGINT) AS win_id
+  FROM toks
+)
+SELECT source, win_id, COUNT(*) AS n_docs, SUM(n_tokens) AS win_tokens
+FROM binned GROUP BY source, win_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "decontamination_ngram_overlap": decontamination_ngram_overlap,
     "doc_repetition_scores": doc_repetition_scores,
@@ -621,6 +760,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_quality_scores": doc_quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "lang_id_heuristic": lang_id_heuristic,
+    "incremental_dedup_exact": incremental_dedup_exact,
+    "cross_doc_span_dups": cross_doc_span_dups,
+    "context_packing_stats": context_packing_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -639,4 +781,7 @@ ORACLES: dict[str, str] = {
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
+    "incremental_dedup_exact": INCREMENTAL_DEDUP_SQL,
+    "cross_doc_span_dups": CROSS_DOC_SPAN_SQL,
+    "context_packing_stats": CONTEXT_PACKING_SQL,
 }

@@ -1,0 +1,67 @@
+"""Semantics of the incremental-ingestion / span-dup / packing ops on
+planted fixtures (their corpus-level parity is covered by
+test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_kafka_airflow_pipeline_spark.operators.textops import (
+    context_packing_stats,
+    cross_doc_span_dups,
+    incremental_dedup_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """4 'corpus' docs (src1) + 4 'new batch' docs (src0):
+    doc 10 duplicates corpus doc 1 (modulo case/whitespace), docs 11+12
+    duplicate each other inside the batch, doc 13 is unique."""
+    rows = [
+        (1, "alpha beta gamma delta", "en", "src1"),
+        (2, "wholly unrelated corpus text", "en", "src1"),
+        (3, "another corpus document entirely", "en", "src1"),
+        (4, "the fourth corpus entry", "en", "src1"),
+        (10, "  ALPHA   beta GAMMA delta ", "en", "src0"),
+        (11, "fresh new batch content here", "en", "src0"),
+        (12, "fresh new batch content here", "en", "src0"),
+        (13, "a genuinely novel document", "en", "src0"),
+    ]
+    d = tmp_path_factory.mktemp("textops") / "planted"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_incremental_dedup_exact(spark, planted_dir):
+    out = {r["doc_id"]: r["n_batch_copies"]
+           for r in incremental_dedup_exact(spark, planted_dir).collect()}
+    # doc 10 collides with corpus doc 1 -> dropped entirely;
+    # 11/12 collapse to min id 11 with 2 copies; 13 survives alone
+    assert out == {11: 2, 13: 1}
+
+
+def test_cross_doc_span_dups_flags_shared_spans(spark, planted_dir):
+    ratios = {r["doc_id"]: r["span_dup_ratio"]
+              for r in cross_doc_span_dups(spark, planted_dir).collect()}
+    # exact duplicates share every gram (with each other / across split)
+    assert ratios[11] == 1.0 and ratios[12] == 1.0
+    assert ratios[1] == 1.0 and ratios[10] == 1.0
+    # unique docs share nothing
+    assert ratios[13] == 0.0 and ratios[2] == 0.0
+
+
+def test_context_packing_windows(spark, tmp_path):
+    # 5 docs of 3 tokens in one source, window of 8 tokens:
+    # starts 0,3,6,9,12 -> windows 0,0,0,1,1
+    rows = [(i, "tok tok tok", "en", "srcX") for i in range(5)]
+    d = tmp_path / "pack"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r["win_id"]: (r["n_docs"], r["win_tokens"])
+           for r in context_packing_stats(spark, str(d),
+                                          window_tokens=8).collect()}
+    assert out == {0: (3, 9), 1: (2, 6)}
