@@ -343,6 +343,70 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     return verify_pairs_jaccard(good, d, tokens, jaccard_threshold)
 
 
+def incremental_dedup_minhash(spark: SparkSession, sf_dir: str,
+                              new_source: str = "src0",
+                              num_hashes: int = 16, bands: int = 4,
+                              jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate screen of a NEW ingestion batch (one crawl
+    source) against the EXISTING corpus — the approximate twin of
+    ``incremental_dedup_exact`` and the steady-state form of MinHash
+    dedup in a production pipeline (the corpus is never re-paired
+    against itself; only cross-side pairs are emitted).
+
+    One signature pass over corpus+batch together (a per-doc ``is_new``
+    flag rides the doc-id groupBy as a ``first`` aggregate — still a
+    codegen HashAggregate), shared band buckets CARRY (signature,
+    is_new), pairs are filtered to cross-side before the agreement
+    pre-filter and the exact Jaccard verify. Returns
+    (new_doc_id, corpus_doc_id, jaccard).
+
+    Recall caveat (documented, adversarial only): in a bucket larger
+    than the clique cap, capped-out members connect via star pairs to
+    the bucket's min-id member; a new doc whose only corpus dup is
+    also capped out is reached only through the (possibly same-side,
+    filtered) star center. Rows-only check (xxhash64 not in DuckDB).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+    par = spark.sparkContext.defaultParallelism
+    base = d.select("doc_id", "text",
+                    (F.col("source") == new_source).alias("is_new"))
+    sh = (base.repartition(par, "doc_id")
+          .select("doc_id", "is_new",
+                  F.explode(tokens(F.col("text"))).alias("s")))
+    mins = (sh.select("doc_id", "is_new",
+                      F.xxhash64(F.lit(42), "s").alias("h"))
+            .groupBy("doc_id")
+            .agg(F.first("is_new").alias("is_new"),
+                 *[F.expr(f"min(xxhash64({i}, h)) as m{i}")
+                   for i in range(num_hashes)]))
+    arr = F.array(*[f"m{i}" for i in range(num_hashes)])
+    sigs = mins.select(
+        "doc_id", arr.alias("minhash"),
+        F.struct(arr.alias("minhash"), F.col("is_new").alias("is_new"))
+        .alias("cw"))
+    cand = lsh_band_candidates(sigs, num_hashes, bands, distinct=False,
+                               carry="cw")
+    cross = cand.filter(
+        F.col("carry_a.is_new") != F.col("carry_b.is_new"))
+    terms = "+".join(
+        f"if(carry_a.minhash[{i}]=carry_b.minhash[{i}],1,0)"
+        for i in range(num_hashes))
+    est = F.expr(f"({terms})/{num_hashes}d")
+    sigma = (jaccard_threshold * (1 - jaccard_threshold) / num_hashes) ** 0.5
+    tau = max(0.0, jaccard_threshold - 3.5 * sigma)
+    good = (cross.filter(est >= tau)
+            .select(F.when(F.col("carry_a.is_new"), F.col("doc_a"))
+                    .otherwise(F.col("doc_b")).alias("doc_a"),
+                    F.when(F.col("carry_a.is_new"), F.col("doc_b"))
+                    .otherwise(F.col("doc_a")).alias("doc_b")))
+    pairs = verify_pairs_jaccard(good, d.select("doc_id", "text"),
+                                 tokens, jaccard_threshold)
+    return pairs.select(F.col("doc_a").alias("new_doc_id"),
+                        F.col("doc_b").alias("corpus_doc_id"),
+                        "jaccard")
+
+
 def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", ngram: int = 3) -> DataFrame:
     """Scalable SimHash-64: explode char n-grams, hash each ONCE, then 64
@@ -512,6 +576,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_dups": simhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "dedup_clusters": dedup_clusters,
+    "incremental_dedup_minhash": incremental_dedup_minhash,
 }
 
 # rows-only entries (minhash/simhash/ngram) intentionally absent here

@@ -245,7 +245,9 @@ def test_empty_corpus_schema_stability(spark, tmp_path):
     schema on a 0-row documents table — not crash, not change columns
     (schema stability is what the driver smoke-checks)."""
     d = tmp_path / "empty"
-    spark.createDataFrame([], "doc_id long, text string") \
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long") \
         .write.mode("overwrite").parquet(str(d / "documents.parquet"))
     for name, fn in dedup.QUERIES.items():
         df = fn(spark, str(d))

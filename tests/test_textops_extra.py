@@ -53,6 +53,37 @@ def test_cross_doc_span_dups_flags_shared_spans(spark, planted_dir):
     assert ratios[13] == 0.0 and ratios[2] == 0.0
 
 
+def test_incremental_dedup_minhash_cross_side_only(spark, tmp_path):
+    """A new doc that's a light edit of a corpus doc must be caught;
+    new-new and corpus-corpus pairs must never be emitted."""
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        incremental_dedup_minhash,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the miller watches the river turn the ancient wheel")
+    rows = [
+        (1, base, "en", "src1"),
+        (2, "completely different corpus text about spark physical plans "
+            "and shuffle exchanges in adaptive execution", "en", "src1"),
+        # near-dup of corpus doc 1 (one word changed), in the new batch
+        (10, base.replace("lazy", "sleepy"), "en", "src0"),
+        # two identical docs INSIDE the new batch: must NOT pair
+        (11, "intra batch duplicate content alpha beta gamma delta "
+             "epsilon zeta eta theta iota kappa", "en", "src0"),
+        (12, "intra batch duplicate content alpha beta gamma delta "
+             "epsilon zeta eta theta iota kappa", "en", "src0"),
+    ]
+    d = tmp_path / "inc"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string") \
+        .write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    pairs = {(r["new_doc_id"], r["corpus_doc_id"])
+             for r in incremental_dedup_minhash(spark, str(d)).collect()}
+    assert (10, 1) in pairs
+    assert all(a in (10, 11, 12) and b in (1, 2) for a, b in pairs), pairs
+
+
 def test_context_packing_windows(spark, tmp_path):
     # 5 docs of 3 tokens in one source, window of 8 tokens:
     # starts 0,3,6,9,12 -> windows 0,0,0,1,1
