@@ -744,6 +744,84 @@ FROM binned GROUP BY source, win_id
 """
 
 
+def training_shuffle_order(spark: SparkSession, sf_dir: str,
+                           shards: int = 8) -> DataFrame:
+    """Deterministic pseudorandom training order: docs are dealt to
+    ``shards`` output shards round-robin and ordered WITHIN each shard
+    by an md5 of a seeded key — reproducible global shuffling without a
+    global sort (the row_number window partitions by shard, so each
+    shard orders independently; at 100 TB no single-partition window
+    exists). md5 is engine-portable, so the oracle reproduces the
+    permutation bit-for-bit (vs xxhash64, which DuckDB lacks)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (d.select("doc_id",
+                     (F.col("doc_id") % shards).alias("shard"),
+                     key.alias("k"))
+            .withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "shard", "pos"))
+
+
+TRAINING_SHUFFLE_SQL = """
+SELECT doc_id, doc_id % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id % 8
+         ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id)
+       AS INT) AS pos
+FROM documents
+"""
+
+
+def source_mixture_plan(spark: SparkSession, sf_dir: str,
+                        budget_tokens: int = 100_000) -> DataFrame:
+    """Training-mixture planning: per-source token inventory vs a
+    uniform per-source share of the total token budget — emits each
+    source's available tokens, its target allocation, the sampling
+    rate to downsample an over-represented source (<= 1.0), and the
+    epoch count (upsampling repeats) for an under-represented one.
+    The post-aggregation frame is #sources rows, so the unpartitioned
+    share window is a constant-size driver-side triviality at any
+    corpus scale."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    inv = d.groupBy("source").agg(
+        F.sum(T.token_count("text")).alias("avail_tokens"))
+    n_src = F.count(F.lit(1)).over(Window.partitionBy())
+    target = F.lit(float(budget_tokens)) / n_src
+    return (inv.withColumn("target_tokens", target)
+            .withColumn("sample_rate",
+                        F.least(F.lit(1.0),
+                                F.col("target_tokens")
+                                / F.col("avail_tokens")))
+            .withColumn("epochs",
+                        F.ceil(F.col("target_tokens")
+                               / F.col("avail_tokens")).cast("long"))
+            .select("source", "avail_tokens", "target_tokens",
+                    "sample_rate", "epochs"))
+
+
+SOURCE_MIXTURE_SQL = """
+WITH inv AS (
+  SELECT source,
+         SUM(CASE WHEN trim(text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             END) AS avail_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+       CAST(100000 AS DOUBLE) / COUNT(*) OVER () AS target_tokens,
+       least(1.0, (CAST(100000 AS DOUBLE) / COUNT(*) OVER ())
+                  / avail_tokens) AS sample_rate,
+       CAST(ceil((CAST(100000 AS DOUBLE) / COUNT(*) OVER ())
+                 / avail_tokens) AS BIGINT) AS epochs
+FROM inv
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "decontamination_ngram_overlap": decontamination_ngram_overlap,
     "doc_repetition_scores": doc_repetition_scores,
@@ -763,6 +841,8 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup_exact": incremental_dedup_exact,
     "cross_doc_span_dups": cross_doc_span_dups,
     "context_packing_stats": context_packing_stats,
+    "training_shuffle_order": training_shuffle_order,
+    "source_mixture_plan": source_mixture_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -784,4 +864,6 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_exact": INCREMENTAL_DEDUP_SQL,
     "cross_doc_span_dups": CROSS_DOC_SPAN_SQL,
     "context_packing_stats": CONTEXT_PACKING_SQL,
+    "training_shuffle_order": TRAINING_SHUFFLE_SQL,
+    "source_mixture_plan": SOURCE_MIXTURE_SQL,
 }
