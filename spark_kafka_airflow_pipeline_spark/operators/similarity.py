@@ -423,6 +423,107 @@ FROM e GROUP BY label
 """
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str,
+                    k: int = 8, iters: int = 2) -> DataFrame:
+    """Lloyd k-means over the embedding table with DETERMINISTIC
+    arithmetic end-to-end — an iterative algorithm held to a full
+    value-hash DuckDB oracle (chained CTEs, one pair per iteration),
+    not a rows-only check: init is the first ``k`` vectors, squared
+    distances accumulate left-to-right as identical IEEE expressions in
+    both engines, ties argmin to the lower cluster id, and centroid /
+    mean-distance aggregations run exact decimal(30,15) sums so the
+    results are accumulation-order-independent (the
+    ``label_centroids`` discipline).
+
+    Plan per iteration: broadcast the k-row centroid table against the
+    vectors (a k-constant nested loop, NOT a data-sized cartesian),
+    argmin via struct-min, then per-(cluster, dim) decimal means over a
+    posexplode — shuffle keyed on (cluster, dim), k x dims cells.
+    Returns per-cluster sizes and mean squared distance."""
+    emb = _embeddings(spark, sf_dir)
+    cents = (emb.filter(F.col("vec_id") < k)
+             .select(F.col("vec_id").cast("int").alias("cid"),
+                     F.col("emb").alias("cent")))
+    assigned = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("emb", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x)
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"),
+                 F.first("emb").alias("emb"))
+            .select("vec_id", "emb",
+                    F.col("m.cid").alias("cid"),
+                    F.col("m.dist").alias("dist")))
+        cents = (
+            assigned.select("cid", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg((F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+                  / F.count("v")).alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                 .alias("p"))
+            .select("cid", F.transform("p", lambda q: q["c"]).alias("cent")))
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum(F.col("dist").cast("decimal(30,15)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_sqdist"))
+            .select(F.col("cid").alias("cluster_id"), "n_vecs",
+                    "mean_sqdist"))
+
+
+_KM_DIST = ("list_reduce(list_transform(list_zip(e.emb, c.cent), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (acc, x) -> acc + x)")
+
+KMEANS_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, emb AS cent FROM emb WHERE vec_id < 8
+),
+d1 AS (
+  SELECT e.vec_id, e.emb, c.cid, {_KM_DIST} AS dist
+  FROM emb e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, emb, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, dim,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(v) AS c
+  FROM (SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+        FROM a1)
+  GROUP BY cid, dim
+),
+c1 AS (
+  SELECT cid, list(c ORDER BY dim) AS cent FROM m1 GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, e.emb, c.cid, {_KM_DIST} AS dist
+  FROM emb e CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn FROM d2)
+  WHERE rn = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+       round(CAST(SUM(CAST(dist AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_sqdist
+FROM a2 GROUP BY cid
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "embedding_int8_quant_error": embedding_int8_quant_error,
     "cosine_topk": cosine_topk,
@@ -431,6 +532,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "kmeans_clusters": kmeans_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -439,6 +541,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "label_centroid_similarity": LABEL_CENTROID_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
+    "kmeans_clusters": KMEANS_SQL,
     # ann_lsh_topk / ivf_ann_topk: rows-only (approximate by
     # construction; recall vs the exact top-k is asserted in tests)
 }
