@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scale soak: replicate the sf0.1 documents/embeddings tables N times
+(shifted ids, deterministic word-level perturbation so replicas are
+near- but not exact dups) and time the scale-critical operators at 1x
+vs Nx. Linear-ish growth here is the empirical check behind PLANS.md's
+"would this hold at 10x?" claims.
+
+Usage: python scripts/scale_soak.py [N]   (default 10)
+Writes the scaled tables under .scratch/soak_sfN/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.session import get_spark
+from spark_kafka_airflow_pipeline_spark.operators import dedup, similarity, textops
+
+BASE = "/root/testdata/sf0.1"
+REPO = Path(__file__).resolve().parent.parent
+
+
+def build(spark, n: int, out: Path) -> None:
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    total = d.count()
+    copies = []
+    for i in range(n):
+        c = (d.withColumn("doc_id", F.col("doc_id") + F.lit(i * total))
+             .withColumn(
+                 "text",
+                 # replica i>0: prepend a replica marker token so copies
+                 # are near-dups (high Jaccard) rather than exact dups
+                 F.when(F.lit(i == 0), F.col("text"))
+                 .otherwise(F.concat(F.lit(f"replica{i} "), F.col("text")))))
+        copies.append(c)
+    alld = copies[0]
+    for c in copies[1:]:
+        alld = alld.unionByName(c)
+    alld.repartition(32).write.mode("overwrite") \
+        .parquet(str(out / "documents.parquet"))
+
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    etotal = e.count()
+    ecopies = [e.withColumn("vec_id", F.col("vec_id") + F.lit(i * etotal))
+               for i in range(n)]
+    alle = ecopies[0]
+    for c in ecopies[1:]:
+        alle = alle.unionByName(c)
+    alle.repartition(32).write.mode("overwrite") \
+        .parquet(str(out / "embeddings.parquet"))
+
+
+OPS = {
+    "dedup_exact": dedup.dedup_exact,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
+    "simhash_near_dups": dedup.simhash_near_dups,
+    "incremental_dedup_minhash": dedup.incremental_dedup_minhash,
+    "cross_doc_span_dups": textops.cross_doc_span_dups,
+    "kmeans_clusters": similarity.kmeans_clusters,
+}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = REPO / ".scratch" / f"soak_sf{n}"
+    spark = get_spark(app_name="scale-soak")
+    if not (out / "documents.parquet").exists():
+        build(spark, n, out)
+
+    result: dict[str, dict[str, float]] = {}
+    for name, fn in OPS.items():
+        fn(spark, BASE).count()  # warm codegen on the small scale
+        t = time.perf_counter()
+        rows_1x = fn(spark, BASE).count()
+        t_1x = time.perf_counter() - t
+        t = time.perf_counter()
+        rows_nx = fn(spark, str(out)).count()
+        t_nx = time.perf_counter() - t
+        result[name] = {"t_1x": round(t_1x, 2), f"t_{n}x": round(t_nx, 2),
+                        "ratio": round(t_nx / t_1x, 1),
+                        "rows_1x": rows_1x, f"rows_{n}x": rows_nx}
+        print(f"# {name}: 1x {t_1x:.2f}s -> {n}x {t_nx:.2f}s "
+              f"(x{t_nx / t_1x:.1f})", file=sys.stderr)
+    print(json.dumps({"n": n, "ops": result}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
