@@ -37,6 +37,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (truncated to micros, matching how DuckDB reads the same file).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet timestamps without isAdjustedToUTC would otherwise load as
+    # TIMESTAMP_NTZ, which withWatermark and numeric casts reject — read
+    # them as TIMESTAMP (wall-clock identical under the UTC session tz)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # timestamps are compared as formatted wall-clock strings against a
     # timezone-naive DuckDB oracle — pin UTC even under a caller-built
     # session (the driver uses its own SparkSession)
@@ -49,4 +53,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # double's 2^53 exact range, so a double round-trip can be off
         # by 1 us vs DuckDB's integer truncation of TIMESTAMP_NS
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (belt-and-braces for
+    sessions where the inference conf above was captured before this
+    module could set it). Wall-clock values are unchanged under UTC."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})

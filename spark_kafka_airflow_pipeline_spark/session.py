@@ -51,6 +51,9 @@ def get_spark(app_name: str = "spark-kafka-airflow-pipeline-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- deterministic timestamp semantics (matches DuckDB oracle) ---
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP, not
+        # NTZ — watermarks and numeric ts casts require TIMESTAMP
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- Arrow for all Python<->JVM batch interchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- scan sizing: 128m splits keep 100TB scans at ~800k tasks ---

@@ -33,6 +33,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conf — see operators.base.table); the stream declares the raw
     # schema, then converts ts back to a timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ timestamps are rejected by withWatermark — read as TIMESTAMP
+    # (see operators.base.table)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (spark.readStream.schema(raw_schema)
@@ -43,6 +46,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double's exact-integer range, a double round-trip can flake by 1us
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
