@@ -78,26 +78,49 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(canon)
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-shingles (k consecutive tokens joined by a space) —
-    the MinHash input set. Short docs (< k tokens) yield the whole doc
-    as a single shingle."""
+def raw_shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles in document order, duplicates preserved. Short
+    docs (< k tokens) yield the whole doc as a single shingle.
+
+    Built as a fold of ``zip_with`` over shifted slices of the token
+    array, NOT ``transform(sequence(...), i -> slice(toks, ...))``: an
+    expression *captured* by a higher-order-function lambda is
+    re-evaluated on every element, so the transform form re-ran the
+    regex split once per shingle — O(tokens^2) per document, measured
+    5x slower on the sf0.1 corpus. ``zip_with`` takes its arrays as
+    arguments (evaluated once) and its lambda touches only bound
+    variables."""
     toks = F.split(F.lower(F.trim(_c(text))), _WS)
     n = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.array_distinct(joined)
+    acc = toks
+    for s in range(2, k + 1):
+        shifted = F.slice(toks, s, F.greatest(n - (s - 1), F.lit(0)))
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, and the final slice cuts the padded tail anyway
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1)))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles — the MinHash input set (see
+    ``raw_shingles`` for the construction and the HOF-capture
+    pitfall)."""
+    return F.array_distinct(raw_shingles(text, k))
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text (n-gram Jaccard
-    input). Uses substring over an index sequence — JVM-side, no UDF."""
-    t = F.lower(F.trim(_c(text)))
-    ln = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+    input). Same no-capture ``zip_with`` construction as ``shingles``
+    (see there) over the split-to-characters array — the previous
+    ``transform(sequence, i -> substr(t, i, n))`` re-evaluated
+    ``lower(trim(text))`` per gram, O(chars^2) per document."""
+    cs = F.split(F.lower(F.trim(_c(text))), "")
+    ln = F.size(cs)
+    acc = cs
+    for s in range(2, n + 1):
+        shifted = F.slice(cs, s, F.greatest(ln - (s - 1), F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws("", x, y))
+    return F.array_distinct(F.slice(acc, 1, F.greatest(ln - (n - 1), F.lit(1))))
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16, seed: int = 42) -> Column:

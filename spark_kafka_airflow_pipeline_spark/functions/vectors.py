@@ -47,9 +47,16 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def normalize(a: Column | str) -> Column:
-    """Unit-length copy of the vector (zero vectors pass through)."""
+    """Unit-length copy of the vector (zero vectors pass through).
+
+    The norm rides along as a ``zip_with`` argument (evaluated once),
+    not a lambda capture — a captured norm expression would be
+    re-aggregated per element, O(d^2) per vector (see
+    ``functions.text.shingles`` for the same pitfall)."""
     n = l2_norm(a)
-    return F.when(n != 0, F.transform(_c(a), lambda x: x / n)).otherwise(_c(a))
+    scaled = F.zip_with(_c(a), F.array_repeat(n, F.size(_c(a))),
+                        lambda x, m: x / m)
+    return F.when(n != 0, scaled).otherwise(_c(a))
 
 
 def random_hyperplane_signs(a: Column | str, n_planes: int, seed: int = 42) -> Column:

@@ -202,7 +202,11 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
             fields += [x["c"].alias("carry_a"), y["c"].alias("carry_b")]
         return F.struct(*fields)
 
-    capped = F.slice(F.col("docs"), 1, max_bucket)
+    # "capped" must be a bound attribute, not a derived slice expression:
+    # the inner lambda CAPTURES it, and a captured expression re-evaluates
+    # per element — the slice would be copied O(bucket^2) times (see
+    # functions.text.raw_shingles for the same pitfall)
+    capped = F.col("capped")
     clique_pairs = F.flatten(F.transform(
         capped,
         lambda x, i: F.transform(
@@ -224,6 +228,7 @@ def lsh_band_candidates(signatures: DataFrame, num_hashes: int, bands: int,
         # keeping the star center (min id) deterministic
         .agg(F.sort_array(F.collect_list("m")).alias("docs"))
         .filter(F.size("docs") > 1)
+        .withColumn("capped", F.slice(F.col("docs"), 1, max_bucket))
         .select(F.explode(pair_structs).alias("p"))
         .select(*out)
     )

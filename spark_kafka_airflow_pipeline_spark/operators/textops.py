@@ -572,11 +572,7 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # RAW (non-distinct) grams — T.shingles dedups its output, which
     # would make every repetition_ratio 0 by construction
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    grams = T.raw_shingles(F.col("text"), 3)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return d.select(
