@@ -202,14 +202,64 @@ FROM f
 """
 
 
+def _byte_at(payload, i: int):
+    """Unsigned value of byte ``i`` (1-based) of a binary column —
+    hex-slice + base-16 conv, all JVM built-ins."""
+    return F.conv(F.hex(F.substring(payload, i, 1)), 16, 10).cast("int")
+
+
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata extraction from the binary payload HEADER with
+    zero Python: format tag = byte 1, width = big-endian bytes 2-3,
+    height = big-endian bytes 4-5 (the fixture layout standing in for
+    a real magic-number/EXIF probe).
+
+    This is the fast path a 100 TB media scan needs: header fields come
+    from the first handful of bytes via codegen'd substring/conv
+    expressions — no decode, no Arrow hop, and with payloads in
+    parquet the column statistics and lazy materialization keep the
+    scan cheap; the mapInPandas kernels above are reserved for work
+    that genuinely needs the whole payload."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    n = F.octet_length(payload)
+    wide = F.conv(F.hex(F.substring(payload, 2, 2)), 16, 10).cast("int")
+    high = F.conv(F.hex(F.substring(payload, 4, 2)), 16, 10).cast("int")
+    return d.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.when(n >= 1, _byte_at(payload, 1)).otherwise(-1).alias("fmt_tag"),
+        F.when(n >= 3, wide).otherwise(-1).alias("width"),
+        F.when(n >= 5, high).otherwise(-1).alias("height"),
+    )
+
+
+MULTIMODAL_HEADER_SQL = f"""
+WITH h AS ({_SQL_HEX_CTE})
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(CASE WHEN n >= 1 THEN {_SQL_BYTE.format(i='1')} ELSE -1 END
+            AS INT) AS fmt_tag,
+       CAST(CASE WHEN n >= 3 THEN
+              {_SQL_BYTE.format(i='2')} * 256 + {_SQL_BYTE.format(i='3')}
+            ELSE -1 END AS INT) AS width,
+       CAST(CASE WHEN n >= 5 THEN
+              {_SQL_BYTE.format(i='4')} * 256 + {_SQL_BYTE.format(i='5')}
+            ELSE -1 END AS INT) AS height
+FROM h
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_header_parse": multimodal_header_parse,
 }
 
 ORACLES: dict[str, str] = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
+    "multimodal_header_parse": MULTIMODAL_HEADER_SQL,
 }

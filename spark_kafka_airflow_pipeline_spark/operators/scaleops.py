@@ -128,9 +128,44 @@ GROUP BY l_returnflag
 """
 
 
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — THE pre-aggregation pattern
+    for 100 TB: per-group HyperLogLog sketches (``hll_sketch_agg``,
+    Datasketches HLL) are small fixed-size binaries that merge
+    losslessly (``hll_union_agg``), so daily/per-partition sketches
+    roll up to any coarser grain WITHOUT rescanning raw data — an
+    exact ``COUNT(DISTINCT)`` rollup would need the full fact table
+    every time.
+
+    Per event_type: distinct-user sketch + estimate; the ``__all__``
+    row is the UNION of the per-type sketches, not a second scan.
+    Merge-correctness (union estimate == single global sketch, bit-
+    exact) and accuracy vs exact distinct (rtol) are pinned in
+    ``tests/test_formats_and_approx.py``. Rows-only driver check:
+    DuckDB's approx_count_distinct uses a different estimator, so
+    estimates are engine-specific by construction.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"))
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events")
+    overall = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_events").alias("n_events")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events")
+    return typed.unionByName(overall)
+
+
 QUERIES: dict[str, QueryFn] = {
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
+    "hll_distinct_rollup": hll_distinct_rollup,
 }
 
 ORACLES: dict[str, str] = {

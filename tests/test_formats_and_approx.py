@@ -83,3 +83,39 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+
+
+def test_hll_rollup_merge_exactness_and_accuracy(spark):
+    """The HLL rollup's two load-bearing claims:
+
+    1. MERGE-LOSSLESSNESS: the __all__ row (union of per-type sketches)
+       must equal a single sketch built over the whole column in one
+       pass — register-wise max is exact, so the estimates are
+       bit-identical, not merely close. This is what makes sketch
+       rollups safe at 100 TB (pre-aggregate per partition/day, union
+       later, never rescan).
+    2. ACCURACY: every estimate within a generous HLL error envelope of
+       the exact distinct count.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        hll_distinct_rollup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["event_type"]: r for r in hll_distinct_rollup(spark, sf).collect()}
+    ev = table(spark, sf, "events")
+
+    global_est = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))).first()[0]
+    assert rows["__all__"]["approx_users"] == global_est
+
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    for etype, r in rows.items():
+        rel_err = abs(r["approx_users"] - exact[etype]) / max(exact[etype], 1)
+        assert rel_err < 0.05, (etype, r["approx_users"], exact[etype])
