@@ -72,6 +72,64 @@ FROM documents GROUP BY 1
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship: per canonical fingerprint keep the
+    HIGHEST-quality member (ties -> lowest doc_id), not the arbitrary
+    first — the policy a real corpus dedup wants, since near-identical
+    crawl copies differ in boilerplate/truncation.
+
+    ``max_by`` over a (quality, -doc_id) struct does argmax selection
+    inside ONE codegen hash aggregate — no window, no sort, one
+    shuffle on the fingerprint; at 100 TB that beats the
+    row_number-over-window form, which must sort every group."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("q"))
+    rank = F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id"))
+    return (scored.groupBy("fp")
+            .agg(F.max_by("doc_id", rank).alias("keep_doc_id"),
+                 F.max("q").alias("best_q"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+# argmax mirrored as a window (DuckDB's arg_max disallows struct
+# ordering keys); q reuses the corpus_prep quality formula verbatim
+DEDUP_KEEP_BEST_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              ELSE 0.0 END AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.3 * least(stop_ratio * 5, 1.0), 6) AS q
+  FROM m
+),
+ranked AS (
+  SELECT fp, doc_id, q,
+         row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+         MAX(q) OVER (PARTITION BY fp) AS best_q
+  FROM scored
+)
+SELECT fp, doc_id AS keep_doc_id, best_q, n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
 def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 16,
                           k: int = 3, seed: int = 42,
@@ -576,6 +634,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
 QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
+    "dedup_keep_best": dedup_keep_best,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_buckets": simhash_buckets,
     "simhash_near_dups": simhash_near_dups,
@@ -588,4 +647,5 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
 }

@@ -109,6 +109,37 @@ GROUP BY 1, 2
 """
 
 
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes over the event stream
+    (each event lands in two windows) — the overlapping-window twin of
+    ``streaming_tumbling_window``; the oracle is the batch
+    two-bucketings union (``events.EVENTS_SLIDING_SQL`` shape)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "n_events")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+STREAMING_SLIDING_SQL = """
+WITH starts AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+         AS window_start FROM events
+  UNION ALL
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM starts
+GROUP BY 1
+"""
+
+
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type): emits each key
     once on first sight — the streaming twin of SELECT DISTINCT."""
@@ -302,6 +333,7 @@ GROUP BY user_id
 
 QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_sliding_window": streaming_sliding_window,
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_session_window": streaming_session_window,
@@ -312,6 +344,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
+    "streaming_sliding_window": STREAMING_SLIDING_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_stateful_sessions": STREAMING_STATEFUL_SESSIONS_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
