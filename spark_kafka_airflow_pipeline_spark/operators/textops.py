@@ -818,6 +818,76 @@ FROM inv
 """
 
 
+def doc_word_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of consecutive repeated tokens via a Python
+    UDTF (Spark 4 table function) in a LATERAL join — one input doc
+    fans out to one row per run. Completes the UDF surface triple
+    (scalar pandas UDF / grouped applyInPandas / table-valued UDTF).
+
+    A UDTF is the right tool precisely where this module's pure-SQL
+    stance breaks down: per-row SEQUENTIAL logic with a variable-length
+    output. The oracle reproduces it relationally (gaps-and-islands),
+    which costs two window passes over the exploded tokens — the UDTF
+    does it in one linear scan per document. Runs of length >= 2 are
+    the degenerate-repetition signal (cf. ``doc_repetition_scores``,
+    which scores it; this op LOCATES the runs)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, token string, run_start int, run_len int")
+    class WordRuns:
+        def eval(self, text: str):  # noqa: ANN001 — Spark calls per row
+            runs: list[list] = []
+            prev: object = object()
+            for pos, w in enumerate((text or "").split()):
+                if w != prev:
+                    runs.append([w, pos, 0])
+                    prev = w
+                runs[-1][2] += 1
+            for i, (w, start, ln) in enumerate(runs):
+                yield i, w, start, ln
+
+    spark.udtf.register("word_runs", WordRuns)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_runs")
+    return spark.sql("""
+        SELECT d.doc_id, r.run_idx, r.token, r.run_start, r.run_len
+        FROM __docs_runs d, LATERAL word_runs(d.text) r
+    """)
+
+
+DOC_WORD_RUNS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(u['i'] AS INT) AS pos, CAST(u['w'] AS VARCHAR) AS w
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+           i -> {'i': i - 1, 'w': parts[i]})) AS u
+    FROM (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS parts
+          FROM documents)
+  )
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM w THEN 1 ELSE 0 END AS brk
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, pos, w,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+)
+SELECT doc_id, CAST(run_id - 1 AS INT) AS run_idx, w AS token,
+       CAST(MIN(pos) AS INT) AS run_start,
+       CAST(COUNT(*) AS INT) AS run_len
+FROM runs
+GROUP BY doc_id, run_id, w
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "decontamination_ngram_overlap": decontamination_ngram_overlap,
     "doc_repetition_scores": doc_repetition_scores,
@@ -839,6 +909,7 @@ QUERIES: dict[str, QueryFn] = {
     "context_packing_stats": context_packing_stats,
     "training_shuffle_order": training_shuffle_order,
     "source_mixture_plan": source_mixture_plan,
+    "doc_word_runs_udtf": doc_word_runs_udtf,
 }
 
 ORACLES: dict[str, str] = {
@@ -862,4 +933,5 @@ ORACLES: dict[str, str] = {
     "context_packing_stats": CONTEXT_PACKING_SQL,
     "training_shuffle_order": TRAINING_SHUFFLE_SQL,
     "source_mixture_plan": SOURCE_MIXTURE_SQL,
+    "doc_word_runs_udtf": DOC_WORD_RUNS_SQL,
 }
