@@ -39,6 +39,23 @@ _MODULES = (streaming, dedup, similarity, multimodal, textops, scaleops,
             pipelineops, events, joins_extra, tpch_extra, relational_extra,
             relational)
 
+# Queries pulled to the FRONT of the 50-entry driver window regardless
+# of module order: everything added or internally reworked this round
+# (new ops; the four streaming queries that failed on NTZ timestamps in
+# r3; every consumer of the rebuilt shingle/char-ngram expressions).
+# Module order above ranks the remainder.
+_WINDOW_PRIORITY = (
+    "streaming_tumbling_window", "streaming_sliding_window",
+    "streaming_dedup_within_watermark", "streaming_session_window",
+    "streaming_stream_stream_join",
+    "dedup_keep_best", "hll_distinct_rollup", "multimodal_header_parse",
+    "events_variant_extract", "doc_word_runs_udtf",
+    "minhash_lsh_pairs", "ngram_jaccard_dups", "simhash_buckets",
+    "simhash_near_dups", "dedup_clusters", "incremental_dedup_minhash",
+    "doc_repetition_scores", "decontamination_ngram_overlap",
+    "cross_doc_span_dups", "corpus_prep_pipeline",
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: revenue by nation —
@@ -55,7 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise RuntimeError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    missing = [n for n in _WINDOW_PRIORITY if n not in merged]
+    if missing:
+        raise RuntimeError(f"_WINDOW_PRIORITY names unknown: {missing}")
+    front = {n: merged[n] for n in _WINDOW_PRIORITY}
+    front.update((n, q) for n, q in merged.items() if n not in front)
+    return front
 
 
 def oracle_sql() -> dict[str, str]:
