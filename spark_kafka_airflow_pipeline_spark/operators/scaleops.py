@@ -128,6 +128,56 @@ GROUP BY l_returnflag
 """
 
 
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table re-laid-out as a date-partitioned catalog table
+    (one directory per day) — written once per (session, sf_dir), like
+    ``bucketed_tables``. Partitioning by event date is the standard
+    100 TB layout: every time-bounded scan touches only its days."""
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cat_name = f"part_events_{token}"
+    if not spark.catalog.tableExists(cat_name):
+        ev = table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts"))
+        (ev.write.mode("overwrite").format("parquet")
+         .option("path", f"{_WAREHOUSE}/{token}/events_by_day")
+         .partitionBy("day")
+         .saveAsTable(cat_name))
+    return spark.table(cat_name)
+
+
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the date-partitioned events fact is
+    joined to a small day dimension that keeps every 7th day; the days
+    surviving the dim filter are only known at RUNTIME, so Catalyst
+    injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters and the scan reads ~1/7th of the partitions —
+    static pushdown could never do this. At 100 TB this is the
+    difference between scanning a week and scanning the table
+    (plan pinned by ``tests/test_plan_shapes.py``).
+
+    Oracle: the same week-stride filter inlined — pruning must be
+    invisible in the answer."""
+    ev = partitioned_events(spark, sf_dir)
+    dim = (ev.select("day").distinct()
+           .filter(F.datediff("day", F.lit("2024-01-01")) % 7 == 0))
+    return (ev.join(dim, "day")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum(F.col("value"), "sum_value"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_events", "sum_value"))
+
+
+DPP_JOIN_SQL = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       {{dsum}} AS sum_value
+FROM events
+WHERE datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 = 0
+GROUP BY 1
+""".format(dsum=SQL_DSUM.format(expr='value'))
+
+
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting — THE pre-aggregation pattern
     for 100 TB: per-group HyperLogLog sketches (``hll_sketch_agg``,
@@ -166,9 +216,11 @@ QUERIES: dict[str, QueryFn] = {
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
     "hll_distinct_rollup": hll_distinct_rollup,
+    "dpp_partitioned_join": dpp_partitioned_join,
 }
 
 ORACLES: dict[str, str] = {
     "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,
     "salted_group_agg": SALTED_AGG_SQL,
+    "dpp_partitioned_join": DPP_JOIN_SQL,
 }

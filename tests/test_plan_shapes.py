@@ -63,3 +63,13 @@ def test_char_blocking_verify_featurizes_per_doc(spark, sf_dir):
     # the 32-term agreement sum compiles to chained IFs over carried
     # signature slots; spot-check one term reached the physical plan
     assert "carry_a" in plan and "carry_b" in plan
+
+
+def test_dpp_join_prunes_partitions(spark, sf_dir):
+    """The date-partitioned fact scan must carry a dynamicpruning
+    PartitionFilter (injected from the day-dim join), so only the
+    dim-surviving days are read."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    plan = _plan(scaleops.dpp_partitioned_join(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
