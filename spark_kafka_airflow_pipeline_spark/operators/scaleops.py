@@ -212,15 +212,57 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(overall)
 
 
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates — the
+    precise twin of ``hll_distinct_rollup`` for integer keys: user ids
+    land in 32k-bit bucket bitmaps (``bitmap_bucket_number`` x
+    ``bitmap_construct_agg``), per-group bitmaps OR together
+    losslessly (``bitmap_or_agg``), so pre-aggregated daily/partition
+    bitmaps roll up to exact distinct counts with no rescan and no
+    sketch error. Costs O(key-range/8) bytes per (group, bucket) —
+    the right tool when keys are dense integers and exactness is
+    required; HLL when they are not.
+
+    Per event_type: exact distinct users from bitmap counts, plus the
+    ``__all__`` row from OR-merging the per-type bucket bitmaps.
+    Fully SQL-oracle-able (plain COUNT(DISTINCT)) because the bitmap
+    path is exact."""
+    ev = (table(spark, sf_dir, "events")
+          .select("event_type", "user_id",
+                  F.bitmap_bucket_number("user_id").alias("bkt")))
+    per_bucket = ev.groupBy("event_type", "bkt").agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+        .alias("bm"))
+    typed = (per_bucket.groupBy("event_type")
+             .agg(F.sum(F.bitmap_count("bm")).alias("n_users")))
+    overall = (per_bucket.groupBy("bkt")
+               .agg(F.bitmap_or_agg("bm").alias("bm"))
+               .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+               .select(F.lit("__all__").alias("event_type"), "n_users"))
+    return typed.unionByName(overall)
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
     "hll_distinct_rollup": hll_distinct_rollup,
     "dpp_partitioned_join": dpp_partitioned_join,
+    "bitmap_distinct_rollup": bitmap_distinct_rollup,
 }
 
 ORACLES: dict[str, str] = {
     "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,
     "salted_group_agg": SALTED_AGG_SQL,
     "dpp_partitioned_join": DPP_JOIN_SQL,
+    "bitmap_distinct_rollup": BITMAP_DISTINCT_SQL,
 }
