@@ -47,11 +47,19 @@ log = logging.getLogger(__name__)
 class PipelineExecutor:
     """Executes dataflows; one DataFrame lineage per dataflow."""
 
-    def __init__(self, spark: SparkSession, debug_show: bool = False):
+    def __init__(self, spark: SparkSession, debug_show: bool = False,
+                 observe_metrics: bool = False):
         self.spark = spark
         # the reference force-computes both splits with show(false)
         # (PipelineProcessor.scala:70, :84); gate that behind a flag
         self.debug_show = debug_show
+        # per-sink row accounting via df.observe(): the count rides the
+        # WRITE job itself (an accumulator over rows as they stream to
+        # the sink) — no second scan, no cache, exact even at 100 TB.
+        # Collected into ``self.sink_metrics`` keyed
+        # (dataflow, sink.input, sink.name).
+        self.observe_metrics = observe_metrics
+        self.sink_metrics: dict[tuple[str, str, str], dict] = {}
 
     # -- public API ---------------------------------------------------
 
@@ -72,7 +80,16 @@ class PipelineExecutor:
                     raise KeyError(
                         f"sink of dataflow {flow.name!r} references unknown node "
                         f"{sink.input!r}; known nodes: {sorted(nodes)}")
-                write_sink(nodes[sink.input], sink)
+                out = nodes[sink.input]
+                if self.observe_metrics:
+                    from pyspark.sql import Observation
+
+                    obs = Observation(f"{flow.name}/{sink.input}/{sink.name}")
+                    write_sink(out.observe(
+                        obs, F.count(F.lit(1)).alias("rows")), sink)
+                    self.sink_metrics[(flow.name, sink.input, sink.name)] = obs.get
+                else:
+                    write_sink(out, sink)
         finally:
             # cached frames are tracked explicitly at _apply time: the
             # split point caches its internal ANNOTATED parent, whose

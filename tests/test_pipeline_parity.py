@@ -331,3 +331,39 @@ def test_declarative_sort_limit_rename(spark, sf_dir):
                 .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
                 .limit(5).collect()]
     assert got == expected and len(got) == 5
+
+
+def test_sink_metrics_observed(spark, tmp_path):
+    """observe_metrics=True: per-sink row counts ride the write jobs
+    themselves (no extra scan) and land in executor.sink_metrics."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part1.json").write_text(
+        "\n".join(json.dumps(r) for r in FIXTURE_ROWS))
+    meta = parse_metadata({
+        "dataflows": [{
+            "name": "obs-pipeline",
+            "sources": [{"name": "person_inputs",
+                         "path": str(src / "*.json"), "format": "JSON"}],
+            "transformations": [
+                {"name": "validation", "type": "validate_fields", "params": {
+                    "input": "person_inputs",
+                    "validations": [
+                        {"field": "office", "validations": ["notEmpty"]},
+                        {"field": "age", "validations": ["notNull"]},
+                    ]}},
+            ],
+            "sinks": [
+                {"input": "validation_ok", "name": "ok",
+                 "paths": [str(tmp_path / "o")], "format": "PARQUET",
+                 "saveMode": "OVERWRITE"},
+                {"input": "validation_ko", "name": "ko",
+                 "paths": [str(tmp_path / "k")], "format": "PARQUET",
+                 "saveMode": "OVERWRITE"},
+            ],
+        }]
+    })
+    ex = PipelineExecutor(spark, observe_metrics=True)
+    ex.process(meta)
+    assert ex.sink_metrics[("obs-pipeline", "validation_ok", "ok")]["rows"] == 1
+    assert ex.sink_metrics[("obs-pipeline", "validation_ko", "ko")]["rows"] == 2
