@@ -524,6 +524,91 @@ FROM a2 GROUP BY cid
 """
 
 
+def pq_ann_topk(spark: SparkSession, sf_dir: str,
+                m: int = 8, dim: int = 64, ksub: int = 16,
+                iters: int = 2) -> DataFrame:
+    """Product-quantization ANN — the memory-bound scale path that
+    complements LSH (`ann_lsh_topk`) and IVF (`ivf_ann_topk`): each
+    64-dim vector compresses to ``m`` = 8 one-byte codes (one 16-entry
+    k-means codebook per 8-dim subspace), and query-to-corpus L2
+    distances are approximated by summing ``m`` lookup-table entries —
+    at 100 TB the corpus scan touches 8 bytes/vector instead of 256,
+    and the LUT join replaces every floating-point subvector product.
+
+    All-DataFrame construction, deterministic end-to-end (the
+    ``kmeans_clusters`` discipline: first-``ksub`` init, argmin ties to
+    the lower code id, decimal centroid means):
+
+      1. subvector table: (vec_id, sub, sv[8]) via one slice-explode;
+      2. per-subspace Lloyd iterations — ONE broadcast join per
+         iteration trains all ``m`` codebooks at once (keyed on sub);
+      3. encode: per (vec, sub) argmin code -> 8 codes/vector;
+      4. asymmetric distance: per query, a (sub, code) -> partial-L2
+         lookup table (m x ksub = 128 rows/query, broadcast); corpus
+         codes join the LUT and sum ``m`` decimal partials per
+         (query, neighbor) — exact given the codes, so ranking is
+         reproducible;
+      5. top-k by approximate distance (ties to lower neighbor id).
+
+    Approximate by nature -> rows-only; recall vs the exact L2 top-k
+    is pinned in tests/test_dedup_similarity.py."""
+    d = dim // m
+    emb = _embeddings(spark, sf_dir)
+    sv = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("emb", s * d + 1, d).alias("sv"))
+            for s in range(m)
+        ])).alias("p")).select("vec_id", "p.sub", "p.sv")
+
+    sqdist = F.aggregate(
+        F.zip_with("sv", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x)
+    cents = (sv.filter(F.col("vec_id") < ksub)
+             .select("sub", F.col("vec_id").cast("int").alias("code"),
+                     F.col("sv").alias("cent")))
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            sv.join(F.broadcast(cents), "sub")
+            .withColumn("sq", sqdist)
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("sq", "code")).alias("best"),
+                 F.first("sv").alias("sv"))
+            .select("vec_id", "sub", "sv", F.col("best.code").alias("code")))
+        cents = (
+            assigned.select("sub", "code",
+                            F.posexplode("sv").alias("dimi", "v"))
+            .groupBy("sub", "code", "dimi")
+            .agg((F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+                  / F.count("v")).alias("c"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dimi", "c")))
+                 .alias("p"))
+            .select("sub", "code",
+                    F.transform("p", lambda q: q["c"]).alias("cent")))
+    codes = assigned.select("vec_id", "sub", "code")
+
+    # per-query LUT: partial L2 from each (sub, code) cell
+    q_sv = (sv.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "sub", "sv"))
+    lut = (q_sv.join(F.broadcast(cents), "sub")
+           .select("query_id", "sub", "code",
+                   sqdist.cast("decimal(30,15)").alias("part")))
+    pairs = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part").cast("double"), 6).alias("approx_sqdist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sqdist").asc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "approx_sqdist", "rank"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "embedding_int8_quant_error": embedding_int8_quant_error,
     "cosine_topk": cosine_topk,
@@ -532,6 +617,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "pq_ann_topk": pq_ann_topk,
     "kmeans_clusters": kmeans_clusters,
 }
 
@@ -542,6 +628,6 @@ ORACLES: dict[str, str] = {
     "label_centroid_similarity": LABEL_CENTROID_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
     "kmeans_clusters": KMEANS_SQL,
-    # ann_lsh_topk / ivf_ann_topk: rows-only (approximate by
-    # construction; recall vs the exact top-k is asserted in tests)
+    # ann_lsh_topk / ivf_ann_topk / pq_ann_topk: rows-only (approximate
+    # by construction; recall vs the exact top-k is asserted in tests)
 }
