@@ -81,7 +81,22 @@ class PipelineExecutor:
                         f"sink of dataflow {flow.name!r} references unknown node "
                         f"{sink.input!r}; known nodes: {sorted(nodes)}")
                 out = nodes[sink.input]
-                if self.observe_metrics:
+                if out.isStreaming:
+                    # streaming dataflow: drain what the source has via
+                    # foreachBatch into the same batch sink writers
+                    # (availableNow = bounded run; a service deployment
+                    # would start() and keep the query handle instead).
+                    # Checkpoint lives beside the sink output.
+                    from spark_kafka_airflow_pipeline_spark.io.sinks import (
+                        foreach_batch_sink,
+                    )
+
+                    q = foreach_batch_sink(
+                        out, sink,
+                        checkpoint=f"{sink.paths[0]}/{sink.name}.checkpoint",
+                        available_now=True)
+                    q.awaitTermination()
+                elif self.observe_metrics:
                     from pyspark.sql import Observation
 
                     obs = Observation(f"{flow.name}/{sink.input}/{sink.name}")
@@ -151,11 +166,13 @@ class PipelineExecutor:
         if kind == "add_fields":
             nodes[t.name] = add_fields(df, t.params.addFields)
         elif kind == "validate_fields":
+            # streaming frames cannot cache; the split re-evaluates per
+            # micro-batch instead (bounded work per batch)
             ok, ko, cached_parent = validate_fields_split(
-                df, t.params.validations)
+                df, t.params.validations, cache=not df.isStreaming)
             if cached_parent is not None:
                 cached.append(cached_parent)
-            if self.debug_show:
+            if self.debug_show and not ok.isStreaming:
                 ok.show(truncate=False)
                 ko.show(truncate=False)
             nodes[f"{t.name}_ok"] = ok

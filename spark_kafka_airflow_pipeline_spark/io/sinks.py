@@ -80,13 +80,18 @@ def write_stream_to_kafka(df: DataFrame, bootstrap_servers: str, topic: str,
             .start())
 
 
-def foreach_batch_sink(df: DataFrame, sink: Sink, checkpoint: str):
+def foreach_batch_sink(df: DataFrame, sink: Sink, checkpoint: str,
+                       available_now: bool = False):
     """Streaming wrapper that reuses the batch ``write_sink`` per
     micro-batch — the idiomatic way to stream into any batch-only
-    format."""
+    format. ``available_now=True`` drains everything currently in the
+    source and stops (bounded backfill / test runs); the default runs
+    continuously."""
     def _write(batch_df: DataFrame, _batch_id: int) -> None:
         write_sink(batch_df, sink)
 
-    return (df.writeStream.foreachBatch(_write)
-            .option("checkpointLocation", checkpoint)
-            .start())
+    writer = (df.writeStream.foreachBatch(_write)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

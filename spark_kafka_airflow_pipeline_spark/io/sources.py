@@ -26,7 +26,19 @@ from spark_kafka_airflow_pipeline_spark.metadata import Source
 
 
 def read_source(spark: SparkSession, source: Source) -> DataFrame:
-    """Load one configured source (``PipelineProcessor.scala:105-112``)."""
+    """Load one configured source (``PipelineProcessor.scala:105-112``).
+
+    ``streaming: true`` reads the same path as a Structured Streaming
+    file source. Streams need an explicit schema; if the config omits
+    one, it is inferred from a one-off batch read of the path (fine for
+    a dev loop; production configs should pin ``schema``)."""
+    if source.streaming:
+        schema = source.schema or (
+            spark.read.format(source.format.lower())
+            .options(**source.options).load(source.path).schema)
+        return (spark.readStream.format(source.format.lower())
+                .options(**source.options).schema(schema)
+                .load(source.path))
     reader = spark.read.format(source.format.lower()).options(**source.options)
     if source.schema:
         reader = reader.schema(source.schema)

@@ -41,6 +41,10 @@ class Source:
     format: str = "parquet"
     options: dict[str, str] = field(default_factory=dict)
     schema: str | None = None  # optional DDL string; None = infer (reference default)
+    # engine extension: True reads the path as a Structured Streaming
+    # file source (micro-batched); downstream transformations are the
+    # same DataFrame ops, sinks drain via foreachBatch
+    streaming: bool = False
 
 
 @dataclass(frozen=True)
@@ -173,7 +177,8 @@ def parse_metadata(raw: dict[str, Any] | str) -> DataflowMetadata:
             sources=[Source(name=s["name"], path=s["path"],
                             format=s.get("format", "parquet"),
                             options=dict(s.get("options") or {}),
-                            schema=s.get("schema"))
+                            schema=s.get("schema"),
+                            streaming=bool(s.get("streaming", False)))
                      for s in df_raw["sources"]],
             transformations=[Transformation(t["name"], t["type"],
                                             _parse_params(t.get("params") or {}))

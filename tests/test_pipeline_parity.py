@@ -367,3 +367,45 @@ def test_sink_metrics_observed(spark, tmp_path):
     ex.process(meta)
     assert ex.sink_metrics[("obs-pipeline", "validation_ok", "ok")]["rows"] == 1
     assert ex.sink_metrics[("obs-pipeline", "validation_ko", "ko")]["rows"] == 2
+
+
+def test_streaming_dataflow_matches_batch(spark, tmp_path):
+    """The same metadata with streaming:true on the source must produce
+    the same sink contents as the batch run — transformations are
+    shared DataFrame code, sinks drain via foreachBatch availableNow."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part1.json").write_text(
+        "\n".join(json.dumps(r) for r in FIXTURE_ROWS))
+    schema = "name string, age long, office string"
+    meta = parse_metadata({
+        "dataflows": [{
+            "name": "stream-pipeline",
+            "sources": [{"name": "person_inputs", "path": str(src),
+                         "format": "JSON", "streaming": True,
+                         "schema": schema}],
+            "transformations": [
+                {"name": "validation", "type": "validate_fields", "params": {
+                    "input": "person_inputs",
+                    "validations": [
+                        {"field": "office", "validations": ["notEmpty"]},
+                        {"field": "age", "validations": ["notNull"]},
+                    ]}},
+            ],
+            "sinks": [
+                {"input": "validation_ok", "name": "ok",
+                 "paths": [str(tmp_path / "o")], "format": "PARQUET",
+                 "saveMode": "APPEND"},
+                {"input": "validation_ko", "name": "ko",
+                 "paths": [str(tmp_path / "k")], "format": "PARQUET",
+                 "saveMode": "APPEND"},
+            ],
+        }]
+    })
+    PipelineExecutor(spark).process(meta)
+    ok = spark.read.parquet(str(tmp_path / "o" / "ok"))
+    ko = spark.read.parquet(str(tmp_path / "k" / "ko"))
+    assert [r["name"] for r in ok.collect()] == ["Fran"]
+    assert sorted(r["name"] for r in ko.collect()) == ["Miguel", "Xabier"]
+    assert sorted(r[ERROR_COLUMN][0] for r in ko.collect()) == [
+        "age-notNull", "office-notEmpty"]
