@@ -118,3 +118,61 @@ def test_quality_score_ranges(spark):
          ("!!!! ???? ####",)], "t string")
     scores = [r[0] for r in df.select(T.quality_score("t")).collect()]
     assert 0.0 <= scores[1] < scores[0] <= 1.0
+
+
+# Edge-case parity for the zip_with shingle/ngram reconstruction (the
+# HOF-capture fix): outputs must equal the obvious Python definition on
+# every boundary shape — short docs, repeated whitespace, unicode,
+# empties — not just the happy-path corpus.
+_EDGE_TEXTS = [
+    "",
+    " ",
+    "one",
+    "one two",
+    "one two three",
+    "one two three four five",
+    "  leading and   multiple   spaces  ",
+    "tabs\tand\nnewlines mixed\t in",
+    "UPPER lower MiXeD case",
+    "héllo wörld ünïcode tëxt here",
+    "中文 分词 测试 文本 数据",
+    "a a a a a",
+    "ab",
+    "abc",
+    "abcd",
+]
+
+
+def _py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) <= k:
+        return list(dict.fromkeys([" ".join(toks)])) if toks else [""]
+    out = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return list(dict.fromkeys(out))
+
+
+def _py_char_ngrams(text: str, n: int = 3) -> list[str]:
+    t = text.strip().lower()
+    if len(t) <= n:
+        return [t]
+    out = [t[i:i + n] for i in range(len(t) - n + 1)]
+    return list(dict.fromkeys(out))
+
+
+def test_shingles_match_python_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_EDGE_TEXTS)],
+                               "i long, t string")
+    rows = {r["i"]: list(r["s"]) for r in
+            df.select("i", T.shingles("t", 3).alias("s")).collect()}
+    for i, t in enumerate(_EDGE_TEXTS):
+        assert rows[i] == _py_shingles(t, 3), (t, rows[i], _py_shingles(t, 3))
+
+
+def test_char_ngrams_match_python_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_EDGE_TEXTS)],
+                               "i long, t string")
+    rows = {r["i"]: list(r["s"]) for r in
+            df.select("i", T.char_ngrams("t", 3).alias("s")).collect()}
+    for i, t in enumerate(_EDGE_TEXTS):
+        assert rows[i] == _py_char_ngrams(t, 3), \
+            (t, rows[i], _py_char_ngrams(t, 3))
