@@ -283,11 +283,13 @@ FROM events
 
 
 def _asof_cogroup_kernel(purchases, clicks):
-    """Cogrouped-applyInPandas kernel (runs per user on executors):
-    replay both event sets in (ts, event_id) order, forward-fill the
-    click value, and emit each purchase with the value carried from the
-    PREVIOUS row — bitwise the same semantics as the window-based
-    ``asof_last_click_before_purchase``."""
+    """Cogrouped-applyInPandas kernel (runs per HASH BUCKET of users on
+    executors): replay both event sets in (user, ts, event_id) order,
+    forward-fill the click value within each user, and emit each
+    purchase with the value carried from the user's previous row —
+    bitwise the same semantics as the window-based
+    ``asof_last_click_before_purchase``. All pandas ops are vectorized
+    groupby transforms; no per-row Python."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     if not len(purchases):
@@ -297,30 +299,43 @@ def _asof_cogroup_kernel(purchases, clicks):
     purchases = purchases.assign(is_purchase=True)
     clicks = clicks.assign(is_purchase=False)
     both = (pd.concat([purchases, clicks], ignore_index=True)
-            .sort_values(["ts", "event_id"], kind="mergesort")
+            .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
             .reset_index(drop=True))
-    carried = both["value"].where(~both["is_purchase"]).ffill().shift(1)
+    vals = both["value"].where(~both["is_purchase"])
+    grouped = vals.groupby(both["user_id"])
+    carried = grouped.ffill().groupby(both["user_id"]).shift(1)
     out = both[both["is_purchase"]]
     return pd.DataFrame({"user_id": out["user_id"],
                          "event_id": out["event_id"],
                          "last_click_value": carried[out.index]})
 
 
-def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str,
+                        n_buckets: int | None = None) -> DataFrame:
     """AS-OF join via COGROUPED ``applyInPandas`` — the pandas-UDF
     escape hatch for per-key merge logic Spark can't express natively
-    (SURVEY.md §2.2 UDF surface). Purchases and clicks arrive as two
-    frames per user (one shuffle each on user_id); the kernel is
-    vectorized pandas, no per-row Python. Shares the window-based
-    twin's DuckDB oracle, so the exotic API is held to the same
-    hash-exact gate."""
+    (SURVEY.md §2.2 UDF surface). Shares the window-based twin's DuckDB
+    oracle, so the exotic API is held to the same hash-exact gate.
+
+    COGROUP GRANULARITY: the key is ``pmod(user_id, n_buckets)``, NOT
+    the raw user — every Python kernel invocation costs an Arrow
+    round-trip plus interpreter dispatch (~1-3 ms), so keying on raw
+    user_id paid that thousands of times (measured 8-10 s at sf0.1);
+    ~2 buckets per core amortizes it (~1 s) while the kernel stays
+    fully vectorized across the users inside a bucket. The same trick
+    is the difference between hours and minutes for grouped pandas
+    UDFs on a 100 TB key space; bucket memory is bounded at
+    events/n_buckets rows, tunable."""
     e = table(spark, sf_dir, "events")
+    n_buckets = n_buckets or 2 * spark.sparkContext.defaultParallelism
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value")
+        "user_id", "event_id", "ts", "value",
+        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts", "value")
-    return (purchases.groupBy("user_id")
-            .cogroup(clicks.groupBy("user_id"))
+        "user_id", "event_id", "ts", "value",
+        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
+    return (purchases.groupBy("bkt")
+            .cogroup(clicks.groupBy("bkt"))
             .applyInPandas(
                 _asof_cogroup_kernel,
                 schema="user_id long, event_id long, last_click_value double"))
