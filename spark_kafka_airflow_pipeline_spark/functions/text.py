@@ -108,6 +108,36 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(raw_shingles(text, k))
 
 
+def token_hashes(text: Column | str, seed: int = 42) -> Column:
+    """64-bit hash per (lowercased, whitespace-split) token. Bind the
+    result to a real column (``withColumn``) before feeding it to
+    ``shingle_hashes_of`` — as a nested expression it would be
+    re-evaluated once per zip_with argument instance."""
+    toks = F.split(F.lower(F.trim(_c(text))), _WS)
+    return F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
+
+
+def shingle_hashes_of(th: Column, k: int = 3) -> Column:
+    """Distinct 64-bit k-shingle hashes from an ATTRIBUTE-BACKED
+    token-hash array (see ``token_hashes``): fold ``xxhash64(acc,
+    shifted)`` over the k-1 shifted hash arrays — each pass moves
+    fixed-width longs, so cost is O(k * tokens) long ops instead of the
+    O(k^2 * chars) string concatenation that ``shingles`` pays building
+    k-gram text. The hash space differs from
+    ``xxhash64(shingle_string)`` (hash of hashes) but is just as
+    collision-resistant; use wherever gram IDENTITY matters and the
+    gram text does not (frequency joins, dedup keys, decontamination).
+    Same no-capture discipline as ``raw_shingles``."""
+    n = F.size(th)
+    acc = th
+    for s in range(2, k + 1):
+        shifted = F.slice(th, s, F.greatest(n - (s - 1), F.lit(0)))
+        # zip_with null-pads the short side; xxhash64(acc, null) stays
+        # non-null and the final slice cuts the padded tail anyway
+        acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+    return F.array_distinct(F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1))))
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text (n-gram Jaccard
     input). Same no-capture ``zip_with`` construction as ``shingles``

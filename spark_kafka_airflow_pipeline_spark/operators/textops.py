@@ -655,11 +655,21 @@ def cross_doc_span_dups(spark: SparkSession, sf_dir: str,
     (identical expression in the oracle), not rounded — round() at
     half-boundary digits is where Spark/DuckDB diverge."""
     d = table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(T.shingles("text", n)).alias("g"))
-    shared = grams.groupBy("g").agg(
+    # gram identity, never gram text: T.shingle_hashes skips building
+    # the 8-gram strings entirely (hash-of-token-hashes), so both the
+    # frequency shuffle and the join shuffle move 8-byte longs and the
+    # tokenize passes do long ops instead of O(k^2) char concatenation;
+    # a 64-bit collision across a corpus gram vocabulary is negligible
+    # (~1e-7 at 3M grams) and the hash-exact oracle gate would surface
+    # one
+    grams = (d.withColumn("th", T.token_hashes("text"))
+             .select("doc_id",
+                     F.explode(T.shingle_hashes_of(F.col("th"), n))
+                     .alias("gh")))
+    shared = grams.groupBy("gh").agg(
         F.countDistinct("doc_id").alias("nd"))
     return (
-        grams.join(shared, "g")
+        grams.join(shared, "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"),
              F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"))
