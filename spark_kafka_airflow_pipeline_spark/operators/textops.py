@@ -525,9 +525,12 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str,
     is naturally high-cardinality so no skew handling is needed.
     """
     d = table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(T.shingles("text", n)).alias("g"))
+    # join on 64-bit gram-hash chains, not gram strings (identity is
+    # all the overlap check needs) — see cross_doc_span_dups
+    grams = (d.withColumn("th", T.token_hashes("text"))
+             .select("doc_id",
+                     F.explode(T.shingle_hashes_of(F.col("th"), n))
+                     .alias("g")))
     train = grams.filter(F.col("doc_id") % 100 != 0)
     ev = (grams.filter(F.col("doc_id") % 100 == 0)
           .select(F.col("doc_id").alias("eval_doc_id"), "g")
