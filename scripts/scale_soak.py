@@ -65,6 +65,8 @@ OPS = {
     "incremental_dedup_minhash": dedup.incremental_dedup_minhash,
     "cross_doc_span_dups": textops.cross_doc_span_dups,
     "kmeans_clusters": similarity.kmeans_clusters,
+    "pq_ann_topk": similarity.pq_ann_topk,
+    "dedup_clusters": dedup.dedup_clusters,
 }
 
 
