@@ -83,14 +83,53 @@ FROM customer
 """
 
 
+def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Kafka WIRE FORMAT proven lossless on real data:
+    rows serialize to one JSON ``value`` column exactly as the Kafka
+    sink does (``to_json(struct("*"))``,
+    ``PipelineProcessor.scala:150``), parse back with ``from_json`` +
+    the declared schema (the engine's streaming-consumer path,
+    ``io.sources.parse_kafka_records``), and aggregate. The oracle
+    aggregates the source table DIRECTLY — any loss or type drift in
+    serialize->parse (decimals, dates) breaks the value hash. This is
+    as far as the produce/consume path can be exercised without a
+    broker in the environment (the connector API is wired in
+    ``io.sinks``/``io.sources``)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    from spark_kafka_airflow_pipeline_spark.io.sinks import serialize_for_kafka
+
+    wire = serialize_for_kafka(o)
+    schema = ("o_orderkey bigint, o_orderstatus string, "
+              "o_totalprice decimal(12,2), o_orderdate date")
+    parsed = (wire.select(F.from_json("value", schema).alias("r"))
+              .select("r.*"))
+    return (parsed.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_totalprice").cast("decimal(20,2)")
+                 .alias("total_price"),
+                 F.max("o_orderdate").alias("latest_order")))
+
+
+KAFKA_WIRE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_totalprice) AS DECIMAL(20,2)) AS total_price,
+       MAX(CAST(o_orderdate AS DATE)) AS latest_order
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "validate_split_ok": validate_split_ok,
     "validate_split_ko": validate_split_ko,
     "pipeline_add_fields": pipeline_add_fields,
+    "kafka_wire_roundtrip": kafka_wire_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
     "validate_split_ok": VALIDATE_OK_SQL,
     "validate_split_ko": VALIDATE_KO_SQL,
     "pipeline_add_fields": ADD_FIELDS_SQL,
+    "kafka_wire_roundtrip": KAFKA_WIRE_SQL,
 }
