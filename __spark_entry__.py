@@ -50,7 +50,7 @@ _WINDOW_PRIORITY = (
     "streaming_stream_stream_join",
     "dedup_keep_best", "hll_distinct_rollup", "multimodal_header_parse",
     "events_variant_extract", "doc_word_runs_udtf", "dpp_partitioned_join",
-    "bitmap_distinct_rollup", "pq_ann_topk", "kafka_wire_roundtrip",
+    "bitmap_distinct_rollup", "pq_ann_topk", "kafka_wire_roundtrip", "recursive_month_spine",
     "minhash_lsh_pairs", "ngram_jaccard_dups", "simhash_buckets",
     "simhash_near_dups", "dedup_clusters", "incremental_dedup_minhash",
     "doc_repetition_scores", "decontamination_ngram_overlap",
