@@ -169,6 +169,8 @@ def minhash_signature_agg(d: DataFrame, id_col: str = "doc_id",
     sh = (d.repartition(par, id_col)
           .select(F.col(id_col),
                   F.explode(tokens(F.col(text_col))).alias("s")))
+    # feature may be a string (shingle text) or a long (hash-chain gram
+    # identity, e.g. T.shingle_hashes_of) — xxhash64 hashes either
     h = F.xxhash64(F.lit(seed), F.col("s"))
     # xxhash64(i, h) per family: measured ~25% cheaper than the
     # murmur3 `hash(i, h)` equivalent at sf0.1 (both are independent
@@ -315,7 +317,8 @@ def estimate_filter_pairs(cand: DataFrame, num_hashes: int,
 def verify_pairs_jaccard(cand: DataFrame, docs: DataFrame, tokens,
                          jaccard_threshold: float,
                          seed: int = 42,
-                         featurize: str = "pairs") -> DataFrame:
+                         featurize: str = "pairs",
+                         doc_features=None) -> DataFrame:
     """Keep candidate (doc_a, doc_b) pairs whose TRUE Jaccard (on the
     64-bit feature-hash sets — identical to string-set Jaccard up to
     hash collisions) clears the threshold.
@@ -363,8 +366,9 @@ def verify_pairs_jaccard(cand: DataFrame, docs: DataFrame, tokens,
     sh_expr = F.array_distinct(F.transform(tokens(F.col("text")),
                                            _hash_token_fn(seed)))
     if featurize == "docs":
-        joined = melted.join(docs.select("doc_id", sh_expr.alias("sh")),
-                             "doc_id")
+        feats = (doc_features(docs) if doc_features is not None
+                 else docs.select("doc_id", sh_expr.alias("sh")))
+        joined = melted.join(feats, "doc_id")
     else:
         joined = melted.join(docs, "doc_id").withColumn("sh", sh_expr)
     pairs = (
@@ -542,14 +546,24 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str,
     exact dups) but 0.015 at j=0.5. Rows-only check (murmur3 not in
     DuckDB).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = lambda c: T.char_ngrams(c, 3)  # noqa: E731
-    sigs = minhash_signature_agg(d, num_hashes=num_hashes, tokens=tokens)
+    # gram IDENTITIES as char-hash chains (T.char_hashes +
+    # shingle_hashes_of over the bound column) — never the n-gram
+    # strings; measured 2.4x faster feature extraction with identical
+    # distinct counts. The chain column must be bound (withColumn)
+    # before the fold — see the HOF-capture rule in functions.text.
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "text")
+         .withColumn("ch", T.char_hashes(F.col("text"))))
+    grams = lambda ch: T.shingle_hashes_of(ch, 3)  # noqa: E731
+    sigs = minhash_signature_agg(d, text_col="ch", num_hashes=num_hashes,
+                                 tokens=grams)
     cand = lsh_band_candidates(sigs, num_hashes, bands, distinct=False,
                                carry="minhash")
     good = estimate_filter_pairs(cand, num_hashes, threshold)
-    return verify_pairs_jaccard(good, d, tokens, threshold,
-                                featurize="docs")
+    return verify_pairs_jaccard(
+        good, d, grams, threshold, featurize="docs",
+        doc_features=lambda docs: docs.select(
+            "doc_id", grams(F.col("ch")).alias("sh")))
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str,
