@@ -39,22 +39,48 @@ _MODULES = (streaming, dedup, similarity, multimodal, textops, scaleops,
             pipelineops, events, joins_extra, tpch_extra, relational_extra,
             relational)
 
-# Queries pulled to the FRONT of the 50-entry driver window regardless
-# of module order: everything added or internally reworked this round
-# (new ops; the four streaming queries that failed on NTZ timestamps in
-# r3; every consumer of the rebuilt shingle/char-ngram expressions).
-# Module order above ranks the remainder.
+# The 50 queries pinned to the FRONT of the driver's correctness window
+# (the driver records only the first 50 queries() entries). Round-5
+# selection rule (VERDICT.md r4 asks #1/#2/#5):
+#   1. RED-UNTIL-GREEN — any query whose LAST driver row was
+#      hash_match:false keeps its slot until a driver row says green.
+#   2. Reworked this round (oracle or plan changed) — must be re-verified.
+#   3. Never driver-checked (11 queries had no row in r1-r4).
+#   4. Oldest driver row first (r1, then r2) — rotating the 71
+#      outside-window queries through r5/r6 so every oracled query has a
+#      driver row at most ~2 rounds old. The 16 r2-checked names left
+#      out here are earmarked for the round-6 window.
+# Module order above ranks everything not listed.
 _WINDOW_PRIORITY = (
-    "streaming_tumbling_window", "streaming_sliding_window",
-    "streaming_dedup_within_watermark", "streaming_session_window",
-    "streaming_stream_stream_join",
-    "dedup_keep_best", "hll_distinct_rollup", "multimodal_header_parse",
-    "events_variant_extract", "doc_word_runs_udtf", "dpp_partitioned_join",
-    "bitmap_distinct_rollup", "pq_ann_topk", "kafka_wire_roundtrip", "recursive_month_spine",
-    "minhash_lsh_pairs", "ngram_jaccard_dups", "simhash_buckets",
-    "simhash_near_dups", "dedup_clusters", "incremental_dedup_minhash",
-    "doc_repetition_scores", "decontamination_ngram_overlap",
-    "cross_doc_span_dups", "corpus_prep_pipeline",
+    # -- 1. red in their last driver row (r3/r4) --------------------
+    "kafka_wire_roundtrip", "cross_doc_span_dups", "corpus_prep_pipeline",
+    "context_packing_stats",
+    # -- 2. reworked in round 5 -------------------------------------
+    "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
+    "streaming_session_window",          # promoted rows-only -> oracled
+    "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
+    # -- 3. never driver-checked ------------------------------------
+    "events_funnel_conversion", "events_hourly_range_sum",
+    "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
+    "q9_promo_profit", "q11_top_balance_nations", "q16_part_supplier_variety",
+    "q20_heavy_promo_suppliers", "q21_sole_late_suppliers",
+    # -- 4. oldest driver rows (r1, then r2) ------------------------
+    "pipeline_add_fields",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "top10_customers_by_revenue",
+    "latest3_orders_per_customer", "customer_running_total",
+    "rollup_lineitem_flags", "cube_order_status_priority",
+    "customers_with_urgent_orders", "customers_without_urgent_orders",
+    "nations_with_both_roles", "customer_only_nations",
+    "segment_distinct_stats", "part_scalar_functions",
+    "orders_date_functions", "pivot_status_by_priority",
+    "lineitem_moment_stats", "approx_distinct_customers",
+    "nations_supplier_outer", "full_outer_nation_roles",
+    "asof_last_click_before_purchase", "intersect_all_order_counts",
+    "except_all_nation_bags", "grouping_sets_revenue",
+    "unpivot_part_measures", "events_json_extract",
+    "events_tumbling_window", "events_sliding_window", "events_sessionize",
+    "events_running_value", "q15_top_suppliers",
 )
 
 

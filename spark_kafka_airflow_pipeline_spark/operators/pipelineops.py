@@ -114,7 +114,7 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KAFKA_WIRE_SQL = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(o_totalprice) AS DECIMAL(20,2)) AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_price,
        MAX(CAST(o_orderdate AS DATE)) AS latest_order
 FROM orders GROUP BY o_orderstatus
 """

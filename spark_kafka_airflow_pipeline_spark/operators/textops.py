@@ -369,7 +369,7 @@ survivors AS (
 )
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       SUM(n_chunks) AS total_chunks
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
 FROM survivors GROUP BY lang
 """
 
@@ -697,7 +697,7 @@ WITH grams AS (
   SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
 )
 SELECT doc_id, COUNT(*) AS n_grams,
-       COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS n_shared,
+       CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared,
        CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
          / COUNT(*) AS span_dup_ratio
 FROM grams JOIN shared USING (g)
@@ -748,7 +748,8 @@ WITH toks AS (
            / 4096) AS BIGINT) AS win_id
   FROM toks
 )
-SELECT source, win_id, COUNT(*) AS n_docs, SUM(n_tokens) AS win_tokens
+SELECT source, win_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS win_tokens
 FROM binned GROUP BY source, win_id
 """
 

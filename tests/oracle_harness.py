@@ -1,12 +1,32 @@
 """Local twin of the driver's correctness gate: run a queries() entry in
 Spark and its oracle_sql() in DuckDB on the same parquet tables, compare
-row count + schema-insensitive column names + order-insensitive values.
+row count + column names + order-insensitive TYPED values.
+
+Driver-faithfulness (round-5 rework): the r1-r4 harness normalized
+``Decimal -> float`` and stripped timezones before comparing, which was
+lossy in exactly the places the driver's value hasher is strict — the
+round-3/4 ``hash_match: false`` rows (DuckDB HUGEINT from un-cast integer
+SUMs; a double-sum vs decimal-sum) all passed the old local compare.
+This version fetches BOTH sides through Arrow and compares
+``(type-class, canonical rendering)`` pairs per cell:
+
+- ``Decimal`` keeps its scale (``str``), so ``HUGEINT``/``decimal128(38,0)``
+  from DuckDB can never silently equal a Spark ``bigint``;
+- ``int`` and ``float`` are distinct classes (``5`` != ``5.0``);
+- tz-aware datetimes are canonicalized to their UTC instant, naive ones
+  kept verbatim — the engine pins ``spark.sql.session.timeZone=UTC`` so a
+  Spark TIMESTAMP (UTC-aware through Arrow) matches the same parquet
+  micros read by DuckDB as naive only when the instants truly agree.
+
+Calibration: with the pre-fix round-4 oracles this harness reproduces all
+three driver reds (see ``tests/test_oracle_parity.py::test_harness_is_
+driver_faithful``) and stays green on driver-green queries.
 """
 
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 
 import duckdb
@@ -22,32 +42,52 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _canon(v):
+    """(type-class, rendering) — two cells are equal iff both components
+    match, so a type divergence is a mismatch even when values are
+    numerically equal (that is exactly what the driver's hasher sees)."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", str(v))
     if isinstance(v, Decimal):
-        return float(v)
+        return ("dec", "NaN" if v.is_nan() else str(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("float", "NaN" if math.isnan(v) else repr(v))
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    return v
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return ("ts", v.isoformat())
+    if isinstance(v, date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_canon(e) for e in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    return (type(v).__name__, repr(v))
 
 
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions; empty == parity."""
     problems: list[str] = []
     cols = sorted(spark_df.columns)
-    spark_rows = [tuple(_norm(r[c]) for c in cols) for r in spark_df.collect()]
+    spark_tbl = spark_df.toArrow()
+    spark_data = {c: spark_tbl.column(c).to_pylist() for c in cols}
+    spark_rows = [tuple(_canon(spark_data[c][i]) for c in cols)
+                  for i in range(spark_tbl.num_rows)]
 
-    duck = con.execute(sql)
-    duck_cols = [d[0] for d in duck.description]
-    duck_raw = duck.fetchall()
+    duck_tbl = con.sql(sql).arrow()
+    duck_cols = duck_tbl.column_names
     if sorted(duck_cols) != cols:
         problems.append(f"columns differ: spark={cols} duckdb={sorted(duck_cols)}")
         return problems
-    idx = [duck_cols.index(c) for c in cols]
-    duck_rows = [tuple(_norm(r[i]) for i in idx) for r in duck_raw]
+    duck_data = {c: duck_tbl.column(c).to_pylist() for c in cols}
+    duck_rows = [tuple(_canon(duck_data[c][i]) for c in cols)
+                 for i in range(duck_tbl.num_rows)]
 
     if len(spark_rows) != len(duck_rows):
         problems.append(f"row count: spark={len(spark_rows)} duckdb={len(duck_rows)}")

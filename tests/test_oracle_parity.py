@@ -45,3 +45,37 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_harness_is_driver_faithful(spark, sf_dir, con):
+    """The round-4 driver reds came from oracle output types the old
+    lossy comparator could not see (DuckDB HUGEINT vs BIGINT). The
+    rewritten typed harness must reproduce that red on the pre-fix
+    oracle text and stay green on the fixed one."""
+    name = "cross_doc_span_dups"
+    prefix_sql = ORACLES[name].replace(
+        "CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        " AS n_shared",
+        "COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS n_shared")
+    assert prefix_sql != ORACLES[name]
+    df = QUERIES[name](spark, sf_dir)
+    assert compare(df, con, prefix_sql), \
+        "typed harness failed to flag the HUGEINT pre-fix oracle"
+    assert not compare(df, con, ORACLES[name])
+
+
+def test_window_priority_holds_last_driver_reds():
+    """Red-until-green: every query whose LAST driver row was
+    hash_match:false must sit inside the first 50 queries() entries."""
+    import json
+    last: dict[str, bool] = {}
+    for r in (1, 2, 3, 4):
+        p = Path(__file__).resolve().parent.parent / f"CORRECTNESS_r0{r}.json"
+        if p.exists():
+            for k, v in json.loads(p.read_text()).items():
+                if v.get("hash_match") is not None:
+                    last[k] = v["hash_match"]
+    window = list(QUERIES)[:50]
+    reds = [n for n, ok in last.items() if not ok and n in QUERIES]
+    missing = [n for n in reds if n not in window]
+    assert not missing, f"last-red queries outside driver window: {missing}"
