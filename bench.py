@@ -51,6 +51,25 @@ def _scaled_shuffle_partitions(sf_dir: str) -> int:
     return max(8, min(4096, total // (16 << 20)))
 
 
+def _sentinel_seconds(spark) -> float:
+    """Fixed-code host-noise sentinel (min of 3): a frozen scan+agg that
+    no round ever edits, so round-over-round drift in THIS number is
+    host load, not code. Inlined here — not an operator — precisely so
+    operator work can't touch it. (VERDICT.md r4 ask #7: the r4-vs-r2
+    slowdown cost an adjudication pass because nothing separated env
+    noise from regression.)"""
+    from pyspark.sql import functions as F
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+         .groupBy("l_returnflag")
+         .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+         .count())
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS",
                           str(_scaled_shuffle_partitions(SF_DIR)))
@@ -59,6 +78,7 @@ def main() -> None:
 
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    sentinel = _sentinel_seconds(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -81,6 +101,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # host-noise calibration: compare `sentinel` (fixed code, min of
+        # 3) across BENCH_r{N}.json files — if it moved, the host moved
+        "sentinel": sentinel,
+        "load_avg": list(os.getloadavg()),
     }))
     spark.stop()
 

@@ -78,6 +78,40 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(canon)
 
 
+# ----------------------------------------------------------------------
+# Shared DuckDB oracle fragments mirroring the expressions above.
+# Single source of truth (VERDICT.md r4 ask #8): the metric CTE columns
+# and the composite quality formula used to be inlined verbatim in three
+# oracles (DOC_QUALITY_SQL, CORPUS_PREP_SQL, DEDUP_KEEP_BEST_SQL) and an
+# edit once missed a copy. Oracles now compose these fragments.
+# ----------------------------------------------------------------------
+
+#: md5 fingerprint of whitespace-normalized lowercased text
+#: (twin of :func:`fingerprint`)
+SQL_FINGERPRINT = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+#: column list computing n_tokens / punct_ratio / stop_ratio from a
+#: ``text`` column (twins of :func:`token_count`,
+#: :func:`punctuation_ratio`, :func:`stopword_ratio`)
+SQL_DOC_METRIC_COLS = r"""
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+              ELSE 0.0 END AS stop_ratio""".strip("\n")
+
+#: composite quality score over the metric columns above
+#: (twin of :func:`quality_score` — same weights, same rounding)
+SQL_QUALITY_FROM_METRICS = """round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.3 * least(stop_ratio * 5, 1.0), 6)""".strip("\n")
+
+
 def raw_shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles in document order, duplicates preserved. Short
     docs (< k tokens) yield the whole doc as a single shingle.

@@ -86,7 +86,26 @@ def foreach_batch_sink(df: DataFrame, sink: Sink, checkpoint: str,
     micro-batch — the idiomatic way to stream into any batch-only
     format. ``available_now=True`` drains everything currently in the
     source and stops (bounded backfill / test runs); the default runs
-    continuously."""
+    continuously.
+
+    Only ``saveMode: append`` is accepted: each micro-batch issues one
+    batch write, so an OVERWRITE sink would clobber every previous
+    batch's output — silent data loss on any multi-batch stream. A
+    non-append mode raises up front rather than at the Nth micro-batch.
+
+    Exactly-once note: the checkpoint records which source files/offsets
+    were already processed, so a RERUN against the same checkpoint
+    skips everything previously seen (no duplicate appends) — delete
+    the checkpoint directory to reprocess from scratch.
+    """
+    if sink.saveMode.lower() != "append":
+        raise ValueError(
+            f"streaming sink {sink.name!r} has saveMode "
+            f"{sink.saveMode!r}: foreachBatch re-runs the batch writer "
+            "per micro-batch, so only 'append' is safe (OVERWRITE would "
+            "clobber previous batches). Declare the sink as append, or "
+            "run the dataflow as batch.")
+
     def _write(batch_df: DataFrame, _batch_id: int) -> None:
         write_sink(batch_df, sink)
 

@@ -65,8 +65,8 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_FINGERPRINT_SQL = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+DEDUP_FINGERPRINT_SQL = f"""
+SELECT {T.SQL_FINGERPRINT} AS fp,
        min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """
@@ -94,28 +94,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # argmax mirrored as a window (DuckDB's arg_max disallows struct
-# ordering keys); q reuses the corpus_prep quality formula verbatim
-DEDUP_KEEP_BEST_SQL = """
+# ordering keys); fingerprint / metric CTE / q come from the shared
+# fragments in functions.text (single source of truth)
+DEDUP_KEEP_BEST_SQL = f"""
 WITH m AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
-                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-              ELSE 0.0 END AS stop_ratio
+         {T.SQL_FINGERPRINT} AS fp,
+{T.SQL_DOC_METRIC_COLS}
   FROM documents
 ),
 scored AS (
   SELECT doc_id, fp,
-         round(0.4 * least(n_tokens / 50.0, 1.0)
-             + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-             + 0.3 * least(stop_ratio * 5, 1.0), 6) AS q
+         {T.SQL_QUALITY_FROM_METRICS} AS q
   FROM m
 ),
 ranked AS (

@@ -84,25 +84,14 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.quality_score("text").alias("quality"))
 
 
-DOC_QUALITY_SQL = """
+DOC_QUALITY_SQL = f"""
 WITH m AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
-                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-              ELSE 0.0 END AS stop_ratio
+{T.SQL_DOC_METRIC_COLS}
   FROM documents
 )
 SELECT doc_id,
-       round(0.4 * least(n_tokens / 50.0, 1.0)
-           + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-           + 0.3 * least(stop_ratio * 5, 1.0), 6) AS quality
+       {T.SQL_QUALITY_FROM_METRICS} AS quality
 FROM m
 """
 
@@ -114,8 +103,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
-DOC_FINGERPRINT_SQL = """
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, {T.SQL_FINGERPRINT} AS fp
 FROM documents
 """
 
@@ -333,29 +322,19 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chunks").alias("total_chunks")))
 
 
-# quality formula mirrors DOC_QUALITY_SQL above (same rounding, same
-# guards); chunk count mirrors DOC_CHUNKS_SQL's start grid
+# quality formula / metric CTE / fingerprint come from the shared
+# fragments in functions.text (single source of truth); chunk count
+# mirrors DOC_CHUNKS_SQL's start grid
 CORPUS_PREP_SQL = f"""
 WITH m AS (
   SELECT doc_id, lang,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                       x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
-                   * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-              ELSE 0.0 END AS stop_ratio
+         {T.SQL_FINGERPRINT} AS fp,
+{T.SQL_DOC_METRIC_COLS}
   FROM documents
 ),
 scored AS (
   SELECT doc_id, lang, fp, n_tokens,
-         round(0.4 * least(n_tokens / 50.0, 1.0)
-             + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-             + 0.3 * least(stop_ratio * 5, 1.0), 6) AS q,
+         {T.SQL_QUALITY_FROM_METRICS} AS q,
          CASE WHEN n_tokens <= 0 THEN 0
               ELSE CAST(floor((n_tokens - 1) / {CHUNK_STRIDE}) + 1 AS BIGINT)
          END AS n_chunks
@@ -628,10 +607,10 @@ def incremental_dedup_exact(spark: SparkSession, sf_dir: str,
                  F.count(F.lit(1)).alias("n_batch_copies")))
 
 
-INCREMENTAL_DEDUP_SQL = """
+INCREMENTAL_DEDUP_SQL = f"""
 WITH fps AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         {T.SQL_FINGERPRINT} AS fp
   FROM documents
 )
 SELECT fp, min(doc_id) AS doc_id, COUNT(*) AS n_batch_copies

@@ -164,10 +164,18 @@ def streaming_dedup_within_watermark(spark: SparkSession,
     whose unbounded ``dropDuplicates`` state grows forever on a real
     stream (SURVEY.md §2.2 Streaming, §7 item 3).
 
-    Rows-only check: on this single-file drain everything lands in one
-    micro-batch so the output matches DISTINCT, but the multi-batch
-    eviction/late-drop semantics (a key re-emitted after its state
-    expired; a late duplicate dropped) are pinned by
+    Oracle (promoted from rows-only in round 5, VERDICT.md r4 ask #6):
+    on a drained source every key's first occurrence is emitted exactly
+    once, so the result set equals ``SELECT DISTINCT`` regardless of
+    how the drain was micro-batched — duplicates arriving before
+    eviction are dropped by state, and the watermark can only evict a
+    key after its event time has passed, at which point any later
+    arrival of that key is either a re-emit of an evicted key (only
+    possible for data later than everything that came before, which a
+    duplicate by definition is not on a replayed static source) or
+    dropped as late. The multi-batch eviction/late-drop semantics (a
+    key re-emitted after its state expired; a late duplicate dropped)
+    are pinned separately by
     ``tests/test_streaming_sinks.py::test_dedup_within_watermark_*``,
     which feed files through a checkpointed query batch by batch.
     """
@@ -181,10 +189,19 @@ def streaming_dedup_within_watermark(spark: SparkSession,
 
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) per user — Spark's
-    session_window is the streaming-stateful sessionizer; rows-only
-    check (session merging semantics aren't plain ANSI SQL, and the
-    batch gaps-and-islands twin events_sessionize is the oracle-able
-    variant)."""
+    session_window is the streaming-stateful sessionizer.
+
+    Oracle (promoted from rows-only in round 5, VERDICT.md r4 ask #6):
+    session merging IS expressible as ANSI gaps-and-islands — an event
+    merges into the current session iff ``ts <= last_ts + gap``
+    (boundary-inclusive: an event at exactly ``last_ts + 30min`` MERGES
+    — verified empirically on Spark 4.1, pinned by
+    ``tests/test_streaming_sinks.py::test_session_window_boundary``),
+    so a NEW session starts exactly when the gap to the previous event
+    is **strictly > 30 min**. The oracle flags island starts on that
+    condition in integer microseconds (exact on boundary events, no
+    double rounding), cumulative-sums them into session ids, and takes
+    MIN(ts)/COUNT(*) per island."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -195,6 +212,28 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events")
     )
     return _drain_to_memory(agg, "complete")
+
+
+STREAMING_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+"""
 
 
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,5 +388,9 @@ ORACLES: dict[str, str] = {
     "streaming_stateful_sessions": STREAMING_STATEFUL_SESSIONS_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
     "streaming_stream_stream_join": STREAMING_STREAM_STREAM_JOIN_SQL,
-    # streaming_session_window / streaming_dedup_within_watermark: rows-only
+    # promoted from rows-only in round 5 (VERDICT.md r4 ask #6): the
+    # drained dedup equals DISTINCT; session windows have an exact
+    # gaps-and-islands twin (see each function's docstring)
+    "streaming_dedup_within_watermark": STREAMING_DEDUP_SQL,
+    "streaming_session_window": STREAMING_SESSION_WINDOW_SQL,
 }

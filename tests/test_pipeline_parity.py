@@ -409,3 +409,30 @@ def test_streaming_dataflow_matches_batch(spark, tmp_path):
     assert sorted(r["name"] for r in ko.collect()) == ["Miguel", "Xabier"]
     assert sorted(r[ERROR_COLUMN][0] for r in ko.collect()) == [
         "age-notNull", "office-notEmpty"]
+
+
+def test_streaming_dataflow_rejects_overwrite_sink(spark, tmp_path):
+    """A streaming dataflow whose sink declares OVERWRITE must fail up
+    front: foreachBatch re-runs the batch writer per micro-batch, so
+    overwrite would clobber every previous batch's output (silent data
+    loss on a multi-batch stream)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part1.json").write_text(
+        "\n".join(json.dumps(r) for r in FIXTURE_ROWS))
+    meta = parse_metadata({
+        "dataflows": [{
+            "name": "stream-overwrite",
+            "sources": [{"name": "person_inputs", "path": str(src),
+                         "format": "JSON", "streaming": True,
+                         "schema": "name string, age long, office string"}],
+            "transformations": [],
+            "sinks": [
+                {"input": "person_inputs", "name": "out",
+                 "paths": [str(tmp_path / "o")], "format": "PARQUET",
+                 "saveMode": "OVERWRITE"},
+            ],
+        }]
+    })
+    with pytest.raises(ValueError, match="only 'append' is safe"):
+        PipelineExecutor(spark).process(meta)

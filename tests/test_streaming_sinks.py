@@ -111,9 +111,10 @@ def test_dedup_within_watermark_evicts_state_and_drops_late(spark, tmp_path):
 def test_session_window_matches_batch_gaps_and_islands(spark, sf_dir):
     """Cross-check the native session_window drain against a batch
     gaps-and-islands twin at per-session granularity: (user_id,
-    session_start, n_events) must agree exactly. Spark's session_window
-    is half-open ([t, t+gap)), so the batch twin breaks a session when
-    gap >= 1800s — the boundary convention session_window documents."""
+    session_start, n_events) must agree exactly. The boundary is
+    INCLUSIVE — an event at exactly last_ts + 30min merges (verified in
+    test_session_window_boundary) — so the twin breaks a session only
+    when gap > 1800s strictly."""
     from pyspark.sql import Window
 
     from spark_kafka_airflow_pipeline_spark.operators.base import table
@@ -128,7 +129,7 @@ def test_session_window_matches_batch_gaps_and_islands(spark, sf_dir):
            - F.lag(F.col("ts").cast("double")).over(by_user))
     sess = (e.select("user_id", "event_id", "ts")
             .withColumn("is_new",
-                        F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0))
+                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
             .withColumn("sid", F.sum("is_new").over(
                 by_user.rowsBetween(Window.unboundedPreceding,
                                     Window.currentRow))))
@@ -140,6 +141,23 @@ def test_session_window_matches_batch_gaps_and_islands(spark, sf_dir):
              .select("user_id", "session_start", "n_events")
              .collect()}
     assert got == batch and got
+
+
+def test_session_window_boundary(spark):
+    """Pin the session_window gap boundary: an event at EXACTLY
+    last_ts + gap merges into the session (inclusive), one microsecond
+    past it starts a new session — the convention the
+    streaming_session_window oracle (strict > on the gap) relies on."""
+    rows = [(1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),          # exactly +gap: merges
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:00.000001")]   # 1us past: new session
+    df = (spark.createDataFrame(rows, "u long, ts string")
+          .select("u", F.col("ts").cast("timestamp").alias("ts")))
+    got = sorted((r["u"], r["n"]) for r in
+                 df.groupBy(F.session_window("ts", "30 minutes"), "u")
+                 .agg(F.count(F.lit(1)).alias("n")).select("u", "n").collect())
+    assert got == [(1, 2), (2, 1), (2, 1)]
 
 
 def _drain_stream_stream_join(spark, src_dir: str, ckpt: str) -> list:
