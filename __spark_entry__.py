@@ -55,10 +55,14 @@ _WINDOW_PRIORITY = (
     # -- 1. red in their last driver row (r3/r4) --------------------
     "kafka_wire_roundtrip", "cross_doc_span_dups", "corpus_prep_pipeline",
     "context_packing_stats",
-    # -- 2. reworked in round 5 -------------------------------------
+    # -- 2. new or reworked in round 5 ------------------------------
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
+    "bloom_filter_join", "zorder_layout",
+    "weighted_mixture_sample", "quality_percentile_filter",
+    "length_bucket_packing", "hard_negative_mining",
+    "events_zscore_outliers",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
@@ -78,9 +82,8 @@ _WINDOW_PRIORITY = (
     "nations_supplier_outer", "full_outer_nation_roles",
     "asof_last_click_before_purchase", "intersect_all_order_counts",
     "except_all_nation_bags", "grouping_sets_revenue",
-    "unpivot_part_measures", "events_json_extract",
-    "events_tumbling_window", "events_sliding_window", "events_sessionize",
-    "events_running_value", "q15_top_suppliers",
+    # (7 more r2-era names displaced by the round-5 additions join the
+    # 16 already earmarked for the round-6 window)
 )
 
 

@@ -416,7 +416,55 @@ SELECT '3_purchase', COUNT(*) FROM p
 """
 
 
+def events_zscore_outliers(spark: SparkSession, sf_dir: str,
+                           z_cut: float = 3.0) -> DataFrame:
+    """Per-type z-score outlier detection [EXT]: events whose ``value``
+    deviates more than ``z_cut`` standard deviations from their event
+    type's mean. mean and variance are derived from ORDER-INDEPENDENT
+    decimal sums (sum, sum-of-squares), not stddev_samp — a naive
+    double accumulation differs between engines and between
+    partitionings, which would make the z boundary flap; the two-pass
+    broadcast-join shape (tiny per-type stats joined back to the fact)
+    is the standard scale topology for global-statistic filters.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type",
+                                               "value")
+    stats = (ev.groupBy("event_type")
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("s1"),
+                  F.sum((F.col("value") * F.col("value"))
+                        .cast("decimal(24,6)")).alias("s2"),
+                  F.count(F.lit(1)).alias("n"))
+             .select("event_type",
+                     (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+                     F.sqrt((F.col("s2").cast("double")
+                             - F.col("s1").cast("double")
+                             * F.col("s1").cast("double") / F.col("n"))
+                            / (F.col("n") - 1)).alias("sd")))
+    z = F.round((F.col("value") - F.col("mean")) / F.col("sd"), 4)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type", z.alias("z"))
+            .filter(F.abs(F.col("z")) > z_cut))
+
+
+EVENTS_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS mean,
+         sqrt((CAST(SUM(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round((value - mean) / sd, 4) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((value - mean) / sd, 4)) > 3.0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_zscore_outliers": events_zscore_outliers,
     "events_funnel_conversion": events_funnel_conversion,
     "events_hourly_range_sum": events_hourly_range_sum,
     "asof_cogroup_pandas": asof_cogroup_pandas,
@@ -430,6 +478,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_zscore_outliers": EVENTS_ZSCORE_SQL,
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,
     "events_hourly_range_sum": EVENTS_RANGE_FRAME_SQL,
     "asof_cogroup_pandas": ASOF_COGROUP_SQL,

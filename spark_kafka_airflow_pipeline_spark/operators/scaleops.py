@@ -252,12 +252,125 @@ FROM events
 """
 
 
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join pruning [EXT]: a selective filter on
+    the orders side is turned into a bloom filter that Catalyst injects
+    into the lineitem scan (``might_contain(...)`` in the plan, pinned
+    by ``tests/test_plan_shapes.py``), so probe rows whose key cannot
+    match are dropped AT THE SCAN, before the shuffle. On a 100 TB
+    fact-fact join this is the third pruning lever beside static
+    pushdown and DPP: DPP prunes partitions, the bloom filter prunes
+    ROWS of the non-partitioned join key, typically cutting the
+    shuffled probe volume by the build side's selectivity (~1/5 here).
+
+    The bloom thresholds are sized for production scans (probe side
+    >10 GB by default), so this query lowers them — and disables the
+    broadcast fallback, which at test scale would otherwise make the
+    bloom moot (a broadcast join already skips the shuffle) — scoped to
+    this plan and restored after.
+
+    Oracle: the same join without the runtime filter — bloom pruning
+    must be invisible in the answer (false-positive rows are re-checked
+    by the join itself).
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = (table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey"))
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount")
+        out = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "revenue")))
+        out.collect()  # materialize under the scoped confs
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOM_JOIN_SQL = f"""
+SELECT COUNT(*) AS n_lines,
+       {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _zorder_expr(x: str, y: str, bits: int = 16) -> str:
+    """Morton (Z-order) interleave of two ``bits``-bit ints as a SQL
+    expression string — built from `>>`/`&`/`<<` only, which Spark SQL
+    and DuckDB evaluate identically (checked bit-for-bit in tests), so
+    ONE string serves both the engine and the oracle."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton curve) data layout [EXT]: interleaving the bits
+    of (customer key, order day) gives a single sort key that clusters
+    BOTH dimensions at once — files written in z order carry tight
+    min/max ranges on either column, so parquet row-group pruning works
+    for customer-targeted AND date-targeted scans from one layout (the
+    trick behind Delta/Iceberg OPTIMIZE ZORDER, built here from plain
+    bit arithmetic).
+
+    The query computes the z-value per order and aggregates per
+    z-"tile" (top byte of the 32-bit curve): row count and revenue —
+    i.e. the manifest a writer would use to split z-sorted files. The
+    same expression string is the oracle's, so the curve itself is
+    verified bit-for-bit.
+    """
+    # CAST the day-diff to BIGINT: datediff returns INT in Spark, and an
+    # INT shifted left 31 would wrap negative (DuckDB's is BIGINT already)
+    z = _zorder_expr(
+        "(o_custkey & 65535)",
+        "(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) & 65535)")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    return (o.withColumn("z", F.expr(z))
+            .groupBy(F.expr("z >> 24").alias("z_tile"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum(F.col("o_totalprice"), "total_price")))
+
+
+_Z_ORACLE = _zorder_expr("(o_custkey & 65535)",
+                         "(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535)")
+ZORDER_SQL = f"""
+WITH z AS (
+  SELECT ({_Z_ORACLE}) AS z, o_totalprice FROM orders
+)
+SELECT (z >> 24) AS z_tile, COUNT(*) AS n_orders,
+       {SQL_DSUM.format(expr='o_totalprice')} AS total_price
+FROM z GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
     "hll_distinct_rollup": hll_distinct_rollup,
     "dpp_partitioned_join": dpp_partitioned_join,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
+    "bloom_filter_join": bloom_filter_join,
+    "zorder_layout": zorder_layout,
 }
 
 ORACLES: dict[str, str] = {
@@ -265,4 +378,6 @@ ORACLES: dict[str, str] = {
     "salted_group_agg": SALTED_AGG_SQL,
     "dpp_partitioned_join": DPP_JOIN_SQL,
     "bitmap_distinct_rollup": BITMAP_DISTINCT_SQL,
+    "bloom_filter_join": BLOOM_JOIN_SQL,
+    "zorder_layout": ZORDER_SQL,
 }

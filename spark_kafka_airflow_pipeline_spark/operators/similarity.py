@@ -609,8 +609,67 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
             .select("query_id", "neighbor_id", "approx_sqdist", "rank"))
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining [EXT]: for each anchor vector
+    (vec_id < N_QUERIES), the most cosine-similar vector with a
+    DIFFERENT label — the "closest impostor" a contrastive or
+    embedding-finetune loop trains against. Same broadcast + carried-
+    norm topology as ``cosine_topk`` (the anchors broadcast; the corpus
+    is never reshuffled), plus the label predicate in the join — at
+    100 TB the anchor set is the small side by construction, so this
+    stays a map-side join over one corpus scan."""
+    emb = _embeddings(spark, sf_dir)
+    anchors = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("a_label"),
+                       F.col("emb").alias("a_emb"),
+                       V.l2_norm("emb").alias("n_a")))
+    corpus = emb.select(F.col("vec_id").alias("negative_id"),
+                        F.col("label").alias("c_label"),
+                        F.col("emb").alias("c_emb"),
+                        V.l2_norm("emb").alias("n_c"))
+    sim = F.round(V.dot(F.col("a_emb"), F.col("c_emb"))
+                  / (F.col("n_a") * F.col("n_c")), 6)
+    pairs = (corpus.join(F.broadcast(anchors),
+                         F.col("a_label") != F.col("c_label"))
+             .select("anchor_id", "negative_id", sim.alias("cosine_sim")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("anchor_id", "negative_id", "cosine_sim"))
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+         round(
+           list_reduce(list_transform(list_zip(a.emb, c.emb),
+                                      p -> p[1] * p[2]), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(c.emb, x -> x * x), (acc, x) -> acc + x))),
+           6) AS cosine_sim
+  FROM emb a, emb c
+  WHERE a.vec_id < {N_QUERIES} AND a.label != c.label
+),
+ranked AS (
+  SELECT anchor_id, negative_id, cosine_sim,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine_sim DESC, negative_id) AS rn
+  FROM pairs
+)
+SELECT anchor_id, negative_id, cosine_sim FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "embedding_int8_quant_error": embedding_int8_quant_error,
+    "hard_negative_mining": hard_negative_mining,
     "cosine_topk": cosine_topk,
     "embedding_near_dups": embedding_near_dups,
     "label_centroid_similarity": label_centroid_similarity,
@@ -623,6 +682,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "embedding_int8_quant_error": EMBEDDING_INT8_SQL,
+    "hard_negative_mining": HARD_NEGATIVE_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "label_centroid_similarity": LABEL_CENTROID_SQL,

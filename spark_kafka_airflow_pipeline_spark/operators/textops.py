@@ -881,7 +881,159 @@ GROUP BY doc_id, run_id, w
 """
 
 
+# ----------------------------------------------------------------------
+# weighted mixture sampling — deterministic hash-threshold Bernoulli
+# ----------------------------------------------------------------------
+
+# per-source keep rates expressed as 4-hex-digit md5 prefixes:
+# P(keep) = int(threshold, 16) / 16^4. Unlike Spark's sample()/sampleBy()
+# RNG (rows-only stratified_sample above), an md5 threshold is a pure
+# function of the ROW — reproducible across runs, engines, partitionings
+# and cluster sizes, which is what a training-mixture spec needs: the
+# same doc is kept or dropped forever, no matter how the job is laid out.
+MIXTURE_RATES = {
+    "src0": "ffff",   # ~1.0
+    "src1": "8000",   # 0.5
+    "src2": "4000",   # 0.25
+    "src3": "1999",   # ~0.1
+}
+DEFAULT_MIXTURE_RATE = "c000"  # 0.75 for every other source
+
+
+def _mixture_threshold_sql(source_col: str) -> str:
+    cases = " ".join(f"WHEN '{s}' THEN '{t}'"
+                     for s, t in sorted(MIXTURE_RATES.items()))
+    return f"CASE {source_col} {cases} ELSE '{DEFAULT_MIXTURE_RATE}' END"
+
+
+def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling [EXT]: keep each doc iff
+    the first 4 hex chars of ``md5(doc_id || ':mix')`` sort below the
+    source's threshold — an engine-portable Bernoulli draw (md5 is
+    bit-identical in Spark and DuckDB, so this query is EXACTLY
+    oracled, unlike RNG-based sampling). Output: per-source kept doc
+    and token counts — the realized mixture a trainer would consume."""
+    d = table(spark, sf_dir, "documents")
+    u = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":mix"))), 1, 4)
+    thr = F.expr(_mixture_threshold_sql("source"))
+    return (d.select("source", T.token_count("text").alias("n_tokens"), u.alias("u"), thr.alias("thr"))
+            .filter(F.col("u") < F.col("thr"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+WEIGHTED_MIXTURE_SQL = f"""
+WITH kept AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4)
+        < {_mixture_threshold_sql('source')}
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source
+"""
+
+
+# ----------------------------------------------------------------------
+# quality percentile filter — exact per-language percentile gate
+# ----------------------------------------------------------------------
+
+def quality_percentile_filter(spark: SparkSession, sf_dir: str,
+                              keep_frac: float = 0.4) -> DataFrame:
+    """Per-language quality gate at an exact percentile [EXT]: keep the
+    top ``keep_frac`` of documents per language by quality score
+    (percent_rank, deterministic (q, doc_id) ordering), report the
+    kept count and realized quality floor per language. Exact
+    percentiles need one sort per language partition — the scalable
+    form of "keep the best 40%" when a fixed absolute threshold would
+    drift per language; an approx-quantile pre-pass would trade the
+    sort for rank error."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", T.quality_score("text").alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (scored.withColumn("pr", F.percent_rank().over(w))
+            .filter(F.col("pr") < keep_frac)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.min("q"), 6).alias("q_floor"),
+                 davg(F.col("q"), "avg_q")))
+
+
+QUALITY_PERCENTILE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+{T.SQL_DOC_METRIC_COLS}
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {T.SQL_QUALITY_FROM_METRICS} AS q FROM m
+), ranked AS (
+  SELECT lang, q,
+         percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS pr
+  FROM scored
+)
+SELECT lang, COUNT(*) AS n_kept,
+       round(MIN(q), 6) AS q_floor,
+       {SQL_DAVG.format(expr='q')} AS avg_q
+FROM ranked WHERE pr < 0.4 GROUP BY lang
+"""
+
+
+# ----------------------------------------------------------------------
+# length-bucket packing — padding-waste manifest for batch assembly
+# ----------------------------------------------------------------------
+
+def length_bucket_packing(spark: SparkSession, sf_dir: str,
+                          bucket_width: int = 128,
+                          max_bucket: int = 31) -> DataFrame:
+    """Length-bucketed batching manifest [EXT]: documents are dealt to
+    token-length buckets of ``bucket_width`` (capped at
+    ``max_bucket``), and per bucket the padding waste is computed —
+    the tokens burned if every doc in the bucket is padded to the
+    bucket ceiling. Length-bucketing is how training dataloaders keep
+    padding waste low at scale (batching docs of similar length); this
+    query IS the planning table for it, one shuffle on the bucket key."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.token_count("text")
+    bucket = F.least(F.floor(toks / bucket_width),
+                     F.lit(max_bucket)).cast("long")
+    ceiling = (bucket + 1) * bucket_width
+    return (d.select(bucket.alias("bucket"), toks.alias("n_tokens"),
+                     ceiling.alias("ceil_tokens"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(F.col("ceil_tokens") - F.col("n_tokens"))
+                 .alias("padding_waste")))
+
+
+LENGTH_BUCKET_SQL = """
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), b AS (
+  SELECT n_tokens,
+         least(CAST(floor(n_tokens / 128) AS BIGINT), 31) AS bucket
+  FROM toks
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM((bucket + 1) * 128 - n_tokens) AS BIGINT) AS padding_waste
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "weighted_mixture_sample": weighted_mixture_sample,
+    "quality_percentile_filter": quality_percentile_filter,
+    "length_bucket_packing": length_bucket_packing,
     "decontamination_ngram_overlap": decontamination_ngram_overlap,
     "doc_repetition_scores": doc_repetition_scores,
     "bigram_logprob_scores": bigram_logprob_scores,
@@ -906,6 +1058,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "weighted_mixture_sample": WEIGHTED_MIXTURE_SQL,
+    "quality_percentile_filter": QUALITY_PERCENTILE_SQL,
+    "length_bucket_packing": LENGTH_BUCKET_SQL,
     "decontamination_ngram_overlap": DECONTAMINATION_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,

@@ -73,3 +73,64 @@ def test_dpp_join_prunes_partitions(spark, sf_dir):
 
     plan = _plan(scaleops.dpp_partitioned_join(spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark, sf_dir):
+    """Catalyst must inject the build-side bloom filter into the
+    lineitem probe scan (``might_contain`` in the physical plan) —
+    the row-level runtime-pruning lever the operator exists to pin.
+    The plan is captured INSIDE the query's scoped-conf window by
+    explaining the returned (already-materialized) frame's twin."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = (table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey"))
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_zorder_expr_bit_parity(spark, sf_dir):
+    """The shared Morton expression string must evaluate identically in
+    Spark and DuckDB (same `>>`/`&`/`<<` semantics) — checked on the
+    full 16-bit corner lattice including the sign-sensitive top bit."""
+    import duckdb
+
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import _zorder_expr
+
+    expr = _zorder_expr("(CAST(x AS BIGINT) & 65535)",
+                        "(CAST(y AS BIGINT) & 65535)")
+    pts = [(x, y) for x in (0, 1, 2, 32767, 32768, 65535, 70000)
+           for y in (0, 1, 3, 32768, 65535)]
+    sdf = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r["x"], r["y"], r["z"]) for r in
+                 sdf.selectExpr("x", "y", f"({expr}) AS z").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    want = sorted(con.execute(
+        f"SELECT x, y, ({expr}) AS z FROM pts").fetchall())
+    assert got == want
+    # spot-check the curve itself: (1,0)->1, (0,1)->2, (1,1)->3
+    zmap = {(x, y): z for x, y, z in got}
+    assert (zmap[(1, 0)], zmap[(0, 1)], zmap[(1, 3)]) == (1, 2, 11)
