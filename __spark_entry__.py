@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = (
     "length_bucket_packing", "hard_negative_mining",
     "events_zscore_outliers",
     "scd2_user_tier_history", "upsert_latest_events", "partial_agg_rollup",
+    "streaming_topk_per_window",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
@@ -82,8 +83,7 @@ _WINDOW_PRIORITY = (
     "orders_date_functions", "pivot_status_by_priority",
     "lineitem_moment_stats", "approx_distinct_customers",
     "nations_supplier_outer", "full_outer_nation_roles",
-    "asof_last_click_before_purchase",
-    # (10 more r2-era names displaced by the round-5 additions join the
+    # (11 more r2-era names displaced by the round-5 additions join the
     # 16 already earmarked for the round-6 window)
 )
 

@@ -236,6 +236,51 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str,
+                              k: int = 3) -> DataFrame:
+    """Windowed top-k over a stream: hourly (window x event_type)
+    counts maintained by the streaming aggregation, then the per-window
+    rank applied to each emission — the standard "trending items"
+    topology. Ranking is NOT a streaming-stateful op: it runs over the
+    aggregate's output per emission (here: the drained complete-mode
+    table; in production the same rank sits in the foreachBatch drain
+    or over the compacted sink), so the expensive part — the windowed
+    count state — stays incremental and watermark-bounded.
+
+    Deterministic tie-break on event_type; oracled against the batch
+    hourly-count rank."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "event_type", "n_events")
+    )
+    drained = _drain_to_memory(agg, "complete")
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (drained.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= k))
+
+
+STREAMING_TOPK_SQL = """
+WITH counts AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                 ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n_events, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched with a STATIC
     dimension table (customer, keyed on user_id = c_custkey), then a
@@ -376,6 +421,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_session_window": streaming_session_window,
+    "streaming_topk_per_window": streaming_topk_per_window,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_static_join": streaming_static_join,
     "streaming_stream_stream_join": streaming_stream_stream_join,
@@ -393,4 +439,5 @@ ORACLES: dict[str, str] = {
     # gaps-and-islands twin (see each function's docstring)
     "streaming_dedup_within_watermark": STREAMING_DEDUP_SQL,
     "streaming_session_window": STREAMING_SESSION_WINDOW_SQL,
+    "streaming_topk_per_window": STREAMING_TOPK_SQL,
 }
