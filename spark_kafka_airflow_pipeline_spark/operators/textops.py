@@ -1030,7 +1030,70 @@ FROM b GROUP BY bucket
 """
 
 
+# ----------------------------------------------------------------------
+# tokenizer vocab coverage — OOV rate against a corpus-derived vocab
+# ----------------------------------------------------------------------
+
+VOCAB_SIZE = 500
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage analysis [EXT]: build the top-``VOCAB_SIZE``
+    corpus vocabulary (by occurrence count, alphabetical tie-break) and
+    report each source's out-of-vocabulary token rate — the standard
+    pre-tokenizer health check (a source with high OOV under the
+    corpus vocab will fragment into long byte-level token sequences).
+
+    Two passes over the tokens by construction (the vocab is a global
+    aggregate consumed by the per-row pass); the vocab itself is tiny
+    and broadcast back, so pass two stays shuffle-free on the join."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select("source",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("w"))
+            .filter(F.col("w") != ""))
+    rk = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("rn", F.row_number().over(rk))
+             .filter(F.col("rn") <= VOCAB_SIZE)
+             .select("w", F.lit(1).alias("in_vocab")))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                 .alias("oov_tokens"))
+            .select("source", "n_tokens", "oov_tokens",
+                    F.round(F.col("oov_tokens") / F.col("n_tokens"), 6)
+                    .alias("oov_rate")))
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents)
+  WHERE w != ''
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rn
+    FROM toks GROUP BY w)
+  WHERE rn <= {VOCAB_SIZE}
+)
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
     "weighted_mixture_sample": weighted_mixture_sample,
     "quality_percentile_filter": quality_percentile_filter,
     "length_bucket_packing": length_bucket_packing,
@@ -1058,6 +1121,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "tokenizer_vocab_coverage": VOCAB_COVERAGE_SQL,
     "weighted_mixture_sample": WEIGHTED_MIXTURE_SQL,
     "quality_percentile_filter": QUALITY_PERCENTILE_SQL,
     "length_bucket_packing": LENGTH_BUCKET_SQL,
