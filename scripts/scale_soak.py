@@ -67,6 +67,12 @@ OPS = {
     "kmeans_clusters": similarity.kmeans_clusters,
     "pq_ann_topk": similarity.pq_ann_topk,
     "dedup_clusters": dedup.dedup_clusters,
+    # round-5 document/embedding operators
+    "hard_negative_mining": similarity.hard_negative_mining,
+    "tokenizer_vocab_coverage": textops.tokenizer_vocab_coverage,
+    "weighted_mixture_sample": textops.weighted_mixture_sample,
+    "quality_percentile_filter": textops.quality_percentile_filter,
+    "length_bucket_packing": textops.length_bucket_packing,
 }
 
 

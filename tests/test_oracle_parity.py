@@ -64,6 +64,24 @@ def test_harness_is_driver_faithful(spark, sf_dir, con):
     assert not compare(df, con, ORACLES[name])
 
 
+def test_oracle_output_types_hugeint_free(sf_dir, con):
+    """Authoring-time lint for the round-3/4 failure class: no oracle
+    may produce HUGEINT (un-cast integer SUM), unsigned, or narrow-int
+    columns — types the driver's hasher encodes differently from
+    Spark's BIGINT even when values agree. Runs DuckDB-only (cheap):
+    type-plans every oracle without executing Spark."""
+    bad = {"hugeint", "uhugeint", "tinyint", "smallint", "utinyint",
+           "usmallint", "uinteger", "ubigint"}
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        rel = con.sql(sql)
+        hits = [(c, str(t).lower()) for c, t in zip(rel.columns, rel.types)
+                if str(t).lower() in bad]
+        if hits:
+            offenders.append((name, hits))
+    assert not offenders, offenders
+
+
 def test_window_priority_holds_last_driver_reds():
     """Red-until-green: every query whose LAST driver row was
     hash_match:false must sit inside the first 50 queries() entries."""
