@@ -463,7 +463,46 @@ WHERE abs(round((value - mean) / sd, 4)) > 3.0
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix [EXT]: users are cohorted by first-seen
+    day; each later active day counts toward (cohort_day, day_offset)
+    distinct-user retention — the canonical product-analytics rollup.
+
+    Shape: per-user min(ts) is ONE aggregation (not a window over raw
+    events), re-joined to the per-(user, day) activity set; both sides
+    shuffle on user_id once and the cohort join is AQE-broadcastable
+    (user-count rows, not event-count). Offsets beyond 6 days are
+    clamped into a 7+ bucket so the matrix width is bounded no matter
+    the time span."""
+    ev = (table(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("day")).distinct())
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (ev.join(first, "user_id")
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                    .alias("cohort_day"),
+                    F.least(off, F.lit(7)).alias("day_offset"),
+                    "user_id")
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+EVENTS_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(least(datediff('day', cohort_day, day), 7) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_retention_cohorts": events_retention_cohorts,
     "events_zscore_outliers": events_zscore_outliers,
     "events_funnel_conversion": events_funnel_conversion,
     "events_hourly_range_sum": events_hourly_range_sum,
@@ -478,6 +517,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_zscore_outliers": EVENTS_ZSCORE_SQL,
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,
     "events_hourly_range_sum": EVENTS_RANGE_FRAME_SQL,
