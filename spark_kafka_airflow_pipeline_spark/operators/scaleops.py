@@ -252,6 +252,50 @@ FROM events
 """
 
 
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained daily rollup (the materialized-view pattern): per
+    (day, event_type) count + EXACT decimal value sum, written once per
+    (session, sf_dir) as a catalog table — the summary a 100 TB
+    pipeline maintains incrementally at ingest so dashboards never
+    touch raw events. Decimal partials make the rollup mergeable to
+    any coarser grain without drift (sum of daily decimal sums ==
+    direct decimal sum, exactly)."""
+    token = hashlib.md5(f"rollup:{sf_dir}".encode()).hexdigest()[:10]
+    cat_name = f"daily_rollup_{token}"
+    if not spark.catalog.tableExists(cat_name):
+        ev = table(spark, sf_dir, "events")
+        (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"))
+         .write.mode("overwrite").format("parquet")
+         .option("path", f"{_WAREHOUSE}/{token}/daily_rollup")
+         .saveAsTable(cat_name))
+    return spark.table(cat_name)
+
+
+def events_monthly_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly per-type totals answered FROM the daily rollup — raw
+    events are not in this query's plan (pinned by
+    ``tests/test_plan_shapes.py``: one scan, of the rollup table).
+    This is aggregate navigation / materialized-view serving: counts
+    sum, decimal partials sum exactly, so the rollup-derived answer is
+    value-hash-identical to recomputing from raw (the oracle does the
+    recompute)."""
+    r = daily_event_rollup(spark, sf_dir)
+    return (r.groupBy(F.date_format("day", "yyyy-MM").alias("month"),
+                      "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value").cast("double").alias("sum_value")))
+
+
+MONTHLY_ROLLUP_SQL = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month, event_type,
+       COUNT(*) AS n_events,
+       {SQL_DSUM.format(expr='value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime BLOOM-FILTER join pruning [EXT]: a selective filter on
     the orders side is turned into a bloom filter that Catalyst injects
@@ -371,9 +415,11 @@ QUERIES: dict[str, QueryFn] = {
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "bloom_filter_join": bloom_filter_join,
     "zorder_layout": zorder_layout,
+    "events_monthly_from_rollup": events_monthly_from_rollup,
 }
 
 ORACLES: dict[str, str] = {
+    "events_monthly_from_rollup": MONTHLY_ROLLUP_SQL,
     "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,
     "salted_group_agg": SALTED_AGG_SQL,
     "dpp_partitioned_join": DPP_JOIN_SQL,

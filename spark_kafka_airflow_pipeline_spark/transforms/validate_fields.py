@@ -48,12 +48,50 @@ _RULES: dict[str, object] = {
 }
 
 
+def _unique_pred(f: str) -> Column:
+    """Dataset-level rule as a plain Column: a windowed count over the
+    field partitions the data once (hash shuffle on the field) and
+    every row in a >1 group fails — the scalable formulation of a
+    uniqueness expectation (no collect, no self-join)."""
+    from pyspark.sql import Window
+
+    return F.count(F.lit(1)).over(Window.partitionBy(f)) == 1
+
+
+# parameterized rules, metadata syntax "name:arg[:arg]" (keeps the
+# reference's plain-string rule lists, Dataflow.scala:22-26)
+def _param_rule(field: str, rule: str) -> Column | None:
+    name, _, arg = rule.partition(":")
+    if name == "matches":          # matches:<regex>
+        return F.col(field).rlike(arg)
+    if name == "oneOf":            # oneOf:a|b|c
+        return F.col(field).isin(*arg.split("|"))
+    if name == "inRange":          # inRange:<lo>:<hi> (inclusive)
+        lo, _, hi = arg.partition(":")
+        return F.col(field).between(float(lo), float(hi))
+    if name == "minLength":        # minLength:<n>
+        return F.length(F.col(field)) >= int(arg)
+    if name == "maxLength":        # maxLength:<n>
+        return F.length(F.col(field)) <= int(arg)
+    return None
+
+
 def compile_rule(field: str, rule: str) -> tuple[Column, str]:
-    """Compile one declarative rule to (pass-predicate, error-code)."""
-    if rule not in _RULES:
-        raise ValueError(f"unknown validation rule {rule!r} for field {field!r}; "
-                         f"known: {sorted(_RULES)}")
-    return _RULES[rule](field), f"{field}-{rule}"
+    """Compile one declarative rule to (pass-predicate, error-code).
+
+    Error codes keep the reference's ``field-rule`` format; for
+    parameterized rules the full rule string (args included) is the
+    code, so a row failing ``age-inRange:0:120`` names its bound."""
+    if rule == "unique":
+        return _unique_pred(field), f"{field}-unique"
+    if rule in _RULES:
+        return _RULES[rule](field), f"{field}-{rule}"
+    if ":" in rule:
+        pred = _param_rule(field, rule)
+        if pred is not None:
+            return pred, f"{field}-{rule}"
+    raise ValueError(f"unknown validation rule {rule!r} for field {field!r}; "
+                     f"known: {sorted(_RULES) + ['unique', 'matches:<re>', 'oneOf:a|b', 'inRange:lo:hi', 'minLength:n', 'maxLength:n']}")
 
 
 def register_rule(name: str, predicate_factory) -> None:

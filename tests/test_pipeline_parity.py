@@ -78,6 +78,54 @@ def test_empty_rule_list_all_ok(fixture_df):
     assert ERROR_COLUMN in ko.columns
 
 
+def test_parameterized_rules(spark):
+    """Engine rule extensions keep the reference's plain-string rule
+    syntax: args ride after a colon; the full rule string is the error
+    code so a failing row names its bound."""
+    df = spark.createDataFrame(
+        [("alice@x.io", "porto", 31), ("bob", "unknown-city", 180),
+         ("carol@y.io", "lisbon", -5)],
+        "email string, city string, age long")
+    rules = [Validation("email", ["matches:^[^@]+@[^@]+$"]),
+             Validation("city", ["oneOf:porto|lisbon|madrid"]),
+             Validation("age", ["inRange:0:120"])]
+    ok, ko = validate_fields(df, rules)
+    assert [r["email"] for r in ok.collect()] == ["alice@x.io"]
+    codes = {r["email"]: r[ERROR_COLUMN] for r in ko.collect()}
+    assert codes["bob"] == ["email-matches:^[^@]+@[^@]+$",
+                            "city-oneOf:porto|lisbon|madrid",
+                            "age-inRange:0:120"]
+    assert codes["carol@y.io"] == ["age-inRange:0:120"]
+
+
+def test_length_rules(spark):
+    df = spark.createDataFrame([("ab",), ("abcdef",), ("a",)], "code string")
+    ok, ko = validate_fields(
+        df, [Validation("code", ["minLength:2", "maxLength:4"])])
+    assert sorted(r["code"] for r in ok.collect()) == ["ab"]
+    codes = {r["code"]: r[ERROR_COLUMN] for r in ko.collect()}
+    assert codes["a"] == ["code-minLength:2"]
+    assert codes["abcdef"] == ["code-maxLength:4"]
+
+
+def test_unique_rule_is_dataset_level(spark):
+    """`unique` compiles to a windowed count (one hash shuffle on the
+    field, no self-join): EVERY row of a duplicated key fails."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "id long, k string")
+    ok, ko = validate_fields(df, [Validation("k", ["unique"])])
+    assert [r["k"] for r in ok.collect()] == ["a"]
+    ko_rows = ko.collect()
+    assert sorted(r["id"] for r in ko_rows) == [2, 3]
+    assert all(r[ERROR_COLUMN] == ["k-unique"] for r in ko_rows)
+
+
+def test_unknown_rule_names_known_rules(spark):
+    df = spark.createDataFrame([("x",)], "f string")
+    with pytest.raises(ValueError, match="unknown validation rule"):
+        validate_fields(df, [Validation("f", ["nonsense"])])
+
+
 def test_add_fields_expression_surface(fixture_df):
     out = add_fields(fixture_df, [
         AddField("dt", "current_timestamp"),

@@ -110,6 +110,18 @@ def test_bloom_filter_join_injects_runtime_filter(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_monthly_from_rollup_never_scans_raw_events(spark, sf_dir):
+    """Materialized-view serving: the monthly query's plan must read
+    ONLY the daily rollup table — one scan, and not the raw events
+    parquet."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    plan = _plan(scaleops.events_monthly_from_rollup(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "daily_rollup" in plan
+    assert "events.parquet" not in plan
+
+
 def test_zorder_expr_bit_parity(spark, sf_dir):
     """The shared Morton expression string must evaluate identically in
     Spark and DuckDB (same `>>`/`&`/`<<` semantics) — checked on the
