@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     "scd2_user_tier_history", "upsert_latest_events", "partial_agg_rollup",
     "streaming_topk_per_window", "tokenizer_vocab_coverage",
     "events_retention_cohorts", "events_monthly_from_rollup",
+    "multimodal_arrow_features",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
@@ -82,8 +83,7 @@ _WINDOW_PRIORITY = (
     "nations_with_both_roles", "customer_only_nations",
     "segment_distinct_stats", "part_scalar_functions",
     "orders_date_functions", "pivot_status_by_priority",
-    "lineitem_moment_stats",
-    # (14 more r2-era names displaced by the round-5 additions join the
+    # (15 more r2-era names displaced by the round-5 additions join the
     # 16 already earmarked for the round-6 window)
 )
 

@@ -50,11 +50,14 @@ def test_nonascii_byte_parity(name, spark, nonascii_dir, con):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-def test_kernel_ground_truth(spark, nonascii_dir):
-    """Pin the Spark kernel itself against pure-Python byte math (so the
-    parity test can't pass via a shared wrong assumption)."""
-    rows = {r["doc_id"]: r for r in
-            multimodal.multimodal_features(spark, nonascii_dir).collect()}
+@pytest.mark.parametrize("fn", [multimodal.multimodal_features,
+                                multimodal.multimodal_arrow_features])
+def test_kernel_ground_truth(fn, spark, nonascii_dir):
+    """Pin BOTH kernels (mapInPandas and the vectorized mapInArrow
+    twin) against pure-Python byte math (so the parity test can't pass
+    via a shared wrong assumption). TEXTS ends with an empty doc — the
+    reduceat segment-boundary edge the arrow kernel must mask."""
+    rows = {r["doc_id"]: r for r in fn(spark, nonascii_dir).collect()}
     for i, t in enumerate(TEXTS):
         b = t.encode("utf-8")
         assert rows[i]["n_bytes"] == len(b)
