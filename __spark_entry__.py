@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = (
     "streaming_topk_per_window", "tokenizer_vocab_coverage",
     "events_retention_cohorts", "events_monthly_from_rollup",
     "multimodal_arrow_features",
+    "lateral_topk_per_nation", "sql_api_revenue_rollup",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
@@ -82,8 +83,7 @@ _WINDOW_PRIORITY = (
     "customers_with_urgent_orders", "customers_without_urgent_orders",
     "nations_with_both_roles", "customer_only_nations",
     "segment_distinct_stats", "part_scalar_functions",
-    "orders_date_functions", "pivot_status_by_priority",
-    # (15 more r2-era names displaced by the round-5 additions join the
+    # (17 more r2-era names displaced by the round-5 additions join the
     # 16 already earmarked for the round-6 window)
 )
 

@@ -635,8 +635,63 @@ GROUP BY 1
 """
 
 
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated derived table (Spark 4 SQL surface): for
+    each nation, the top-2 customers by account balance via a
+    per-nation correlated subquery — the SQL-standard formulation of
+    per-group top-k beside the window-function one
+    (``latest3_orders_per_customer``). Catalyst decorrelates the
+    LATERAL into a ranked join, so the plan is the same shuffle as the
+    window form — the operator exists to pin the SQL surface."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM __lat_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM __lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """)
+
+
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+def sql_api_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure ``spark.sql`` entry [EXT]: the same engine queried through
+    registered temp views and one SQL string (status x priority revenue
+    rollup) — pinning that the SQL API surface is first-class beside
+    the DataFrame one; Catalyst plans both identically."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sql_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS revenue
+        FROM __sql_orders
+        GROUP BY o_orderstatus, o_orderpriority
+    """)
+
+
+SQL_API_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "recursive_month_spine": recursive_month_spine,
+    "lateral_topk_per_nation": lateral_topk_per_nation,
+    "sql_api_revenue_rollup": sql_api_revenue_rollup,
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q10_returned_revenue_topk": q10_returned_revenue_topk,
@@ -656,6 +711,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lateral_topk_per_nation": LATERAL_TOPK_SQL,
+    "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,
     "q15_top_suppliers": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q10_returned_revenue_topk": Q10_SQL,
