@@ -83,8 +83,30 @@ _WINDOW_PRIORITY = (
     "customers_with_urgent_orders", "customers_without_urgent_orders",
     "nations_with_both_roles", "customer_only_nations",
     "segment_distinct_stats", "part_scalar_functions",
-    # (17 more r2-era names displaced by the round-5 additions join the
-    # 16 already earmarked for the round-6 window)
+)
+
+# ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
+# window): after round 5 these 33 queries are the only ones whose last
+# driver row is r2-era — they are the core of the round-6 window
+# (plus any r5 reds per the red-until-green rule, plus round-6
+# additions). Everything else has an r3/r4/r5 row.
+_R6_EARMARK = (
+    "approx_distinct_customers", "asof_last_click_before_purchase",
+    "customer_first_last_orders", "customer_status_profile",
+    "events_json_extract", "events_range_join", "events_running_value",
+    "events_sessionize", "events_sliding_window", "events_tumbling_window",
+    "except_all_nation_bags", "full_outer_nation_roles",
+    "grouping_sets_revenue", "intersect_all_order_counts",
+    "lineitem_moment_stats", "nations_supplier_outer",
+    "order_price_histogram", "order_price_quantiles",
+    "orders_date_functions", "orders_window_analytics",
+    "part_type_taxonomy", "pivot_status_by_priority",
+    "q10_returned_revenue_topk", "q13_order_count_distribution",
+    "q14_promo_revenue_pct", "q15_top_suppliers",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_predicate", "q22_idle_rich_customers",
+    "q4_late_shipment_orders", "q7_nation_trade_volume",
+    "unpivot_part_measures",
 )
 
 
