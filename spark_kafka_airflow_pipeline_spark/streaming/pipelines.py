@@ -346,6 +346,71 @@ FROM events p JOIN events c
 """
 
 
+def streaming_stream_stream_left_join(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join [EXT]: purchases keep a row even
+    with no prior click — but in streaming semantics the NULL-extended
+    row may only emit once the WATERMARK has passed the purchase's
+    join window (Spark must be sure no matching click can still
+    arrive; state eviction = emission time).
+
+    On the bounded drain the final no-data micro-batch advances the
+    watermark to ``min(max purchase ts, max click ts) - 1h`` and
+    evicts purchase state below it — a purchase can only match clicks
+    in ``[p_ts - 1h, p_ts)``, so once the watermark reaches ``p_ts``
+    no match can still arrive and the NULL-extended row flushes. The
+    drained output is therefore EXACTLY: matched pairs + unmatched
+    purchases with ``p_ts < final watermark`` (purchases younger than
+    that stay in state when the stream ends — the documented
+    outer-join caveat of Structured Streaming, here made precise and
+    oracled rather than hand-waved). Verified empirically: the
+    one-batch-flushes-nothing hypothesis was WRONG (the no-data batch
+    exists), and the oracle below reproduces the drain value-exactly."""
+    purchases = (_events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    clicks = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND "
+               "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    return _drain_to_memory(joined, "append")
+
+
+STREAMING_LEFT_JOIN_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+         - INTERVAL 1 HOUR AS wm
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+UNION ALL
+SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id
+FROM p, w
+WHERE p.ts < w.wm
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)
+"""
+
+
 def _session_count_kernel(key, pdf_iter, state):
     """applyInPandasWithState kernel: per-user sessionization with a
     30-minute gap rule. State carries (n_sessions, n_events, last_us)
@@ -422,6 +487,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_session_window": streaming_session_window,
     "streaming_topk_per_window": streaming_topk_per_window,
+    "streaming_stream_stream_left_join": streaming_stream_stream_left_join,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_static_join": streaming_static_join,
     "streaming_stream_stream_join": streaming_stream_stream_join,
@@ -440,4 +506,5 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_within_watermark": STREAMING_DEDUP_SQL,
     "streaming_session_window": STREAMING_SESSION_WINDOW_SQL,
     "streaming_topk_per_window": STREAMING_TOPK_SQL,
+    "streaming_stream_stream_left_join": STREAMING_LEFT_JOIN_SQL,
 }
