@@ -94,3 +94,56 @@ def test_jaccard_bounded_symmetric_reflexive(spark, pairs):
         # reflexivity whenever the gram set is non-empty
         if r["n_a"] > 0:
             assert r["j_aa"] == 1.0
+
+
+@given(pts=st.lists(st.tuples(st.integers(0, 1 << 40),
+                              st.integers(0, 1 << 40)),
+                    min_size=1, max_size=30))
+@_SLOW
+def test_zorder_parity_and_monotonicity(spark, pts):
+    """The shared Morton expression must (1) agree bit-for-bit with a
+    pure-Python interleave and (2) be monotone in each coordinate when
+    the other is fixed — the property that makes z-ranges prune both
+    dimensions."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        _zorder_expr,
+    )
+
+    def py_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    expr = _zorder_expr("(CAST(x AS BIGINT) & 65535)",
+                        "(CAST(y AS BIGINT) & 65535)")
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.selectExpr("x", "y", f"({expr}) AS z").collect()}
+    for (x, y), z in got.items():
+        assert z == py_z(x & 65535, y & 65535), (x, y)
+    # monotone in x for fixed y (and vice versa) on the masked domain
+    xs = sorted({x & 65535 for x, _ in pts})
+    for a, b in zip(xs, xs[1:]):
+        assert py_z(a, 0) < py_z(b, 0)
+        assert py_z(0, a) < py_z(0, b)
+
+
+@given(ids=st.lists(st.integers(0, 1 << 60), min_size=1, max_size=50,
+                    unique=True),
+       thr=st.sampled_from(["1999", "4000", "8000", "c000", "ffff"]))
+@_SLOW
+def test_mixture_threshold_is_pure_row_function(spark, ids, thr):
+    """The md5-prefix Bernoulli must agree with a driver-side
+    recomputation (pure function of the row — the property that makes
+    the sample reproducible across engines and partitionings)."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    kept = {r["doc_id"] for r in df.filter(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":mix"))), 1, 4) < thr).collect()}
+    expected = {i for i in ids
+                if hashlib.md5(f"{i}:mix".encode()).hexdigest()[:4] < thr}
+    assert kept == expected
