@@ -644,7 +644,132 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
             .select(F.col("label").alias("cluster_id"), "n_docs"))
 
 
+# ----------------------------------------------------------------------
+# md5-based MinHash: the engine-PORTABLE twin of minhash_lsh_pairs
+# ----------------------------------------------------------------------
+
+_MH_P = 1_000_000_007  # modulus: products stay under int64
+_MH_COEFFS = ((384752429, 284920291), (583158611, 132907219),
+              (748192853, 952760839), (114027587, 844302611),
+              (270028169, 724470217), (906347687, 151834219),
+              (482970317, 641053969), (867043411, 308805101))
+
+
+def minhash_md5_pairs(spark: SparkSession, sf_dir: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an md5-derived gram hash —
+    the exactly-ORACLED twin of ``minhash_lsh_pairs``. The production
+    variant uses murmur3 (faster, JVM-only) and is necessarily
+    rows-only; this one derives the gram hash from md5 (bit-identical
+    in Spark and DuckDB), so the ENTIRE banding algorithm — signature
+    mins, band bucketing, candidate generation, exact-Jaccard verify —
+    is value-hash-verified against an independent SQL implementation.
+    Same topology as the production path: one signature aggregation
+    pass, band-key self-join on the tiny signature table (never
+    doc x doc), verify join on candidates only.
+
+    8 permutations h_i(g) = (a_i * (H(g) mod p) + b_i) mod p over
+    H(g) = first 15 hex chars of md5(gram) (60 bits, exact in BIGINT),
+    banded 4x2. Candidates depend only on the deterministic hashes, so
+    both engines generate the identical candidate set — the
+    probabilistic recall of banding does not perturb the oracle."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+    g = d.select("doc_id", F.explode("grams").alias("g"))
+    h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    hp = h_raw % _MH_P
+    sig = g.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * hp + F.lit(b)) % _MH_P).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_COEFFS)])
+    bands = None
+    for i in range(0, 8, 2):
+        band = sig.select(
+            "doc_id",
+            F.concat_ws(":", F.lit(i // 2),
+                        F.col(f"h{i}"), F.col(f"h{i + 1}")).alias("bk"))
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    ga = d.select(F.col("doc_id").alias("doc_a"),
+                  F.explode("grams").alias("g"))
+    gb = d.select(F.col("doc_id").alias("doc_b"),
+                  F.explode("grams").alias("g"))
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = d.select("doc_id", F.size("grams").alias("n"))
+    jac = (inter
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+                 "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+                 "doc_b")
+           .select("doc_a", "doc_b",
+                   F.round(F.col("n_inter")
+                           / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                           6).alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold))
+    return jac
+
+
+_MH_HASHES_SQL = ",\n         ".join(
+    f"MIN(({a} * hp + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_MH_COEFFS))
+_MH_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, concat({i // 2}, ':', h{i}, ':', h{i + 1}) AS bk "
+    "FROM sig" for i in range(0, 8, 2))
+
+MINHASH_MD5_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+           END) AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+), g AS (
+  SELECT doc_id, unnest(grams) AS g FROM d
+), hp AS (
+  SELECT doc_id, g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_P} AS hp
+  FROM g
+), sig AS (
+  SELECT doc_id,
+         {_MH_HASHES_SQL}
+  FROM hp GROUP BY doc_id
+), bands AS (
+{_MH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.doc_a
+  JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM d
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "minhash_md5_pairs": minhash_md5_pairs,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_keep_best": dedup_keep_best,
@@ -656,8 +781,10 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup_minhash": incremental_dedup_minhash,
 }
 
-# rows-only entries (minhash/simhash/ngram) intentionally absent here
+# rows-only entries (murmur3 minhash/simhash/ngram) intentionally
+# absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "minhash_md5_pairs": MINHASH_MD5_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
