@@ -768,8 +768,92 @@ WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.5
 """
 
 
+# ----------------------------------------------------------------------
+# md5-based SimHash: the engine-portable twin of simhash_near_dups
+# ----------------------------------------------------------------------
+
+_SH_BITS = 60          # 15 md5 hex chars -> exact BIGINT in both engines
+_SH_BAND = 15          # 4 bands x 15 bits: Hamming<=3 => >=1 band equal
+
+
+def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with md5-derived token hashes — the
+    exactly-ORACLED twin of ``simhash_near_dups`` (same pigeonhole
+    design: 4 bands of 15 bits guarantee every Hamming<=3 pair shares
+    a band). A 60-bit fingerprint (15 md5 hex chars) keeps every value
+    exact in BIGINT in both engines; per-bit majority sums, band
+    bucketing, the candidate set and the Hamming verify are then
+    bit-identical in DuckDB, so the whole algorithm is value-hash
+    verified. The production murmur3 variant stays the fast path."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.array_distinct(
+                     F.split(F.lower(F.trim("text")), r"\s+")).alias("toks")))
+    t = d.select("doc_id", F.explode("toks").alias("tok"))
+    t = t.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    sums = t.groupBy("doc_id").agg(
+        *[F.expr(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)")
+          .alias(f"s{i}") for i in range(_SH_BITS)])
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(_SH_BITS))
+    fps = sums.select("doc_id", F.expr(fp_expr).alias("fp"))
+    bands = None
+    for k in range(4):
+        band = fps.select(
+            "doc_id", "fp",
+            F.expr(f"concat({k}, ':', (fp >> {k * _SH_BAND}) & 32767)")
+            .alias("bk"))
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= 3))
+
+
+_SH_SUMS_SQL = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SH_BITS))
+_SH_FP_SQL = " + ".join(
+    f"(CASE WHEN s{i} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+    for i in range(_SH_BITS))
+_SH_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, fp, concat({k}, ':', (fp >> {k * _SH_BAND}) & 32767)"
+    " AS bk FROM fps" for k in range(4))
+
+SIMHASH_MD5_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id,
+               unnest(list_distinct(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+        FROM documents)
+), sums AS (
+  SELECT doc_id,
+         {_SH_SUMS_SQL}
+  FROM t GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, {_SH_FP_SQL} AS fp FROM sums
+), bands AS (
+{_SH_BANDS_SQL}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "minhash_md5_pairs": minhash_md5_pairs,
+    "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_keep_best": dedup_keep_best,
@@ -785,6 +869,7 @@ QUERIES: dict[str, QueryFn] = {
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
     "minhash_md5_pairs": MINHASH_MD5_SQL,
+    "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
