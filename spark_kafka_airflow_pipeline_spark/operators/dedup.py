@@ -851,9 +851,81 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 3
 """
 
 
+# ----------------------------------------------------------------------
+# md5-based connected components: the oracled twin of dedup_clusters
+# ----------------------------------------------------------------------
+
+def dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ORACLED md5-MinHash pair graph,
+    iterated to FIXPOINT — the algorithm-proof twin of
+    ``dedup_clusters`` (which rides the faster murmur3 pipeline and a
+    fixed round count). Because the edge set is deterministic and
+    engine-portable, the component structure itself is value-hash
+    verified against a DuckDB recursive-CTE reachability oracle: every
+    member's cluster id is the component's minimum doc id.
+
+    Min-label propagation: one shuffle per round on the doc key;
+    convergence is checked with a count of changed labels (near-dup
+    components are dense cliques/stars, so 2-3 rounds suffice; the
+    loop is bounded defensively). Edges are localCheckpoint-ed once —
+    each round consumes both join directions."""
+    pairs = (minhash_md5_pairs(spark, sf_dir).select("doc_a", "doc_b")
+             .localCheckpoint(eager=True))
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst"))))
+    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(20):
+        nb = (sym.join(labels.withColumnsRenamed(
+                  {"doc_id": "dst", "label": "dst_label"}), "dst")
+              .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
+        new_labels = (labels.join(nb, labels.doc_id == nb.src, "left")
+                      .select(labels.doc_id,
+                              F.least("label", "nb_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1)
+            .select(F.col("label").alias("cluster_id"), "n_docs"))
+
+
+DEDUP_CLUSTERS_MD5_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_MD5_SQL})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), walk AS (
+  -- reachability closure (graph is symmetric, so reachable == same
+  -- component); UNION dedups, guaranteeing termination
+  WITH RECURSIVE r(doc, reach) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.src, r.reach FROM edges e JOIN r ON r.doc = e.dst
+  )
+  SELECT doc, MIN(reach) AS label FROM r GROUP BY doc
+)
+SELECT label AS cluster_id, COUNT(*) AS n_docs
+FROM walk GROUP BY label HAVING COUNT(*) > 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "minhash_md5_pairs": minhash_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
+    "dedup_clusters_md5": dedup_clusters_md5,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_keep_best": dedup_keep_best,
@@ -870,6 +942,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "minhash_md5_pairs": MINHASH_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
+    "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
