@@ -459,6 +459,37 @@ def test_streaming_dataflow_matches_batch(spark, tmp_path):
         "age-notNull", "office-notEmpty"]
 
 
+def test_corpus_prep_example_pipeline(spark, tmp_path):
+    """The bundled corpus-prep example expresses LLM-corpus gating in
+    the reference's metadata format: quality fields via add_fields
+    expression strings, extended validation rules
+    (notBlank / minLength / oneOf) splitting train vs rejected, a
+    lang-partitioned sink. The splits must partition the table and the
+    ko side must carry per-rule error codes."""
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent
+         / "examples" / "corpus_prep_pipeline.json").read_text())
+    for sink in spec["dataflows"][0]["sinks"]:
+        sink["paths"] = [str(tmp_path)]
+    meta = parse_metadata(spec)
+    PipelineExecutor(spark).process(meta)
+    ok = spark.read.parquet(str(tmp_path / "train-docs"))
+    ko = spark.read.parquet(str(tmp_path / "rejected-docs"))
+    total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert ok.count() + ko.count() == total
+    assert ok.count() > 0 and ko.count() > 0
+    assert {"n_tokens", "fp", "ingested_at", "lang"} <= set(ok.columns)
+    codes = {c for r in ko.select(ERROR_COLUMN).collect()
+             for c in r[ERROR_COLUMN]}
+    assert codes <= {"text-notBlank", "text-minLength:20",
+                     "lang-oneOf:en|de|fr|es|pt"}
+    assert "lang-oneOf:en|de|fr|es|pt" in codes
+    # partitioned sink layout: one directory per language
+    assert (tmp_path / "train-docs").glob("lang=*")
+
+
 def test_streaming_dataflow_rejects_overwrite_sink(spark, tmp_path):
     """A streaming dataflow whose sink declares OVERWRITE must fail up
     front: foreachBatch re-runs the batch writer per micro-batch, so
