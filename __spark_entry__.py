@@ -70,7 +70,7 @@ _WINDOW_PRIORITY = (
     "multimodal_arrow_features",
     "lateral_topk_per_nation", "sql_api_revenue_rollup",
     "streaming_stream_stream_left_join", "minhash_md5_pairs",
-    "simhash_md5_pairs", "dedup_clusters_md5",
+    "simhash_md5_pairs", "dedup_clusters_md5", "ann_srp_topk",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
@@ -82,7 +82,7 @@ _WINDOW_PRIORITY = (
     "q6_forecast_revenue", "top10_customers_by_revenue",
     "latest3_orders_per_customer", "customer_running_total",
     "rollup_lineitem_flags", "cube_order_status_priority",
-    "customers_with_urgent_orders", "customers_without_urgent_orders",
+    "customers_with_urgent_orders",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this

@@ -667,9 +667,114 @@ SELECT anchor_id, negative_id, cosine_sim FROM ranked WHERE rn = 1
 """
 
 
+def _srp_matrix(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 sign-random-projection matrix derived from md5
+    (public, engine-independent): hyperplane h's entries are the bits
+    of md5('srp:<h>'). A CONSTANT of the query text, so Spark and
+    DuckDB evaluate the identical projection."""
+    import hashlib
+
+    rows = []
+    for h in range(n_planes):
+        bits = hashlib.md5(f"srp:{h}".encode()).digest()
+        rows.append([1.0 if (bits[j // 8] >> (j % 8)) & 1 else -1.0
+                     for j in range(dim)])
+    return rows
+
+
+_SRP = _srp_matrix()
+
+
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED approximate nearest neighbors via sign random
+    projections [EXT] — the algorithm-proof twin of ``ann_lsh_topk``
+    (whose Spark-RNG hyperplanes make it rows-only). 16 deterministic
+    ±1 hyperplanes (md5-derived constants shared verbatim with the
+    oracle) give every vector a 16-bit sign bucket; candidates are
+    same-bucket pairs, verified by exact cosine and ranked top-5 per
+    query. Both engines fold the projection left-to-right over the
+    same array, so signs, buckets, the candidate set and ranks are
+    bit-identical — LSH's probabilistic recall cannot perturb the
+    oracle. Scale topology matches the production path: one bucket
+    computation pass, bucket-equality join, no all-pairs."""
+    emb = _embeddings(spark, sf_dir)
+    signs = [V.dot(F.col("emb"),
+                   F.array(*[F.lit(v) for v in row])) >= 0
+             for row in _SRP]
+    bucket = sum((F.when(s, F.lit(1 << h)).otherwise(F.lit(0))
+                  for h, s in enumerate(signs)), F.lit(0))
+    b = emb.withColumn("bucket", bucket).withColumn(
+        "nrm", V.l2_norm("emb"))
+    queries = (b.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("emb").alias("q_emb"),
+                       F.col("nrm").alias("n_q"),
+                       "bucket"))
+    corpus = b.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("emb").alias("c_emb"),
+                      F.col("nrm").alias("n_c"), "bucket")
+    sim = F.round(V.dot(F.col("q_emb"), F.col("c_emb"))
+                  / (F.col("n_q") * F.col("n_c")), 6)
+    pairs = (corpus.join(F.broadcast(queries), "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", sim.alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rank",
+                             F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K))
+
+
+def _srp_row_sql(row: list[float]) -> str:
+    # ::DOUBLE[] — bare 1.0 literals are DECIMAL in DuckDB, and the
+    # products must be double×double to match Spark bit-for-bit
+    lits = ", ".join(str(v) for v in row)
+    return (f"list_reduce(list_transform(list_zip(emb, [{lits}]::DOUBLE[]),"
+            " p -> p[1] * p[2]), (acc, x) -> acc + x)")
+
+
+_SRP_SIGNS_SQL = ",\n         ".join(
+    f"CASE WHEN {_srp_row_sql(row)} >= 0 THEN {1 << h} ELSE 0 END AS b{h}"
+    for h, row in enumerate(_SRP))
+_SRP_BUCKET_SQL = " + ".join(f"b{h}" for h in range(len(_SRP)))
+
+ANN_SRP_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         {_SRP_SIGNS_SQL}
+  FROM emb
+), b AS (
+  SELECT vec_id, emb, {_SRP_BUCKET_SQL} AS bucket,
+         sqrt(list_reduce(list_transform(emb, x -> x * x),
+                          (acc, x) -> acc + x)) AS nrm
+  FROM s
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_reduce(list_transform(list_zip(q.emb, c.emb),
+                                      p -> p[1] * p[2]), (acc, x) -> acc + x)
+           / (q.nrm * c.nrm), 6) AS cosine_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id)
+              AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "embedding_int8_quant_error": embedding_int8_quant_error,
     "hard_negative_mining": hard_negative_mining,
+    "ann_srp_topk": ann_srp_topk,
     "cosine_topk": cosine_topk,
     "embedding_near_dups": embedding_near_dups,
     "label_centroid_similarity": label_centroid_similarity,
@@ -683,6 +788,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "embedding_int8_quant_error": EMBEDDING_INT8_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
+    "ann_srp_topk": ANN_SRP_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "label_centroid_similarity": LABEL_CENTROID_SQL,
