@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     dedup,
     events,
+    graphops,
     joins_extra,
     multimodal,
     pipelineops,
@@ -36,9 +37,9 @@ from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming 
 # most recently must land inside that window; the relational family has
 # been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
 # "What's wrong #1").
-_MODULES = (streaming, dedup, similarity, multimodal, textops, scaleops,
-            warehouse, pipelineops, events, joins_extra, tpch_extra,
-            relational_extra, relational)
+_MODULES = (graphops, streaming, dedup, similarity, multimodal, textops,
+            scaleops, warehouse, pipelineops, events, joins_extra,
+            tpch_extra, relational_extra, relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
 # (the driver records only the first 50 queries() entries). Round-5
@@ -57,6 +58,7 @@ _WINDOW_PRIORITY = (
     "kafka_wire_roundtrip", "cross_doc_span_dups", "corpus_prep_pipeline",
     "context_packing_stats",
     # -- 2. new or reworked in round 5 ------------------------------
+    "pagerank_supplier_rank", "triangle_count_suppliers",
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
@@ -81,8 +83,7 @@ _WINDOW_PRIORITY = (
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
     "q6_forecast_revenue", "top10_customers_by_revenue",
     "latest3_orders_per_customer", "customer_running_total",
-    "rollup_lineitem_flags", "cube_order_status_priority",
-    "customers_with_urgent_orders",
+    "rollup_lineitem_flags",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
@@ -91,6 +92,9 @@ _WINDOW_PRIORITY = (
 # (plus any r5 reds per the red-until-green rule, plus round-6
 # additions). Everything else has an r3/r4/r5 row.
 _R6_EARMARK = (
+    # displaced from the r5 window by the two new graph queries
+    # (both r2-green; graph ops have never had a driver row)
+    "cube_order_status_priority", "customers_with_urgent_orders",
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",
