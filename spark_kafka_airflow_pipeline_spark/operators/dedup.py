@@ -922,7 +922,94 @@ FROM walk GROUP BY label HAVING COUNT(*) > 1
 """
 
 
+# ----------------------------------------------------------------------
+# train/val/test split with near-dup leakage audit
+# ----------------------------------------------------------------------
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset split assignment + leakage audit — the check a training
+    pipeline runs before shipping splits: assign every document to
+    train/val/test with an engine-portable hash draw (md5 prefix
+    threshold, the ``weighted_mixture_sample`` idiom: reproducible
+    across engines, runs and partitionings, unlike RNG splits), then
+    flag LEAKED documents — members of a near-dup pair that spans two
+    different splits (a val/test doc whose near-duplicate sits in train
+    inflates eval scores).
+
+    Near-dup pairs come from ``minhash_md5_pairs`` — the oracled
+    banding pipeline — so the whole audit is value-hash-verified
+    end-to-end. Plan: the pair list (tiny relative to the corpus)
+    joins the split assignment twice on doc id, cross-split pairs'
+    endpoints union-distinct, then one anti-join-shaped left join
+    marks leaked docs; everything shuffles on doc_id only.
+
+    Output per split: doc count, token budget and leaked-doc count —
+    what a split manifest records."""
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    u = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 4)
+    asg = d.select(
+        "doc_id", T.token_count("text").alias("n_tokens"),
+        F.when(u < "cccd", "train")      # ~80%
+        .when(u < "e666", "val")         # ~10%
+        .otherwise("test").alias("split"))
+    pairs = minhash_md5_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = asg.select(F.col("doc_id").alias("doc_a"),
+                   F.col("split").alias("split_a"))
+    b = asg.select(F.col("doc_id").alias("doc_b"),
+                   F.col("split").alias("split_b"))
+    cross = (pairs.join(a, "doc_a").join(b, "doc_b")
+             .filter(F.col("split_a") != F.col("split_b")))
+    leaked = (cross.select(F.col("doc_a").alias("doc_id"))
+              .unionByName(cross.select(F.col("doc_b").alias("doc_id")))
+              .distinct()
+              .withColumn("leaked", F.lit(1)))
+    return (asg.join(leaked, "doc_id", "left")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.sum(F.coalesce("leaked", F.lit(0))).cast("bigint")
+                 .alias("n_leaked_docs")))
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH asg AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4)
+                   < 'cccd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4)
+                   < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_MD5_SQL})
+), cross_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN asg a ON a.doc_id = p.doc_a
+  JOIN asg b ON b.doc_id = p.doc_b
+  WHERE a.split != b.split
+), leaked AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM cross_pairs
+    UNION ALL SELECT doc_b AS doc_id FROM cross_pairs)
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_leaked_docs
+FROM asg LEFT JOIN leaked l USING (doc_id)
+GROUP BY split
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "split_leakage_audit": split_leakage_audit,
     "minhash_md5_pairs": minhash_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_clusters_md5": dedup_clusters_md5,
@@ -940,6 +1027,7 @@ QUERIES: dict[str, QueryFn] = {
 # rows-only entries (murmur3 minhash/simhash/ngram) intentionally
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "split_leakage_audit": SPLIT_LEAKAGE_SQL,
     "minhash_md5_pairs": MINHASH_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,

