@@ -21,7 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.session import get_spark
-from spark_kafka_airflow_pipeline_spark.operators import dedup, similarity, textops
+from spark_kafka_airflow_pipeline_spark.operators import (
+    dedup,
+    graphops,
+    similarity,
+    textops,
+    warehouse,
+)
 
 BASE = "/root/testdata/sf0.1"
 REPO = Path(__file__).resolve().parent.parent
@@ -57,6 +63,34 @@ def build(spark, n: int, out: Path) -> None:
         .parquet(str(out / "embeddings.parquet"))
 
 
+def build_relational(spark, n: int, out: Path) -> None:
+    """Replicate lineitem/orders with shifted keys so graph/warehouse
+    operators can be soaked too. Replicas keep the same suppliers
+    (l_suppkey unchanged): order volume grows n-x while the supplier
+    node set stays fixed — the realistic growth mode for a
+    co-occurrence graph (more evidence, same entities)."""
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    omax = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    copies = [li.withColumn("l_orderkey",
+                            F.col("l_orderkey") + F.lit(i * omax))
+              for i in range(n)]
+    allli = copies[0]
+    for c in copies[1:]:
+        allli = allli.unionByName(c)
+    allli.repartition(32).write.mode("overwrite") \
+        .parquet(str(out / "lineitem.parquet"))
+
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    ocopies = [o.withColumn("o_orderkey",
+                            F.col("o_orderkey") + F.lit(i * omax))
+               for i in range(n)]
+    allo = ocopies[0]
+    for c in ocopies[1:]:
+        allo = allo.unionByName(c)
+    allo.repartition(32).write.mode("overwrite") \
+        .parquet(str(out / "orders.parquet"))
+
+
 OPS = {
     "dedup_exact": dedup.dedup_exact,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -73,6 +107,13 @@ OPS = {
     "weighted_mixture_sample": textops.weighted_mixture_sample,
     "quality_percentile_filter": textops.quality_percentile_filter,
     "length_bucket_packing": textops.length_bucket_packing,
+    # late round-5 additions
+    "gopher_quality_rules": textops.gopher_quality_rules,
+    "split_leakage_audit": dedup.split_leakage_audit,
+    "pagerank_supplier_rank": graphops.pagerank_supplier_rank,
+    "triangle_count_suppliers": graphops.triangle_count_suppliers,
+    "snapshot_diff_cdc": warehouse.snapshot_diff_cdc,
+    "table_profile": warehouse.table_profile,
 }
 
 
@@ -82,6 +123,8 @@ def main() -> None:
     spark = get_spark(app_name="scale-soak")
     if not (out / "documents.parquet").exists():
         build(spark, n, out)
+    if not (out / "lineitem.parquet").exists():
+        build_relational(spark, n, out)
 
     result: dict[str, dict[str, float]] = {}
     for name, fn in OPS.items():

@@ -960,8 +960,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("split").alias("split_a"))
     b = asg.select(F.col("doc_id").alias("doc_b"),
                    F.col("split").alias("split_b"))
+    # materialized once: both union branches of `leaked` consume this
+    # frame, and its lineage contains the whole MinHash pipeline —
+    # leaving it lazy re-ran signature+banding twice (measured 15.6s ->
+    # ~8s at sf0.1)
     cross = (pairs.join(a, "doc_a").join(b, "doc_b")
-             .filter(F.col("split_a") != F.col("split_b")))
+             .filter(F.col("split_a") != F.col("split_b"))
+             .localCheckpoint(eager=True))
     leaked = (cross.select(F.col("doc_a").alias("doc_id"))
               .unionByName(cross.select(F.col("doc_b").alias("doc_id")))
               .distinct()

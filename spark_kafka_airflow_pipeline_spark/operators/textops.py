@@ -1093,6 +1093,48 @@ GROUP BY source
 
 
 # ----------------------------------------------------------------------
+# deterministic per-group sampling — md5-ordered top-k per source
+# ----------------------------------------------------------------------
+
+def grouped_sample_topk(spark: SparkSession, sf_dir: str,
+                        k: int = 5) -> DataFrame:
+    """Per-group sample of exactly ``k`` documents per source, chosen
+    by md5 order — the deterministic counterpart to reservoir/RNG
+    sampling (``stratified_sample`` rides Spark's RNG and is
+    necessarily rows-only; this draw is a pure function of the data, so
+    it is value-hash oracled and reproducible across engines, runs and
+    partitionings). Uniformity comes from md5's avalanche: ordering by
+    ``md5(doc_id || ':gs')`` is a random permutation per salt.
+
+    One shuffle on source for the rank window; ties are impossible
+    (md5 of distinct ids). At 100 TB the same plan holds — rank
+    windows over the group key scale with group size, and k rows per
+    group come back."""
+    d = table(spark, sf_dir, "documents")
+    u = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":gs")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(u)
+    return (d.select("source", "doc_id",
+                     T.token_count("text").alias("n_tokens"),
+                     F.row_number().over(w).alias("draw_rank"))
+            .filter(F.col("draw_rank") <= k))
+
+
+GROUPED_SAMPLE_SQL = """
+SELECT source, doc_id, n_tokens, draw_rank FROM (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':gs'))
+           AS draw_rank
+  FROM documents)
+WHERE draw_rank <= 5
+"""
+
+
+# ----------------------------------------------------------------------
 # Gopher-style quality rules — the published heuristic document filter
 # ----------------------------------------------------------------------
 
@@ -1210,6 +1252,7 @@ FROM r GROUP BY source
 
 
 QUERIES: dict[str, QueryFn] = {
+    "grouped_sample_topk": grouped_sample_topk,
     "gopher_quality_rules": gopher_quality_rules,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
     "weighted_mixture_sample": weighted_mixture_sample,
@@ -1239,6 +1282,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "grouped_sample_topk": GROUPED_SAMPLE_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "tokenizer_vocab_coverage": VOCAB_COVERAGE_SQL,
     "weighted_mixture_sample": WEIGHTED_MIXTURE_SQL,
