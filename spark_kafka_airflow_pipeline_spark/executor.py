@@ -238,6 +238,26 @@ class PipelineExecutor:
             for f in frames[1:]:
                 out = out.unionByName(f, allowMissingColumns=True)
             nodes[t.name] = out
+        elif kind == "window":
+            # declarative window functions: each field is a Spark SQL
+            # expression string evaluated over ONE shared window spec,
+            # so a multi-field step costs a single shuffle on the
+            # partition keys (the engine's window discipline — see
+            # operators.relational). "-col" in orderBy sorts descending.
+            if not t.params.fields:
+                raise ValueError(f"window {t.name!r} declares no fields")
+            from pyspark.sql import Window
+
+            spec = Window.partitionBy(*t.params.partitionBy) if \
+                t.params.partitionBy else Window.partitionBy()
+            if t.params.orderBy:
+                keys = [F.col(c[1:]).desc() if c.startswith("-")
+                        else F.col(c) for c in t.params.orderBy]
+                spec = spec.orderBy(*keys)
+            out = df
+            for f in t.params.fields:
+                out = out.withColumn(f.name, F.expr(f.function).over(spec))
+            nodes[t.name] = out
         else:
             raise ValueError(f"unknown transformation type {kind!r} "
                              f"(node {t.name!r})")

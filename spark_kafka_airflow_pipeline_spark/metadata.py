@@ -86,6 +86,9 @@ class TransformationParams:
     inputs: list[str] = field(default_factory=list)   # type="union": node names
     n: int | None = None                              # type="limit": row count
     mapping: dict[str, str] = field(default_factory=dict)  # type="rename": old -> new
+    partitionBy: list[str] = field(default_factory=list)   # type="window"
+    orderBy: list[str] = field(default_factory=list)       # type="window": "-col" = desc
+    fields: list[AddField] = field(default_factory=list)   # type="window": name + window fn expr
 
 
 @dataclass(frozen=True)
@@ -155,6 +158,10 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         inputs=list(raw.get("inputs") or []),
         n=raw.get("n"),
         mapping=dict(raw.get("mapping") or {}),
+        partitionBy=list(raw.get("partitionBy") or []),
+        orderBy=list(raw.get("orderBy") or []),
+        fields=[AddField(f["name"], f["function"])
+                for f in raw.get("fields") or []],
     )
 
 

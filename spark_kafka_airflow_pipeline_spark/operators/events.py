@@ -501,7 +501,126 @@ GROUP BY 1, 2
 """
 
 
+# ----------------------------------------------------------------------
+# distribution drift: first-half vs second-half chi-square distance
+# ----------------------------------------------------------------------
+
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift detector: per event type, compare the ``value``
+    distribution of the stream's first half against its second half
+    (split at the epoch midpoint) with a chi-square distance over
+    fixed bins — the monitoring check a feature pipeline runs to catch
+    upstream shifts before they poison training data.
+
+    Determinism rules: fixed bin edges (``floor(value/50)`` clamped to
+    [0,9] — data-independent, unlike quantile bins), the time midpoint
+    is integer epoch-micros arithmetic, every per-bin term is built
+    from exact-rounded IEEE ops only (+ - * /; no ln/exp, whose libm
+    implementations differ between engines), and the per-type term sum
+    runs as an order-independent decimal(30,15) accumulation. One scan,
+    two aggregations (bin counts, then per-type reduce); the midpoint
+    is a broadcast 1-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mid = e.agg(F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+                .alias("mid"))
+    b = (e.crossJoin(F.broadcast(mid))
+         .select("event_type",
+                 F.least(F.greatest(F.expr("floor(value / 50)"), F.lit(0)),
+                         F.lit(9)).cast("int").alias("bin"),
+                 (us <= F.col("mid")).alias("h1")))
+    counts = (b.groupBy("event_type", "bin")
+              .agg(F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("c1"),
+                   F.sum(F.when(~F.col("h1"), 1).otherwise(0)).alias("c2")))
+    tot = Window.partitionBy("event_type")
+    p = F.col("c1") / F.sum("c1").over(tot)
+    q = F.col("c2") / F.sum("c2").over(tot)
+    term = F.when(F.col("c1") + F.col("c2") > 0,
+                  (p - q) * (p - q) / (p + q)).otherwise(F.lit(0.0))
+    return (counts.withColumn("term", term)
+            .groupBy("event_type")
+            .agg(F.sum("c1").alias("n_h1"), F.sum("c2").alias("n_h2"),
+                 F.round(F.sum(F.col("term").cast("decimal(30,15)"))
+                         .cast("double"), 8).alias("chi2_drift")))
+
+
+EVENTS_DRIFT_SQL = """
+WITH mid AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+), b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 50), 0), 9) AS INT) AS bin,
+         epoch_us(ts) <= (SELECT mid FROM mid) AS h1
+  FROM events
+), counts AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM b GROUP BY event_type, bin
+), terms AS (
+  SELECT event_type, c1, c2,
+         CASE WHEN c1 + c2 > 0
+              THEN (c1 / (SUM(c1) OVER w) - c2 / (SUM(c2) OVER w))
+                   * (c1 / (SUM(c1) OVER w) - c2 / (SUM(c2) OVER w))
+                   / (c1 / (SUM(c1) OVER w) + c2 / (SUM(c2) OVER w))
+              ELSE 0.0 END AS term
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type,
+       CAST(SUM(c1) AS BIGINT) AS n_h1, CAST(SUM(c2) AS BIGINT) AS n_h2,
+       round(CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE), 8)
+         AS chi2_drift
+FROM terms GROUP BY event_type
+"""
+
+
+# ----------------------------------------------------------------------
+# behavior model: event-type Markov transition matrix
+# ----------------------------------------------------------------------
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    timeline: P(next event type | current). One shuffle on user_id for
+    the lead window (ties broken on event_id so the successor is
+    unique), then a count aggregation; probabilities are one double
+    division rounded at fixed scale. The per-user window and the
+    (from, to) aggregation both scale with event volume — no global
+    ordering anywhere."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (e.select("user_id", "event_type",
+                      F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    counts = (trans.groupBy(F.col("event_type").alias("from_type"),
+                            "next_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
+
+
+EVENT_TRANSITION_SQL = """
+WITH trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT from_type, next_type, COUNT(*) AS n
+  FROM trans WHERE next_type IS NOT NULL
+  GROUP BY from_type, next_type
+)
+SELECT from_type, next_type, n,
+       round(n / (SUM(n) OVER (PARTITION BY from_type)), 6) AS p
+FROM counts
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_drift_chi2": events_drift_chi2,
+    "event_transition_matrix": event_transition_matrix,
     "events_retention_cohorts": events_retention_cohorts,
     "events_zscore_outliers": events_zscore_outliers,
     "events_funnel_conversion": events_funnel_conversion,
@@ -517,6 +636,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_drift_chi2": EVENTS_DRIFT_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_zscore_outliers": EVENTS_ZSCORE_SQL,
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,

@@ -381,6 +381,63 @@ def test_declarative_sort_limit_rename(spark, sf_dir):
     assert got == expected and len(got) == 5
 
 
+def test_declarative_window(spark, sf_dir):
+    """`window` transformation type: rank + running total declared in
+    metadata must match the direct Window chain, and both fields must
+    ride ONE shared window spec (single shuffle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "windowed",
+        "sources": [{"name": "o", "path": f"{sf_dir}/orders.parquet"}],
+        "transformations": [
+            {"name": "w", "type": "window", "params": {
+                "input": "o",
+                "partitionBy": ["o_custkey"],
+                "orderBy": ["-o_totalprice", "o_orderkey"],
+                "fields": [
+                    {"name": "rnk", "function": "row_number()"},
+                    {"name": "running",
+                     "function": "sum(cast(o_totalprice as decimal(20,2)))"},
+                ]}},
+            {"name": "top2", "type": "filter",
+             "params": {"input": "w", "expr": "rnk <= 2"}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    got = {(r["o_orderkey"], r["rnk"], r["running"]) for r in
+           nodes["top2"].select("o_orderkey", "rnk", "running").collect()}
+    spec = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    direct = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .withColumn("rnk", F.row_number().over(spec))
+              .withColumn("running", F.sum(
+                  F.col("o_totalprice").cast("decimal(20,2)")).over(spec))
+              .filter("rnk <= 2"))
+    expected = {(r["o_orderkey"], r["rnk"], r["running"]) for r in
+                direct.select("o_orderkey", "rnk", "running").collect()}
+    assert got == expected and got
+    # one shuffle: a single Window node computes both fields
+    plan = nodes["top2"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2  # Window op + possible WindowExec label
+
+
+def test_window_without_fields_rejected(spark, sf_dir):
+    meta = parse_metadata({"dataflows": [{
+        "name": "bad",
+        "sources": [{"name": "o", "path": f"{sf_dir}/orders.parquet"}],
+        "transformations": [
+            {"name": "w", "type": "window",
+             "params": {"input": "o", "partitionBy": ["o_custkey"]}},
+        ],
+        "sinks": [],
+    }]})
+    with pytest.raises(ValueError, match="declares no fields"):
+        PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+
+
 def test_sink_metrics_observed(spark, tmp_path):
     """observe_metrics=True: per-sink row counts ride the write jobs
     themselves (no extra scan) and land in executor.sink_metrics."""
