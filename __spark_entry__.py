@@ -61,7 +61,7 @@ _WINDOW_PRIORITY = (
     "pagerank_supplier_rank", "triangle_count_suppliers",
     "snapshot_diff_cdc", "table_profile", "gopher_quality_rules",
     "split_leakage_audit", "grouped_sample_topk",
-    "events_drift_chi2", "event_transition_matrix",
+    "events_drift_chi2", "event_transition_matrix", "token_lift_pairs",
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
@@ -83,7 +83,6 @@ _WINDOW_PRIORITY = (
     "q20_heavy_promo_suppliers", "q21_sole_late_suppliers",
     # -- 4. oldest driver rows (r1, then r2) ------------------------
     "pipeline_add_fields",
-    "q1_pricing_summary",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
@@ -98,6 +97,7 @@ _R6_EARMARK = (
     "top10_customers_by_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "q6_forecast_revenue", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q1_pricing_summary",
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",

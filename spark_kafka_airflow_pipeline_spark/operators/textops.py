@@ -1093,6 +1093,87 @@ GROUP BY source
 
 
 # ----------------------------------------------------------------------
+# association mining — token co-occurrence lift (market-basket shape)
+# ----------------------------------------------------------------------
+
+def token_lift_pairs(spark: SparkSession, sf_dir: str,
+                     vocab_k: int = 100, min_support: int = 20) -> DataFrame:
+    """Association mining over documents-as-baskets: for token pairs
+    that co-occur in >= ``min_support`` documents, report the LIFT
+    ``P(x,y) / (P(x) P(y))`` — the market-basket measure (>1 =
+    attract, <1 = repel). Lift instead of PMI on purpose: PMI's log
+    rides libm (engine-divergent last ulp); lift is two multiplies and
+    a divide — correctly-rounded IEEE, identical everywhere.
+
+    Scale shape: the vocabulary is capped at the top ``vocab_k`` tokens
+    by document frequency (rank ties to the token), so per-doc pair
+    fan-out is bounded by C(vocab_k, 2) CONSTANT regardless of corpus
+    size — the standard guard that keeps co-occurrence mining linear in
+    documents. One explode + distinct per doc, a self-join on doc_id
+    (co-partitioned, bounded fan-out), one count aggregation; token
+    document frequencies broadcast back onto the pair counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("w"))
+            .distinct())
+    from pyspark.sql import Window
+    df_counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    top = (df_counts
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.col("n_w").desc(), F.col("w"))))
+           .filter(F.col("rk") <= vocab_k)
+           .select("w", "n_w"))
+    present = toks.join(F.broadcast(top.select("w")), "w")
+    a = present.select("doc_id", F.col("w").alias("w1"))
+    b = present.select("doc_id", F.col("w").alias("w2"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("w1") < F.col("w2"))
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("n_xy"))
+             .filter(F.col("n_xy") >= min_support))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    t1 = top.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    t2 = top.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    return (pairs.join(F.broadcast(t1), "w1").join(F.broadcast(t2), "w2")
+            .crossJoin(F.broadcast(n_docs))
+            .select("w1", "w2", "n_xy",
+                    F.round(F.col("n_xy") * 1.0 * F.col("n_docs")
+                            / (F.col("n_x") * 1.0 * F.col("n_y")), 6)
+                    .alias("lift")))
+
+
+TOKEN_LIFT_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), dfreq AS (
+  SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w
+), top AS (
+  SELECT w, n_w FROM (
+    SELECT w, n_w, ROW_NUMBER() OVER (ORDER BY n_w DESC, w) AS rk
+    FROM dfreq)
+  WHERE rk <= 100
+), present AS (
+  SELECT t.doc_id, t.w FROM toks t JOIN top USING (w)
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_xy
+  FROM present a JOIN present b
+    ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING COUNT(*) >= 20
+), nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT w1, w2, n_xy,
+       round(n_xy * 1.0 * (SELECT n_docs FROM nn)
+             / (t1.n_w * 1.0 * t2.n_w), 6) AS lift
+FROM pairs
+JOIN top t1 ON t1.w = pairs.w1
+JOIN top t2 ON t2.w = pairs.w2
+"""
+
+
+# ----------------------------------------------------------------------
 # deterministic per-group sampling — md5-ordered top-k per source
 # ----------------------------------------------------------------------
 
@@ -1252,6 +1333,7 @@ FROM r GROUP BY source
 
 
 QUERIES: dict[str, QueryFn] = {
+    "token_lift_pairs": token_lift_pairs,
     "grouped_sample_topk": grouped_sample_topk,
     "gopher_quality_rules": gopher_quality_rules,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
@@ -1282,6 +1364,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "token_lift_pairs": TOKEN_LIFT_SQL,
     "grouped_sample_topk": GROUPED_SAMPLE_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "tokenizer_vocab_coverage": VOCAB_COVERAGE_SQL,
