@@ -1,0 +1,99 @@
+"""Invariant tests for the late-round-5 operators (oracle parity is
+covered by test_oracle_parity's sweep; these pin semantic properties
+the hash compare alone would not explain) + driver-window bookkeeping.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+from spark_kafka_airflow_pipeline_spark.operators import (
+    events,
+    textops,
+    warehouse,
+)
+
+
+def test_window_priority_bookkeeping():
+    """Window priority is exactly the driver's 50-slot window; the r6
+    earmark names are real queries and disjoint from the window."""
+    qs = entry_mod.queries()
+    names = list(qs)
+    assert len(entry_mod._WINDOW_PRIORITY) == 50
+    assert set(entry_mod._WINDOW_PRIORITY) == set(names[:50])
+    unknown = [n for n in entry_mod._R6_EARMARK if n not in qs]
+    assert not unknown, unknown
+    overlap = set(entry_mod._R6_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
+    assert not overlap, overlap
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    rows = events.event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-4, (ft, total)
+
+
+def test_drift_chi2_bounds(spark, sf_dir):
+    rows = events.events_drift_chi2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # chi-square distance with this normalization is bounded by 2
+        assert 0.0 <= r.chi2_drift <= 2.0, r
+        assert r.n_h1 > 0 and r.n_h2 > 0  # midpoint split is two-sided
+
+
+def test_snapshot_diff_classification_counts(spark, sf_dir):
+    """The synthetic snapshots are modular-arithmetic-defined, so the
+    class counts are checkable directly against the key universe."""
+    rows = {r.change_type: r for r in
+            warehouse.snapshot_diff_cdc(spark, sf_dir).collect()}
+    keys = [r.o_orderkey for r in
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey").collect()]
+    ins = sum(1 for k in keys if k % 5 == 0 and k % 7 != 0)
+    dele = sum(1 for k in keys if k % 5 != 0 and k % 7 == 0)
+    upd = sum(1 for k in keys if k % 5 != 0 and k % 7 != 0 and k % 3 == 0)
+    unch = sum(1 for k in keys if k % 5 != 0 and k % 7 != 0 and k % 3 != 0)
+    assert rows["insert"].n_rows == ins
+    assert rows["delete"].n_rows == dele
+    assert rows["update"].n_rows == upd
+    assert rows["unchanged"].n_rows == unch
+    # updates are +1.00 each, exactly
+    assert float(rows["update"].price_delta) == float(upd)
+    assert float(rows["unchanged"].price_delta) == 0.0
+
+
+def test_gopher_rule_counts_bounded(spark, sf_dir):
+    for r in textops.gopher_quality_rules(spark, sf_dir).collect():
+        fails = [r.fail_word_count, r.fail_mean_word_len,
+                 r.fail_symbol_ratio, r.fail_bullet_lines,
+                 r.fail_alpha_words, r.fail_stopwords]
+        assert all(0 <= f <= r.n_docs for f in fails)
+        # a doc passing all rules fails none
+        assert r.n_pass_all <= r.n_docs - max(fails)
+
+
+def test_grouped_sample_exactly_k_per_group(spark, sf_dir):
+    rows = textops.grouped_sample_topk(spark, sf_dir).collect()
+    per_group: dict[str, int] = {}
+    for r in rows:
+        per_group[r.source] = per_group.get(r.source, 0) + 1
+        assert 1 <= r.draw_rank <= 5
+    assert per_group and all(v <= 5 for v in per_group.values())
+
+
+def test_token_lift_support_and_symmetry(spark, sf_dir):
+    rows = textops.token_lift_pairs(spark, sf_dir).collect()
+    for r in rows:
+        assert r.w1 < r.w2          # canonical orientation, no dup pairs
+        assert r.n_xy >= 20
+        assert r.lift > 0
