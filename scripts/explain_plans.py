@@ -41,21 +41,40 @@ def _indent(line: str) -> int:
 def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
     """Inspect the analyzed logical plan: for every broadcast
     ResolvedHint, scan its (deeper-indented) subtree for scans of tables
-    that grow with SF. Fixed-size region/nation hints are fine."""
+    that grow with SF. Fixed-size region/nation hints are fine — and so
+    is a broadcast whose subtree AGGREGATES the scaling table before
+    the hint (1-row scalars, top-k vocabularies, k-row centroid tables:
+    bounded regardless of SF). Only a hint whose path to the scan has
+    no Aggregate is a 100 TB OOM risk."""
     lines = df._jdf.queryExecution().analyzed().toString().splitlines()
     flags = []
     for i, line in enumerate(lines):
         if "ResolvedHint" not in line or "broadcast" not in line:
             continue
         base = _indent(line)
+        saw_agg_at = None  # indent of the nearest enclosing Aggregate
+        matched = False
         for sub in lines[i + 1:]:
-            if _indent(sub) <= base:
+            ind = _indent(sub)
+            if ind <= base:
                 break
+            if "Aggregate" in sub and (saw_agg_at is None
+                                       or ind < saw_agg_at):
+                saw_agg_at = ind
             if "Relation" not in sub:
                 continue
             for tbl, marker in SCALING_TABLES.items():
                 if marker in sub:
-                    flags.append(f"!! hard broadcast hint over {tbl}")
+                    matched = True
+                    if saw_agg_at is not None and saw_agg_at < ind:
+                        flags.append(
+                            f"(bounded-agg broadcast of {tbl}: ok)")
+                    else:
+                        flags.append(f"!! hard broadcast hint over {tbl}")
+        if not matched and saw_agg_at is not None:
+            # aggregate over a non-parquet leaf (e.g. a checkpointed
+            # edge RDD): bounded by the aggregation, same as above
+            flags.append("(bounded-agg broadcast: ok)")
     return flags
 
 
@@ -79,6 +98,14 @@ def main() -> None:
         # hard broadcast hints on SF-scaling tables OOM at 100 TB; only
         # fixed-size region/nation earn unconditional hints (PLANS.md)
         flags.extend(hard_broadcast_hints_on_scaling_tables(df))
+        # a nested-loop join whose only broadcasts are bounded
+        # aggregates is the repo's 1-row-scalar cross-join idiom, not a
+        # data-sized cartesian — downgrade the flag
+        if ("!! nested-loop/cartesian join" in flags
+                and any("ok)" in f for f in flags)
+                and not any(f.startswith("!! hard broadcast") for f in flags)):
+            flags.remove("!! nested-loop/cartesian join")
+            flags.insert(0, "(cross join with bounded-agg side: ok)")
         print(f"\n{'=' * 70}\n{name} {' '.join(flags)}\n{'=' * 70}")
         print(plan)
     spark.stop()
