@@ -9,9 +9,14 @@ Usage: python scripts/explain_plans.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 from pathlib import Path
+
+#: `col#123L < 10` / `(vec_id#4L <= 7)` — a comparison against an
+#: integer literal, i.e. a constant-bounded slice
+_LITERAL_SLICE = re.compile(r"#\d+L?\)?\s*(<|<=|=)\s*(cast\()?\d+")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -52,7 +57,8 @@ def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
         if "ResolvedHint" not in line or "broadcast" not in line:
             continue
         base = _indent(line)
-        saw_agg_at = None  # indent of the nearest enclosing Aggregate
+        saw_agg_at = None    # indent of the nearest enclosing Aggregate
+        saw_slice_at = None  # ... or a literal-bounded slice filter
         matched = False
         for sub in lines[i + 1:]:
             ind = _indent(sub)
@@ -61,6 +67,11 @@ def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
             if "Aggregate" in sub and (saw_agg_at is None
                                        or ind < saw_agg_at):
                 saw_agg_at = ind
+            # `Filter (vec_id < 10)`-style constant slices bound the
+            # broadcast side by a literal (query sets, k-row inits)
+            if ("Filter" in sub and _LITERAL_SLICE.search(sub)
+                    and (saw_slice_at is None or ind < saw_slice_at)):
+                saw_slice_at = ind
             if "Relation" not in sub:
                 continue
             for tbl, marker in SCALING_TABLES.items():
@@ -69,6 +80,9 @@ def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
                     if saw_agg_at is not None and saw_agg_at < ind:
                         flags.append(
                             f"(bounded-agg broadcast of {tbl}: ok)")
+                    elif saw_slice_at is not None and saw_slice_at < ind:
+                        flags.append(
+                            f"(literal-sliced broadcast of {tbl}: ok)")
                     else:
                         flags.append(f"!! hard broadcast hint over {tbl}")
         if not matched and saw_agg_at is not None:
