@@ -474,6 +474,39 @@ def test_sink_metrics_observed(spark, tmp_path):
     assert ex.sink_metrics[("obs-pipeline", "validation_ko", "ko")]["rows"] == 2
 
 
+def test_user_analytics_example_pipeline(spark, tmp_path):
+    """examples/user_analytics_pipeline.json (filter -> window -> filter
+    -> aggregate) must run end-to-end and match the direct computation."""
+    import pathlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = json.loads(pathlib.Path(
+        "examples/user_analytics_pipeline.json").read_text())
+    # point the sink at the test tmp dir, source at the fixture SF
+    raw["dataflows"][0]["sinks"][0]["paths"] = [str(tmp_path)]
+    meta = parse_metadata(raw)
+    nodes = PipelineExecutor(spark).run_dataflow(meta.dataflows[0])
+    got = {(r["n_users"], str(r["total_best"])) for r in
+           nodes["daily"].collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spec = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id")
+    direct = (ev.filter("event_type = 'purchase'")
+              .withColumn("rnk", F.row_number().over(spec))
+              .filter("rnk = 1")
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_users"),
+                   F.sum(F.col("value").cast("decimal(20,2)"))
+                   .cast("decimal(20,2)").alias("total_best")))
+    expected = {(r["n_users"], str(r["total_best"])) for r in
+                direct.collect()}
+    assert got == expected and got
+    out = list(tmp_path.glob("daily-best-purchases/part-*"))
+    assert out, "sink wrote no files"
+
+
 def test_streaming_dataflow_matches_batch(spark, tmp_path):
     """The same metadata with streaming:true on the source must produce
     the same sink contents as the batch run — transformations are
