@@ -62,6 +62,7 @@ _WINDOW_PRIORITY = (
     "snapshot_diff_cdc", "table_profile", "gopher_quality_rules",
     "split_leakage_audit", "grouped_sample_topk",
     "events_drift_chi2", "event_transition_matrix", "token_lift_pairs",
+    "python_datasource_scan",
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
@@ -81,23 +82,21 @@ _WINDOW_PRIORITY = (
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
     "q9_promo_profit", "q11_top_balance_nations", "q16_part_supplier_variety",
     "q20_heavy_promo_suppliers", "q21_sole_late_suppliers",
-    # -- 4. oldest driver rows (r1, then r2) ------------------------
-    "pipeline_add_fields",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
-# window): after round 5 these 33 queries are the only ones whose last
-# driver row is r2-era — they are the core of the round-6 window
+# window): after round 5 these 44 queries are the ones whose last
+# driver row is r1/r2-era — they are the core of the round-6 window
 # (plus any r5 reds per the red-until-green rule, plus round-6
 # additions). Everything else has an r3/r4/r5 row.
 _R6_EARMARK = (
-    # displaced from the r5 window by the six new round-5 queries
+    # displaced from the r5 window by the 11 new round-5 queries
     # (all r1/r2-green; the new ops have never had a driver row)
     "cube_order_status_priority", "customers_with_urgent_orders",
     "top10_customers_by_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "q6_forecast_revenue", "q3_shipping_priority", "q5_revenue_by_nation",
-    "q1_pricing_summary",
+    "q1_pricing_summary", "pipeline_add_fields",
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",

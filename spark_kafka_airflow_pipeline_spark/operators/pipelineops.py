@@ -120,7 +120,48 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a USER-DEFINED Python DataSource (Spark 4 DataSource V2
+    Python API, `io/pydatasource.py`) through the normal
+    ``spark.read.format(...)`` path and aggregate — the extension point
+    for feeds without a built-in connector. The source's rows are a
+    pure md5 function of the row index, so the result is value-hash
+    oracled against DuckDB's ``range()`` (sf_dir is unused: the source
+    IS the data; every other contract query scans parquet).
+
+    Scale posture: the source declares real InputPartitions (8 here),
+    so the scan schedules wide like any connector; generation cost is
+    per-row Python but isolated to the source boundary — downstream
+    aggregation is JVM codegen as usual."""
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    df = (spark.read.format("seqgen")
+          .option("n", "20000").option("partitions", "8").load())
+    return (df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("id").alias("id_checksum"),
+                 F.min("tag").alias("min_tag"),
+                 F.max("tag").alias("max_tag")))
+
+
+PY_DATASOURCE_SQL = """
+WITH g AS (
+  SELECT i AS id, substr(md5(CAST(i AS VARCHAR)), 1, 8) AS tag,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 AS INT)
+           AS bucket
+  FROM (SELECT unnest(range(0, 20000)) AS i)
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_checksum,
+       MIN(tag) AS min_tag, MAX(tag) AS max_tag
+FROM g GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "python_datasource_scan": python_datasource_scan,
     "validate_split_ok": validate_split_ok,
     "validate_split_ko": validate_split_ko,
     "pipeline_add_fields": pipeline_add_fields,
@@ -128,6 +169,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "python_datasource_scan": PY_DATASOURCE_SQL,
     "validate_split_ok": VALIDATE_OK_SQL,
     "validate_split_ko": VALIDATE_KO_SQL,
     "pipeline_add_fields": ADD_FIELDS_SQL,

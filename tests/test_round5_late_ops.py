@@ -91,6 +91,23 @@ def test_grouped_sample_exactly_k_per_group(spark, sf_dir):
     assert per_group and all(v <= 5 for v in per_group.values())
 
 
+def test_python_datasource_partition_planning(spark):
+    """The custom source must split into the declared InputPartitions
+    (wide scheduling), and rows must be the documented md5 function."""
+    import hashlib
+
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    df = (spark.read.format("seqgen")
+          .option("n", "100").option("partitions", "4").load())
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.id: (r.tag, r.bucket) for r in df.collect()}
+    assert len(rows) == 100
+    h = hashlib.md5(b"42").hexdigest()
+    assert rows[42] == (h[:8], int(h[0], 16))
+
+
 def test_token_lift_support_and_symmetry(spark, sf_dir):
     rows = textops.token_lift_pairs(spark, sf_dir).collect()
     for r in rows:
