@@ -688,7 +688,45 @@ GROUP BY o_orderstatus, o_orderpriority
 """
 
 
+def orders_status_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` (Spark 4): flip a per-status metrics
+    aggregate so statuses become COLUMNS and metric names become rows —
+    the report orientation dashboards want, without hand-writing a
+    pivot. Metrics are pre-cast to string (transpose requires a uniform
+    value type); decimal money renders identically in both engines.
+    The transposed frame is 2 x 4 — the operator collects the (tiny)
+    aggregate to the driver by design, so it belongs AFTER aggregation,
+    never on raw data (same rule as any to-driver materialization)."""
+    o = table(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).cast("string").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("string").alias("total_price")))
+    return agg.transpose()
+
+
+TRANSPOSE_SQL = """
+WITH agg AS (
+  SELECT o_orderstatus AS s, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tp
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT 'n_orders' AS key,
+       CAST(MAX(CASE WHEN s = 'F' THEN n END) AS VARCHAR) AS F,
+       CAST(MAX(CASE WHEN s = 'O' THEN n END) AS VARCHAR) AS O,
+       CAST(MAX(CASE WHEN s = 'P' THEN n END) AS VARCHAR) AS P
+FROM agg
+UNION ALL
+SELECT 'total_price',
+       CAST(MAX(CASE WHEN s = 'F' THEN tp END) AS VARCHAR),
+       CAST(MAX(CASE WHEN s = 'O' THEN tp END) AS VARCHAR),
+       CAST(MAX(CASE WHEN s = 'P' THEN tp END) AS VARCHAR)
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
     "sql_api_revenue_rollup": sql_api_revenue_rollup,
@@ -711,6 +749,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,
     "q15_top_suppliers": Q15_SQL,
