@@ -22,7 +22,13 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 #: bucket of a hex char = its value; shared contract with the oracle's
 #: strpos('0123456789abcdef', c) - 1
@@ -65,9 +71,56 @@ class SeqDataSource(DataSource):
         return _SeqReader(self.options)
 
 
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """One JSONL file per partition; the commit message carries the
+    written path + row count back to the driver (the V2 two-phase
+    commit contract: only files named in commit messages are final —
+    a failed/speculative task's output is simply never committed)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: ANN001, ANN201 - Spark API
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str,
+                                   sort_keys=True) + "\n")
+                n += 1
+        return _WroteFile(out, n)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlpy").option("path", dir).mode(...).save()``
+    — the WRITER half of the Python DataSource V2 API, symmetric to
+    ``seqgen``'s reader half."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlpy"
+
+    def writer(self, schema, overwrite):  # noqa: ANN001, ANN201
+        return _JsonlWriter(self.options)
+
+
 def register(spark) -> None:  # noqa: ANN001
     """Idempotent registration (re-registering a name raises)."""
-    try:
-        spark.dataSource.register(SeqDataSource)
-    except Exception:  # noqa: BLE001 - already registered
-        pass
+    for src in (SeqDataSource, JsonlSinkDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:  # noqa: BLE001 - already registered
+            pass

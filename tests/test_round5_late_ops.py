@@ -108,6 +108,27 @@ def test_python_datasource_partition_planning(spark):
     assert rows[42] == (h[:8], int(h[0], 16))
 
 
+def test_python_datasource_jsonl_writer_roundtrip(spark, sf_dir, tmp_path):
+    """The writer half of the V2 Python API: write via the custom
+    jsonlpy sink, read back with the built-in JSON reader, contents
+    must round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    src = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select("c_custkey", "c_mktsegment").limit(50))
+    out = str(tmp_path / "jsonl_out")
+    (src.write.format("jsonlpy").option("path", out).mode("append").save())
+    back = spark.read.json(out)
+    a = {(r.c_custkey, r.c_mktsegment) for r in src.collect()}
+    b = {(r.c_custkey, r.c_mktsegment) for r in back.collect()}
+    assert a == b and a
+    files = list((tmp_path / "jsonl_out").glob("part-*.jsonl"))
+    assert files, "writer produced no part files"
+
+
 def test_token_lift_support_and_symmetry(spark, sf_dir):
     rows = textops.token_lift_pairs(spark, sf_dir).collect()
     for r in rows:
