@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -57,8 +58,39 @@ class _SeqReader(DataSourceReader):
             yield (i, h[:8], _HEX.index(h[0]))
 
 
+class _SeqStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched twin of ``_SeqReader``: offsets are plain row
+    indices, each ``read`` call emits the next ``batch`` rows until
+    ``n`` is exhausted — the offset-tracking contract every streaming
+    connector implements (Kafka offsets, file positions). Rows are the
+    same pure md5 function of the index, so a drained stream equals the
+    batch scan exactly."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", "1000"))
+        self.batch = int(options.get("batch", "250"))
+
+    def initialOffset(self):  # noqa: ANN201 - Spark API
+        return {"i": 0}
+
+    def read(self, start):  # noqa: ANN001, ANN201 - Spark API
+        s = start["i"]
+        e = min(s + self.batch, self.n)
+        rows = [(i, hashlib.md5(str(i).encode()).hexdigest()[:8],
+                 _HEX.index(hashlib.md5(str(i).encode()).hexdigest()[0]))
+                for i in range(s, e)]
+        return iter(rows), {"i": e}
+
+    def readBetweenOffsets(self, start, end):  # noqa: ANN001, ANN201
+        return iter([
+            (i, hashlib.md5(str(i).encode()).hexdigest()[:8],
+             _HEX.index(hashlib.md5(str(i).encode()).hexdigest()[0]))
+            for i in range(start["i"], end["i"])])
+
+
 class SeqDataSource(DataSource):
-    """``spark.read.format("seqgen").option("n", ...).load()``."""
+    """``spark.read.format("seqgen").option("n", ...).load()`` — and the
+    same source as a micro-batched STREAM via ``spark.readStream``."""
 
     @classmethod
     def name(cls) -> str:
@@ -69,6 +101,9 @@ class SeqDataSource(DataSource):
 
     def reader(self, schema):  # noqa: ANN001, ANN201 - Spark API
         return _SeqReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001, ANN201
+        return _SeqStreamReader(self.options)
 
 
 class _WroteFile(WriterCommitMessage):

@@ -577,7 +577,39 @@ GROUP BY user_id
 """
 
 
+# ----------------------------------------------------------------------
+# custom Python STREAMING data source (Spark 4 SimpleDataSourceStreamReader)
+# ----------------------------------------------------------------------
+
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a USER-DEFINED Python streaming source
+    (``io/pydatasource._SeqStreamReader``: offset-tracked micro-batches,
+    the contract every streaming connector implements) and aggregate —
+    the streaming twin of ``python_datasource_scan``, sharing its
+    oracle because the generated rows are the same pure md5 function of
+    the row index regardless of micro-batch boundaries. Python
+    streaming sources don't support Trigger.AvailableNow yet (Spark
+    falls back to SINGLE-batch execution — observed in the logs), so
+    the drain sizes one batch to the full range; multi-batch offset
+    progression (initialOffset -> read -> readBetweenOffsets replay) is
+    pinned by a direct unit test instead
+    (test_round5_late_ops.test_python_stream_reader_offsets).
+    sf_dir is unused: the source IS the data."""
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    stream = (spark.readStream.format("seqgen")
+              .option("n", "20000").option("batch", "20000").load())
+    agg = (stream.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id").alias("id_checksum"),
+                F.min("tag").alias("min_tag"),
+                F.max("tag").alias("max_tag")))
+    return _drain_to_memory(agg, "complete")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "streaming_python_source": streaming_python_source,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_dedup_keys": streaming_dedup_keys,
@@ -590,7 +622,16 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
 }
 
+def _py_datasource_sql() -> str:
+    from spark_kafka_airflow_pipeline_spark.operators.pipelineops import (
+        PY_DATASOURCE_SQL,
+    )
+
+    return PY_DATASOURCE_SQL
+
+
 ORACLES: dict[str, str] = {
+    "streaming_python_source": _py_datasource_sql(),
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,

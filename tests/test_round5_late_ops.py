@@ -129,6 +129,32 @@ def test_python_datasource_jsonl_writer_roundtrip(spark, sf_dir, tmp_path):
     assert files, "writer produced no part files"
 
 
+def test_python_stream_reader_offsets():
+    """Multi-batch offset progression of the custom streaming reader:
+    initialOffset -> read x4 covers the range exactly once, and
+    readBetweenOffsets replays any batch identically (the recovery
+    contract)."""
+    from spark_kafka_airflow_pipeline_spark.io.pydatasource import (
+        _SeqStreamReader,
+    )
+
+    r = _SeqStreamReader({"n": "1000", "batch": "250"})
+    off = r.initialOffset()
+    seen = []
+    batches = []
+    for _ in range(4):
+        it, nxt = r.read(off)
+        rows = list(it)
+        batches.append((off, nxt, rows))
+        seen.extend(rows)
+        off = nxt
+    assert off == {"i": 1000}
+    assert [x[0] for x in seen] == list(range(1000))
+    # replay: every batch reproduces bit-identically from its offsets
+    for start, end, rows in batches:
+        assert list(r.readBetweenOffsets(start, end)) == rows
+
+
 def test_token_lift_support_and_symmetry(spark, sf_dir):
     rows = textops.token_lift_pairs(spark, sf_dir).collect()
     for r in rows:
