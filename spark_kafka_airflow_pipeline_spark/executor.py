@@ -238,6 +238,41 @@ class PipelineExecutor:
             for f in frames[1:]:
                 out = out.unionByName(f, allowMissingColumns=True)
             nodes[t.name] = out
+        elif kind == "dedup_near":
+            # near-duplicate removal as a DECLARATIVE step: the same
+            # MinHash-LSH pipeline the operator library exposes
+            # (signature pass -> banded buckets -> estimate filter ->
+            # exact-Jaccard verify), then keep-first survivorship —
+            # drop every doc that is the LARGER end of a verified pair
+            # (deterministic; the kept set is exactly the pair-graph
+            # minima). All bounded-bucket, no all-pairs join — the
+            # operator library's scale posture carries over verbatim.
+            from spark_kafka_airflow_pipeline_spark.functions import (
+                text as T,
+            )
+            from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+                estimate_filter_pairs,
+                lsh_band_candidates,
+                minhash_signature_agg,
+                verify_pairs_jaccard,
+            )
+
+            if not t.params.idColumn:
+                raise ValueError(
+                    f"dedup_near {t.name!r} needs 'idColumn' (a unique "
+                    "document id)")
+            d = df.select(F.col(t.params.idColumn).alias("doc_id"),
+                          F.col(t.params.textColumn).alias("text"))
+            tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+            sigs = minhash_signature_agg(d, num_hashes=16, tokens=tokens)
+            cand = lsh_band_candidates(sigs, 16, 4, distinct=False,
+                                       carry="minhash")
+            good = estimate_filter_pairs(cand, 16, t.params.threshold)
+            pairs = verify_pairs_jaccard(good, d, tokens,
+                                         t.params.threshold)
+            drop = pairs.select(
+                F.col("doc_b").alias(t.params.idColumn)).distinct()
+            nodes[t.name] = df.join(drop, t.params.idColumn, "left_anti")
         elif kind == "window":
             # declarative window functions: each field is a Spark SQL
             # expression string evaluated over ONE shared window spec,

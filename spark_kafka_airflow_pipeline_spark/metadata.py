@@ -89,6 +89,9 @@ class TransformationParams:
     partitionBy: list[str] = field(default_factory=list)   # type="window"
     orderBy: list[str] = field(default_factory=list)       # type="window": "-col" = desc
     fields: list[AddField] = field(default_factory=list)   # type="window": name + window fn expr
+    idColumn: str | None = None       # type="dedup_near": unique id column
+    textColumn: str = "text"          # type="dedup_near": text column
+    threshold: float = 0.5            # type="dedup_near": Jaccard cutoff
 
 
 @dataclass(frozen=True)
@@ -162,6 +165,9 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         orderBy=list(raw.get("orderBy") or []),
         fields=[AddField(f["name"], f["function"])
                 for f in raw.get("fields") or []],
+        idColumn=raw.get("idColumn"),
+        textColumn=raw.get("textColumn", "text"),
+        threshold=float(raw.get("threshold", 0.5)),
     )
 
 

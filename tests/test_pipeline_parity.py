@@ -424,6 +424,65 @@ def test_declarative_window(spark, sf_dir):
     assert plan.count("Window") <= 2  # Window op + possible WindowExec label
 
 
+def test_declarative_dedup_near(spark, sf_dir):
+    """`dedup_near` transformation type: metadata-declared MinHash
+    near-dedup must equal the operator-library computation (keep-first
+    survivorship over verified pairs)."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        estimate_filter_pairs,
+        lsh_band_candidates,
+        minhash_signature_agg,
+        verify_pairs_jaccard,
+    )
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "near-dedup",
+        "sources": [{"name": "docs",
+                     "path": f"{sf_dir}/documents.parquet"}],
+        "transformations": [
+            {"name": "kept", "type": "dedup_near", "params": {
+                "input": "docs", "idColumn": "doc_id",
+                "textColumn": "text", "threshold": 0.5}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    got = {r.doc_id for r in nodes["kept"].select("doc_id").collect()}
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text"))
+    tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+    sigs = minhash_signature_agg(d, num_hashes=16, tokens=tokens)
+    cand = lsh_band_candidates(sigs, 16, 4, distinct=False, carry="minhash")
+    pairs = verify_pairs_jaccard(
+        estimate_filter_pairs(cand, 16, 0.5), d, tokens, 0.5)
+    dropped = {r.doc_b for r in pairs.select("doc_b").collect()}
+    all_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    assert got == all_ids - dropped
+    assert got  # survivors exist
+    # full schema preserved (anti-join keeps original columns)
+    assert set(nodes["kept"].columns) == set(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").columns)
+
+
+def test_dedup_near_requires_id_column(spark, sf_dir):
+    meta = parse_metadata({"dataflows": [{
+        "name": "bad",
+        "sources": [{"name": "docs",
+                     "path": f"{sf_dir}/documents.parquet"}],
+        "transformations": [
+            {"name": "kept", "type": "dedup_near",
+             "params": {"input": "docs"}},
+        ],
+        "sinks": [],
+    }]})
+    with pytest.raises(ValueError, match="idColumn"):
+        PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+
+
 def test_window_without_fields_rejected(spark, sf_dir):
     meta = parse_metadata({"dataflows": [{
         "name": "bad",
