@@ -688,6 +688,36 @@ GROUP BY o_orderstatus, o_orderpriority
 """
 
 
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql`` [EXT]: named bind parameters
+    (``:minprice`` / ``:status``) instead of string interpolation — the
+    injection-safe API a service layer uses for user-supplied
+    predicates. Catalyst receives literals, so constant folding and
+    pushdown behave exactly as with inlined values (same plan)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sqlp_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+                    AS DECIMAL(20,2)) AS revenue
+        FROM __sqlp_orders
+        WHERE o_totalprice >= :minprice AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"minprice": 150000.0, "status": "O"})
+
+
+SQL_API_PARAM_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
+         AS revenue
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
 def orders_status_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DataFrame.transpose()`` (Spark 4): flip a per-status metrics
     aggregate so statuses become COLUMNS and metric names become rows —
@@ -726,6 +756,7 @@ FROM agg
 
 
 QUERIES: dict[str, QueryFn] = {
+    "sql_api_parameterized": sql_api_parameterized,
     "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
@@ -749,6 +780,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sql_api_parameterized": SQL_API_PARAM_SQL,
     "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,

@@ -31,6 +31,29 @@ def test_sink_source_roundtrip(spark, tmp_path, fmt):
     assert got == sorted(ROWS)
 
 
+def test_xml_format_roundtrip(spark, sf_dir, tmp_path):
+    """Native XML source/sink (Spark 4): an orders subset written as
+    XML and read back must round-trip values exactly."""
+    from pyspark.sql import functions as F
+
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_orderstatus",
+                   F.col("o_totalprice").cast("decimal(12,2)")
+                   .cast("string").alias("price"))
+           .limit(40))
+    out = str(tmp_path / "xml_out")
+    (src.write.format("xml").option("rootTag", "orders")
+     .option("rowTag", "order").mode("overwrite").save(out))
+    # explicit schema: inference would coerce '88094.30' to double
+    # 88094.3 and break the exact round-trip
+    back = (spark.read.format("xml").option("rowTag", "order")
+            .schema("o_orderkey long, o_orderstatus string, price string")
+            .load(out))
+    a = {(r.o_orderkey, r.o_orderstatus, r.price) for r in src.collect()}
+    b = {(r.o_orderkey, r.o_orderstatus, r.price) for r in back.collect()}
+    assert a == b and a
+
+
 def test_partitioned_sink_layout(spark, tmp_path):
     """Engine extension: partitionBy on file sinks (partition pruning is
     the first-order 100 TB lever)."""
