@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from spark_kafka_airflow_pipeline_spark.session import get_spark
 from spark_kafka_airflow_pipeline_spark.operators import (
     dedup,
+    events,
     graphops,
     similarity,
     textops,
@@ -114,6 +115,28 @@ OPS = {
     "triangle_count_suppliers": graphops.triangle_count_suppliers,
     "snapshot_diff_cdc": warehouse.snapshot_diff_cdc,
     "table_profile": warehouse.table_profile,
+    "token_lift_pairs": textops.token_lift_pairs,
+}
+
+
+def build_events(spark, n: int, out: Path) -> None:
+    """Replicate events with shifted ids (same users/types: event
+    volume grows, key cardinality stays — the realistic growth mode
+    for windows and transition counts)."""
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    emax = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    copies = [ev.withColumn("event_id", F.col("event_id") + F.lit(i * emax))
+              for i in range(n)]
+    alle = copies[0]
+    for c in copies[1:]:
+        alle = alle.unionByName(c)
+    alle.repartition(32).write.mode("overwrite") \
+        .parquet(str(out / "events.parquet"))
+
+
+EVENT_OPS = {
+    "events_drift_chi2": events.events_drift_chi2,
+    "event_transition_matrix": events.event_transition_matrix,
 }
 
 
@@ -125,9 +148,11 @@ def main() -> None:
         build(spark, n, out)
     if not (out / "lineitem.parquet").exists():
         build_relational(spark, n, out)
+    if not (out / "events.parquet").exists():
+        build_events(spark, n, out)
 
     result: dict[str, dict[str, float]] = {}
-    for name, fn in OPS.items():
+    for name, fn in {**OPS, **EVENT_OPS}.items():
         fn(spark, BASE).count()  # warm codegen on the small scale
         t = time.perf_counter()
         rows_1x = fn(spark, BASE).count()

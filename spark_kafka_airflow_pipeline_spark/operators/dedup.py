@@ -768,6 +768,90 @@ WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.5
 """
 
 
+def incremental_dedup_md5(spark: SparkSession, sf_dir: str,
+                          new_source: str = "src0",
+                          threshold: float = 0.5) -> DataFrame:
+    """Incremental batch-vs-corpus near-dedup on the md5-portable
+    MinHash pipeline — the exactly-ORACLED twin of
+    ``incremental_dedup_minhash`` (which rides murmur3/xxhash and is
+    rows-only by nature). Same steady-state topology as the production
+    path: one signature pass over corpus+batch with an ``is_new`` flag,
+    shared band buckets, candidate pairs filtered to CROSS-side BEFORE
+    the exact-Jaccard verify (the corpus is never re-paired against
+    itself), output oriented (new_doc_id, corpus_doc_id). With this,
+    every member of the near-dup family — pairs, incremental, SimHash,
+    clustering — has a value-hash-verified algorithm proof beside its
+    fast murmur3 production variant."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 (F.col("source") == new_source).alias("is_new"),
+                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+    g = d.select("doc_id", F.explode("grams").alias("g"))
+    h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    hp = h_raw % _MH_P
+    sig = (d.select("doc_id", "is_new").join(
+        g.select("doc_id", hp.alias("hp"))
+        .groupBy("doc_id")
+        .agg(*[F.min((F.lit(a) * F.col("hp") + F.lit(b)) % _MH_P)
+               .alias(f"h{i}")
+               for i, (a, b) in enumerate(_MH_COEFFS)]), "doc_id"))
+    bands = None
+    for i in range(0, 8, 2):
+        band = sig.select(
+            "doc_id", "is_new",
+            F.concat_ws(":", F.lit(i // 2),
+                        F.col(f"h{i}"), F.col(f"h{i + 1}")).alias("bk"))
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.is_new") != F.col("b.is_new")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.is_new").alias("a_new"))
+            .distinct())
+    ga = d.select(F.col("doc_id").alias("doc_a"),
+                  F.explode("grams").alias("g"))
+    gb = d.select(F.col("doc_id").alias("doc_b"),
+                  F.explode("grams").alias("g"))
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b", "a_new")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = d.select("doc_id", F.size("grams").alias("n"))
+    jac = (inter
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+                 "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+                 "doc_b")
+           .select("doc_a", "doc_b", "a_new",
+                   F.round(F.col("n_inter")
+                           / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                           6).alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold))
+    return jac.select(
+        F.when(F.col("a_new"), F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("new_doc_id"),
+        F.when(F.col("a_new"), F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("corpus_doc_id"),
+        "jaccard")
+
+
+INCREMENTAL_MD5_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({MINHASH_MD5_SQL})
+), flags AS (
+  SELECT doc_id, source = 'src0' AS is_new FROM documents
+)
+SELECT CASE WHEN fa.is_new THEN p.doc_a ELSE p.doc_b END AS new_doc_id,
+       CASE WHEN fa.is_new THEN p.doc_b ELSE p.doc_a END AS corpus_doc_id,
+       p.jaccard
+FROM pairs p
+JOIN flags fa ON fa.doc_id = p.doc_a
+JOIN flags fb ON fb.doc_id = p.doc_b
+WHERE fa.is_new != fb.is_new
+"""
+
+
 # ----------------------------------------------------------------------
 # md5-based SimHash: the engine-portable twin of simhash_near_dups
 # ----------------------------------------------------------------------
@@ -1015,6 +1099,7 @@ GROUP BY split
 
 QUERIES: dict[str, QueryFn] = {
     "split_leakage_audit": split_leakage_audit,
+    "incremental_dedup_md5": incremental_dedup_md5,
     "minhash_md5_pairs": minhash_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_clusters_md5": dedup_clusters_md5,
@@ -1033,6 +1118,7 @@ QUERIES: dict[str, QueryFn] = {
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
     "split_leakage_audit": SPLIT_LEAKAGE_SQL,
+    "incremental_dedup_md5": INCREMENTAL_MD5_SQL,
     "minhash_md5_pairs": MINHASH_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,
