@@ -64,7 +64,7 @@ _WINDOW_PRIORITY = (
     "events_drift_chi2", "event_transition_matrix", "token_lift_pairs",
     "python_datasource_scan", "orders_status_transpose",
     "streaming_python_source", "sql_api_parameterized",
-    "incremental_dedup_md5",
+    "incremental_dedup_md5", "doc_source_arrow_stats",
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
@@ -82,7 +82,6 @@ _WINDOW_PRIORITY = (
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
     "asof_cogroup_pandas", "q2_min_cost_supplier", "q8_nation_market_share",
-    "q9_promo_profit",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
@@ -100,6 +99,7 @@ _R6_EARMARK = (
     "q1_pricing_summary", "pipeline_add_fields",
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
+    "q9_promo_profit",
     # ^ never-checked; first r6 slots
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",

@@ -1093,6 +1093,59 @@ GROUP BY source
 
 
 # ----------------------------------------------------------------------
+# grouped applyInArrow — Arrow-native per-group kernel
+# ----------------------------------------------------------------------
+
+def _arrow_source_stats(table):  # noqa: ANN001, ANN201 - Arrow kernel
+    """Per-source stats computed Arrow-native (no pandas hop): doc
+    count, char total, LOWER median (index (n-1)//2 of the sorted
+    array — integer-exact, no interpolation, so the oracle's
+    ROW_NUMBER formulation matches bit-for-bit)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = np.sort(table.column("n_chars").to_numpy())
+    return pa.table({
+        "source": [table.column("source")[0].as_py()],
+        "n_docs": [len(arr)],
+        "total_chars": [int(arr.sum())],
+        "median_chars": [int(arr[(len(arr) - 1) // 2])],
+    })
+
+
+def doc_source_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document stats via grouped ``applyInArrow`` — the
+    Arrow-native grouped-kernel surface beside ``applyInPandas``
+    (cogrouped), ``mapInPandas``, ``mapInArrow``, the UDTF and
+    ``applyInPandasWithState``: the full Python-UDF matrix. The group
+    arrives as one Arrow table (zero-copy batches), the kernel sorts a
+    single int64 column — O(group) memory, fine for per-SOURCE groups
+    (bounded count); a per-doc-scale key would use the aggregate
+    forms instead. Median is the LOWER median so every output is an
+    exact integer in both engines."""
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    return d.groupBy("source").applyInArrow(
+        _arrow_source_stats,
+        schema=("source string, n_docs bigint, total_chars bigint, "
+                "median_chars bigint"))
+
+
+ARROW_STATS_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source, CAST(MAX(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT)
+         AS median_chars
+FROM ranked GROUP BY source
+"""
+
+
+# ----------------------------------------------------------------------
 # association mining — token co-occurrence lift (market-basket shape)
 # ----------------------------------------------------------------------
 
@@ -1333,6 +1386,7 @@ FROM r GROUP BY source
 
 
 QUERIES: dict[str, QueryFn] = {
+    "doc_source_arrow_stats": doc_source_arrow_stats,
     "token_lift_pairs": token_lift_pairs,
     "grouped_sample_topk": grouped_sample_topk,
     "gopher_quality_rules": gopher_quality_rules,
@@ -1364,6 +1418,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_source_arrow_stats": ARROW_STATS_SQL,
     "token_lift_pairs": TOKEN_LIFT_SQL,
     "grouped_sample_topk": GROUPED_SAMPLE_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
