@@ -310,6 +310,81 @@ def _asof_cogroup_kernel(purchases, clicks):
                          "last_click_value": carried[out.index]})
 
 
+def _asof_cogroup_arrow_kernel(purchases, clicks):  # noqa: ANN001, ANN201
+    """Arrow-native twin of ``_asof_cogroup_kernel`` (cogrouped
+    ``applyInArrow``): the same replay — lexsort both event sets by
+    (user, ts, event_id), forward-fill click values within each user
+    via segmented maximum.accumulate over source indices, shift by one
+    row within the user segment, emit purchases. Pure numpy on Arrow
+    buffers; NaN carried values are emitted as Arrow NULLs to match
+    the oracle's NULL semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    def col(t, name):
+        return t.column(name).to_numpy(zero_copy_only=False)
+
+    if purchases.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "event_id": pa.array([], pa.int64()),
+                         "last_click_value": pa.array([], pa.float64())})
+    u = np.concatenate([col(purchases, "user_id"), col(clicks, "user_id")])
+    ts = np.concatenate([col(purchases, "ts"), col(clicks, "ts")])
+    eid = np.concatenate([col(purchases, "event_id"),
+                          col(clicks, "event_id")])
+    isp = np.concatenate([np.ones(purchases.num_rows, bool),
+                          np.zeros(clicks.num_rows, bool)])
+    val = np.concatenate([np.full(purchases.num_rows, np.nan),
+                          col(clicks, "value")])
+    order = np.lexsort((eid, ts, u))
+    u, ts, eid, isp, val = u[order], ts[order], eid[order], isp[order], \
+        val[order]
+    n = len(u)
+    new_user = np.ones(n, bool)
+    new_user[1:] = u[1:] != u[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(new_user, np.arange(n), -1))
+    valid = ~np.isnan(val)
+    acc = np.maximum.accumulate(np.where(valid, np.arange(n), -1))
+    ffilled = np.where(acc >= seg_start, acc, -1)
+    prev = np.arange(n) - 1
+    shift_src = np.where(prev >= seg_start, ffilled[np.clip(prev, 0, None)],
+                         -1)
+    carried = np.where(shift_src >= 0, val[np.clip(shift_src, 0, None)],
+                       np.nan)
+    out = isp
+    cv = carried[out]
+    return pa.table({
+        "user_id": pa.array(u[out], pa.int64()),
+        "event_id": pa.array(eid[out], pa.int64()),
+        "last_click_value": pa.array(cv, pa.float64(),
+                                     mask=np.isnan(cv)),
+    })
+
+
+def asof_cogroup_arrow(spark: SparkSession, sf_dir: str,
+                       n_buckets: int | None = None) -> DataFrame:
+    """AS-OF join via COGROUPED ``applyInArrow`` — the Arrow-native
+    cogroup cell of the Python-UDF matrix (see
+    ``textops.doc_source_arrow_stats`` for the grouped cell). Same
+    bucketed-key amortization as ``asof_cogroup_pandas`` and the same
+    window-twin oracle, so both cogroup APIs are held to one
+    hash-exact gate."""
+    e = table(spark, sf_dir, "events")
+    n_buckets = n_buckets or 2 * spark.sparkContext.defaultParallelism
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value",
+        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value",
+        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
+    return (purchases.groupBy("bkt")
+            .cogroup(clicks.groupBy("bkt"))
+            .applyInArrow(
+                _asof_cogroup_arrow_kernel,
+                schema="user_id long, event_id long, last_click_value double"))
+
+
 def asof_cogroup_pandas(spark: SparkSession, sf_dir: str,
                         n_buckets: int | None = None) -> DataFrame:
     """AS-OF join via COGROUPED ``applyInPandas`` — the pandas-UDF
@@ -626,6 +701,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_hourly_range_sum": events_hourly_range_sum,
     "asof_cogroup_pandas": asof_cogroup_pandas,
+    "asof_cogroup_arrow": asof_cogroup_arrow,
     "events_range_join": events_range_join,
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -643,6 +719,7 @@ ORACLES: dict[str, str] = {
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,
     "events_hourly_range_sum": EVENTS_RANGE_FRAME_SQL,
     "asof_cogroup_pandas": ASOF_COGROUP_SQL,
+    "asof_cogroup_arrow": ASOF_COGROUP_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
