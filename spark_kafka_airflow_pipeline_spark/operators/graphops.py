@@ -107,6 +107,16 @@ def pagerank_supplier_rank(spark: SparkSession, sf_dir: str,
     from growing per round; localCheckpoint pins no CacheManager entry,
     so nothing leaks into a long-lived session."""
     edges = _supplier_topk_edges(spark, sf_dir).localCheckpoint(eager=True)
+    ranks = pagerank_over_edges(edges, iters=iters, damping=damping)
+    return ranks.select(F.col("sk").alias("s_suppkey"),
+                        F.round("rank", 8).alias("pagerank"))
+
+
+def pagerank_over_edges(edges: DataFrame, iters: int = 3,
+                        damping: float = 0.85) -> DataFrame:
+    """The PageRank loop over an arbitrary (src, dst, w) edge frame —
+    factored out so property tests can drive it with random graphs
+    against an independent dense numpy reference. Returns (sk, rank)."""
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     n = outw.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = (outw.crossJoin(F.broadcast(n))
@@ -130,8 +140,7 @@ def pagerank_supplier_rank(spark: SparkSession, sf_dir: str,
                          (F.lit(1.0 - damping) / F.col("n")
                           + F.lit(damping)
                           * F.coalesce("s", F.lit(0.0))).alias("rank")))
-    return ranks.select(F.col("sk").alias("s_suppkey"),
-                        F.round("rank", 8).alias("pagerank"))
+    return ranks
 
 
 _PR_ITER = """
@@ -186,6 +195,14 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (topk.unionByName(topk.select(F.col("dst").alias("src"),
                                         F.col("src").alias("dst")))
            .distinct().localCheckpoint(eager=True))
+    return triangle_count_over_undirected(und)
+
+
+def triangle_count_over_undirected(und: DataFrame) -> DataFrame:
+    """The degree-oriented triangle kernel over an arbitrary SYMMETRIC
+    distinct (src, dst) edge frame — factored out so property tests
+    can drive it with random graphs against a brute-force itertools
+    reference."""
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     d1 = deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du")
     d2 = deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv")

@@ -39,6 +39,68 @@ def test_triangle_invariants(spark, sf_dir):
     assert 0.0 <= row.clustering_coeff <= 1.0
 
 
+def test_pagerank_matches_dense_numpy_reference(spark):
+    """The distributed PageRank loop on random graphs must match an
+    independent dense numpy power iteration (same damping, same
+    dangling rule) — seeds chosen to cover asymmetric, disconnected
+    and sink-heavy shapes."""
+    import random
+
+    import numpy as np
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = rng.randint(4, 9)
+        edges = [(s, d, float(rng.randint(1, 5)))
+                 for s in range(n) for d in range(n)
+                 if s != d and rng.random() < 0.45]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long, w double")
+        got = {r.sk: r.rank for r in
+               graphops.pagerank_over_edges(df, iters=3).collect()}
+
+        srcs = sorted({s for s, _, _ in edges})
+        idx = {s: i for i, s in enumerate(srcs)}
+        m = len(srcs)
+        w = np.zeros((m, m))
+        for s, d, wt in edges:
+            if d in idx:           # targets outside the src set receive
+                w[idx[s], idx[d]] += wt  # nothing in the node universe
+        outw = np.array([sum(wt for s, _, wt in edges if s == sk)
+                         for sk in srcs])
+        r = np.full(m, 1.0 / m)
+        for _ in range(3):
+            contrib = (r / outw) @ w
+            r = 0.15 / m + 0.85 * contrib
+        for sk in srcs:
+            assert abs(got[sk] - r[idx[sk]]) < 1e-9, (seed, sk)
+
+
+def test_triangle_kernel_matches_bruteforce(spark):
+    """Degree-oriented triangle counting on random graphs must equal
+    the brute-force itertools count."""
+    import itertools
+    import random
+
+    for seed in (3, 17, 42, 101):
+        rng = random.Random(seed)
+        n = rng.randint(4, 10)
+        und_pairs = {(a, b) for a in range(n) for b in range(n)
+                     if a < b and rng.random() < 0.5}
+        if not und_pairs:
+            continue
+        sym = [(a, b) for a, b in und_pairs] + \
+              [(b, a) for a, b in und_pairs]
+        df = spark.createDataFrame(sym, "src long, dst long")
+        row = graphops.triangle_count_over_undirected(df).collect()[0]
+        brute = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+                    if (a, b) in und_pairs and (b, c) in und_pairs
+                    and (a, c) in und_pairs)
+        assert row.n_triangles == brute, (seed, row.n_triangles, brute)
+        assert row.n_edges == len(und_pairs)
+
+
 def test_topk_edges_degree_cap(spark, sf_dir):
     from pyspark.sql import functions as F
 
