@@ -155,6 +155,51 @@ def test_python_stream_reader_offsets():
         assert list(r.readBetweenOffsets(start, end)) == rows
 
 
+def test_asof_arrow_kernel_equals_pandas_kernel():
+    """The Arrow as-of kernel (numpy segmented ffill) must agree with
+    the pandas kernel on random inputs — duplicate timestamps, users
+    with no clicks, clicks-only users, empty purchase side."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from spark_kafka_airflow_pipeline_spark.operators.events import (
+        _asof_cogroup_arrow_kernel,
+        _asof_cogroup_kernel,
+    )
+
+    for seed in (5, 23, 77, 123):
+        rng = random.Random(seed)
+        eid = 0
+        p_rows, c_rows = [], []
+        for user in range(rng.randint(1, 6)):
+            for _ in range(rng.randint(0, 8)):
+                eid += 1
+                row = {"user_id": user, "event_id": eid,
+                       # coarse ts -> deliberate duplicates
+                       "ts": pd.Timestamp(2024, 1, 1)
+                       + pd.Timedelta(seconds=rng.randint(0, 5)),
+                       "value": round(rng.random() * 100, 2)}
+                (p_rows if rng.random() < 0.4 else c_rows).append(row)
+        cols = ["user_id", "event_id", "ts", "value"]
+        p = pd.DataFrame(p_rows, columns=cols)
+        c = pd.DataFrame(c_rows, columns=cols)
+        want = _asof_cogroup_kernel(p, c)
+        got = _asof_cogroup_arrow_kernel(
+            pa.Table.from_pandas(p, preserve_index=False),
+            pa.Table.from_pandas(c, preserve_index=False)).to_pandas()
+
+        def canon(df):
+            return sorted(
+                (int(r.user_id), int(r.event_id),
+                 None if pd.isna(r.last_click_value)
+                 else round(float(r.last_click_value), 9))
+                for r in df.itertuples())
+
+        assert canon(got) == canon(want), seed
+
+
 def test_token_lift_support_and_symmetry(spark, sf_dir):
     rows = textops.token_lift_pairs(spark, sf_dir).collect()
     for r in rows:
