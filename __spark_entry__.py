@@ -65,7 +65,7 @@ _WINDOW_PRIORITY = (
     "python_datasource_scan", "orders_status_transpose",
     "streaming_python_source", "sql_api_parameterized",
     "incremental_dedup_md5", "doc_source_arrow_stats",
-    "asof_cogroup_arrow",
+    "asof_cogroup_arrow", "context_packing_manifest",
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
@@ -82,7 +82,7 @@ _WINDOW_PRIORITY = (
     "simhash_md5_pairs", "dedup_clusters_md5", "ann_srp_topk",
     # -- 3. never driver-checked ------------------------------------
     "events_funnel_conversion", "events_hourly_range_sum",
-    "asof_cogroup_pandas", "q2_min_cost_supplier",
+    "asof_cogroup_pandas",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
@@ -100,7 +100,7 @@ _R6_EARMARK = (
     "q1_pricing_summary", "pipeline_add_fields",
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
-    "q9_promo_profit", "q8_nation_market_share",
+    "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
     # ^ never-checked; first r6 slots
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",

@@ -733,6 +733,50 @@ FROM binned GROUP BY source, win_id
 """
 
 
+def context_packing_manifest(spark: SparkSession, sf_dir: str,
+                             window_tokens: int = 4096) -> DataFrame:
+    """The per-document placement MANIFEST behind
+    ``context_packing_stats`` — the artifact a dataloader actually
+    consumes: for every document, its context window id and token
+    offset WITHIN the shard-local packing order. Same shard-windowed
+    cumulative sum (no global sort at any scale); emitting rows
+    instead of aggregates costs nothing extra — the window pass is
+    identical, only the final groupBy is dropped."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id",
+                    T.token_count("text").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "source", "doc_id", "n_tokens",
+        start.cast("bigint").alias("start_offset"),
+        F.floor(start / F.lit(window_tokens)).cast("long").alias("win_id"),
+        (start % F.lit(window_tokens)).cast("bigint").alias("win_offset"))
+
+
+CONTEXT_MANIFEST_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+         END AS n_tokens
+  FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS start_offset,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 4096) AS BIGINT)
+         AS win_id,
+       CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 4096 AS BIGINT)
+         AS win_offset
+FROM toks
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 def training_shuffle_order(spark: SparkSession, sf_dir: str,
                            shards: int = 8) -> DataFrame:
     """Deterministic pseudorandom training order: docs are dealt to
@@ -1412,6 +1456,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup_exact": incremental_dedup_exact,
     "cross_doc_span_dups": cross_doc_span_dups,
     "context_packing_stats": context_packing_stats,
+    "context_packing_manifest": context_packing_manifest,
     "training_shuffle_order": training_shuffle_order,
     "source_mixture_plan": source_mixture_plan,
     "doc_word_runs_udtf": doc_word_runs_udtf,
@@ -1444,6 +1489,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_exact": INCREMENTAL_DEDUP_SQL,
     "cross_doc_span_dups": CROSS_DOC_SPAN_SQL,
     "context_packing_stats": CONTEXT_PACKING_SQL,
+    "context_packing_manifest": CONTEXT_MANIFEST_SQL,
     "training_shuffle_order": TRAINING_SHUFFLE_SQL,
     "source_mixture_plan": SOURCE_MIXTURE_SQL,
     "doc_word_runs_udtf": DOC_WORD_RUNS_SQL,
