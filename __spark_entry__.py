@@ -86,10 +86,12 @@ _WINDOW_PRIORITY = (
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
-# window): after round 5 these 44 queries are the ones whose last
-# driver row is r1/r2-era — they are the core of the round-6 window
-# (plus any r5 reds per the red-until-green rule, plus round-6
-# additions). Everything else has an r3/r4/r5 row.
+# window): after round 5 these 51 queries are the ones whose last
+# driver row is r1/r2-era or absent (never-checked TPC-H shapes
+# displaced by round-5 additions lead the list) — they are the core of
+# the round-6 window (plus any r5 reds per the red-until-green rule,
+# plus round-6 additions; 51 > 50, so the lowest-priority r2-green
+# tail entry rolls to r7). Everything else has an r3/r4/r5 row.
 _R6_EARMARK = (
     # displaced from the r5 window by the 11 new round-5 queries
     # (all r1/r2-green; the new ops have never had a driver row)
