@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = (
     "streaming_python_source", "sql_api_parameterized",
     "incremental_dedup_md5", "doc_source_arrow_stats",
     "asof_cogroup_arrow", "context_packing_manifest",
+    "doc_dup_scores", "value_trend_by_type",
     "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
     "streaming_session_window",          # promoted rows-only -> oracled
     "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
@@ -81,8 +82,7 @@ _WINDOW_PRIORITY = (
     "streaming_stream_stream_left_join", "minhash_md5_pairs",
     "simhash_md5_pairs", "dedup_clusters_md5", "ann_srp_topk",
     # -- 3. never driver-checked ------------------------------------
-    "events_funnel_conversion", "events_hourly_range_sum",
-    "asof_cogroup_pandas",
+    "events_funnel_conversion",
 )
 
 # ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
@@ -103,7 +103,9 @@ _R6_EARMARK = (
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
     "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
-    # ^ never-checked; first r6 slots
+    "events_hourly_range_sum", "asof_cogroup_pandas",
+    # ^ never-checked; first r6 slots (asof_cogroup_pandas's Arrow twin
+    #   shares its oracle and sits in the r5 window)
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",

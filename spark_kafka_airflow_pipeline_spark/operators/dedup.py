@@ -852,6 +852,47 @@ WHERE fa.is_new != fb.is_new
 """
 
 
+def doc_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DUPLICATION SCORE — the doc-level artifact a
+    filtering pipeline thresholds on (keep docs whose worst near-dup
+    similarity is below X), derived from the oracled md5 pair graph:
+    for every document, the max verified Jaccard over its incident
+    near-dup pairs and how many near-dups it has (0 / 0.0 for clean
+    docs via the left join). One scan of the corpus + the pair
+    pipeline; the incident-pair aggregation shuffles on doc_id only."""
+    pairs = minhash_md5_pairs(spark, sf_dir)
+    incident = (pairs.select(F.col("doc_a").alias("doc_id"), "jaccard")
+                .unionByName(pairs.select(F.col("doc_b").alias("doc_id"),
+                                          "jaccard"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_dups"),
+                     F.max("jaccard").alias("max_jaccard")))
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return (d.join(incident, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_dups", F.lit(0)).cast("bigint")
+                    .alias("n_dups"),
+                    F.coalesce("max_jaccard", F.lit(0.0))
+                    .alias("max_jaccard")))
+
+
+DOC_DUP_SCORES_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({MINHASH_MD5_SQL})
+), incident AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         MAX(jaccard) AS max_jaccard
+  FROM (SELECT doc_a AS doc_id, jaccard FROM pairs
+        UNION ALL SELECT doc_b AS doc_id, jaccard FROM pairs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(i.n_dups, 0) AS n_dups,
+       COALESCE(i.max_jaccard, 0.0) AS max_jaccard
+FROM documents d LEFT JOIN incident i USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------------
 # md5-based SimHash: the engine-portable twin of simhash_near_dups
 # ----------------------------------------------------------------------
@@ -1100,6 +1141,7 @@ GROUP BY split
 QUERIES: dict[str, QueryFn] = {
     "split_leakage_audit": split_leakage_audit,
     "incremental_dedup_md5": incremental_dedup_md5,
+    "doc_dup_scores": doc_dup_scores,
     "minhash_md5_pairs": minhash_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_clusters_md5": dedup_clusters_md5,
@@ -1119,6 +1161,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "split_leakage_audit": SPLIT_LEAKAGE_SQL,
     "incremental_dedup_md5": INCREMENTAL_MD5_SQL,
+    "doc_dup_scores": DOC_DUP_SCORES_SQL,
     "minhash_md5_pairs": MINHASH_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,

@@ -651,6 +651,75 @@ FROM terms GROUP BY event_type
 
 
 # ----------------------------------------------------------------------
+# regression aggregate: per-type value trend (deterministic OLS)
+# ----------------------------------------------------------------------
+
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of ``value`` over time — the
+    regression-aggregate family (regr_slope/regr_intercept) rebuilt
+    from ORDER-INDEPENDENT moments, because the built-in regr_*
+    aggregates accumulate doubles in partition order (engine- and
+    partitioning-dependent): x = whole seconds since 2024-01-01
+    (integer — epoch-micros squared would overflow bigint and a double
+    x would divide differently per engine), per-row products x*x
+    (exact bigint) and x*y (one double multiply) summed as decimals,
+    then slope/intercept as one fixed double expression. Plan: one
+    scan, one 5-group aggregation."""
+    e = table(spark, sf_dir, "events")
+    x = F.expr("(unix_micros(ts) - unix_micros(timestamp '2024-01-01 00:00:00')) div 1000000")
+    m = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    agg = (m.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+                .alias("sxx"),
+                F.sum(F.col("y").cast("decimal(30,15)")).alias("sy"),
+                F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+                .alias("sxy")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "event_type", "n",
+        F.round(slope * 86400.0, 8).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"))
+
+
+VALUE_TREND_SQL = """
+WITH m AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS x,
+         value AS y
+  FROM events
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(30,15))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 86400.0, 8) AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+         AS intercept
+FROM agg
+"""
+
+
+# ----------------------------------------------------------------------
 # behavior model: event-type Markov transition matrix
 # ----------------------------------------------------------------------
 
@@ -696,6 +765,7 @@ FROM counts
 QUERIES: dict[str, QueryFn] = {
     "events_drift_chi2": events_drift_chi2,
     "event_transition_matrix": event_transition_matrix,
+    "value_trend_by_type": value_trend_by_type,
     "events_retention_cohorts": events_retention_cohorts,
     "events_zscore_outliers": events_zscore_outliers,
     "events_funnel_conversion": events_funnel_conversion,
@@ -714,6 +784,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "events_drift_chi2": EVENTS_DRIFT_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
+    "value_trend_by_type": VALUE_TREND_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_zscore_outliers": EVENTS_ZSCORE_SQL,
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,
