@@ -149,6 +149,17 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlpy"
 
     def writer(self, schema, overwrite):  # noqa: ANN001, ANN201
+        # mode("overwrite") must not leave stale part files behind —
+        # a previous run with MORE partitions would otherwise leak its
+        # tail files into the new result. writer() runs on the driver,
+        # so clearing here races with nothing.
+        if overwrite:
+            import glob
+            import os
+
+            for f in glob.glob(os.path.join(self.options["path"],
+                                            "part-*.jsonl")):
+                os.remove(f)
         return _JsonlWriter(self.options)
 
 

@@ -129,6 +129,26 @@ def test_python_datasource_jsonl_writer_roundtrip(spark, sf_dir, tmp_path):
     assert files, "writer produced no part files"
 
 
+def test_python_datasource_jsonl_overwrite_clears_stale_parts(
+        spark, sf_dir, tmp_path):
+    """mode('overwrite') on the custom sink must not leak part files
+    from an earlier, wider write (stale tails would silently inflate
+    the result)."""
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    out = str(tmp_path / "ow")
+    wide = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey").limit(40).repartition(8))
+    wide.write.format("jsonlpy").option("path", out).mode("append").save()
+    narrow = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+              .select("c_custkey").limit(10).coalesce(1))
+    narrow.write.format("jsonlpy").option("path", out) \
+        .mode("overwrite").save()
+    back = spark.read.json(out)
+    assert back.count() == 10
+
+
 def test_python_stream_reader_offsets():
     """Multi-batch offset progression of the custom streaming reader:
     initialOffset -> read x4 covers the range exactly once, and
