@@ -48,6 +48,10 @@ class _SeqReader(DataSourceReader):
         self.nparts = int(options.get("partitions", "8"))
 
     def partitions(self):  # noqa: ANN201 - Spark API signature
+        if self.n <= 0:
+            # the API requires >= 1 partition: Spark calls read(None)
+            # when the list is empty — emit one empty split instead
+            return [_SeqPartition(0, 0)]
         step = max(1, -(-self.n // self.nparts))  # ceil div
         return [_SeqPartition(s, min(s + step, self.n))
                 for s in range(0, self.n, step)]

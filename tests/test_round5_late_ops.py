@@ -149,6 +149,23 @@ def test_python_datasource_jsonl_overwrite_clears_stale_parts(
     assert back.count() == 10
 
 
+def test_python_datasource_empty_range(spark):
+    """n=0 declares zero InputPartitions — the scan is empty, not an
+    error."""
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    df = spark.read.format("seqgen").option("n", "0").load()
+    assert df.count() == 0
+
+
+def test_pagerank_empty_edges(spark):
+    import spark_kafka_airflow_pipeline_spark.operators.graphops as g
+
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    assert g.pagerank_over_edges(empty, iters=1).count() == 0
+
+
 def test_python_stream_reader_offsets():
     """Multi-batch offset progression of the custom streaming reader:
     initialOffset -> read x4 covers the range exactly once, and
