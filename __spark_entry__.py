@@ -42,70 +42,32 @@ _MODULES = (graphops, streaming, dedup, similarity, multimodal, textops,
             tpch_extra, relational_extra, relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
-# (the driver records only the first 50 queries() entries). Round-5
-# selection rule (VERDICT.md r4 asks #1/#2/#5):
+# (the driver records only the first 50 queries() entries). Round-6
+# selection rule (VERDICT.md r4 asks #1/#2/#5, r5 ask #2):
 #   1. RED-UNTIL-GREEN — any query whose LAST driver row was
-#      hash_match:false keeps its slot until a driver row says green.
-#   2. Reworked this round (oracle or plan changed) — must be re-verified.
-#   3. Never driver-checked (11 queries had no row in r1-r4).
-#   4. Oldest driver row first (r1, then r2) — rotating the 71
-#      outside-window queries through r5/r6 so every oracled query has a
-#      driver row at most ~2 rounds old. The 16 r2-checked names left
-#      out here are earmarked for the round-6 window.
+#      hash_match:false keeps its slot until a driver row says green
+#      (kafka_wire_roundtrip + snapshot_diff_cdc, both reworked this
+#      round to bigint-cents/string outputs).
+#   2. Reworked or new this round — must be (re-)verified.
+#   3. Never driver-checked (9 oracles had no row in r1-r5).
+#   4. Oldest driver row first (r1, then r2) — everything else in the
+#      r5 window has an r3/r4/r5 green row and rotates out.
 # Module order above ranks everything not listed.
 _WINDOW_PRIORITY = (
-    # -- 1. red in their last driver row (r3/r4) --------------------
-    "kafka_wire_roundtrip", "cross_doc_span_dups", "corpus_prep_pipeline",
-    "context_packing_stats",
-    # -- 2. new or reworked in round 5 ------------------------------
-    "pagerank_supplier_rank", "triangle_count_suppliers",
-    "snapshot_diff_cdc", "table_profile", "gopher_quality_rules",
-    "split_leakage_audit", "grouped_sample_topk",
-    "events_drift_chi2", "event_transition_matrix", "token_lift_pairs",
-    "python_datasource_scan", "orders_status_transpose",
-    "streaming_python_source", "sql_api_parameterized",
-    "incremental_dedup_md5", "doc_source_arrow_stats",
-    "asof_cogroup_arrow", "context_packing_manifest",
-    "doc_dup_scores", "value_trend_by_type",
-    "q12_late_priority_counts",          # oracle HUGEINT cast (never checked)
-    "streaming_session_window",          # promoted rows-only -> oracled
-    "streaming_dedup_within_watermark",  # promoted rows-only -> oracled
-    "bloom_filter_join", "zorder_layout",
-    "weighted_mixture_sample", "quality_percentile_filter",
-    "length_bucket_packing", "hard_negative_mining",
-    "events_zscore_outliers",
-    "scd2_user_tier_history", "upsert_latest_events", "partial_agg_rollup",
-    "streaming_topk_per_window", "tokenizer_vocab_coverage",
-    "events_retention_cohorts", "events_monthly_from_rollup",
-    "multimodal_arrow_features",
-    "lateral_topk_per_nation", "sql_api_revenue_rollup",
-    "streaming_stream_stream_left_join", "minhash_md5_pairs",
-    "simhash_md5_pairs", "dedup_clusters_md5", "ann_srp_topk",
-    # -- 3. never driver-checked ------------------------------------
-    "events_funnel_conversion",
-)
-
-# ROUND-6 WINDOW PLAN (computed against CORRECTNESS_r01-r04 + this
-# window): after round 5 these 51 queries are the ones whose last
-# driver row is r1/r2-era or absent (never-checked TPC-H shapes
-# displaced by round-5 additions lead the list) — they are the core of
-# the round-6 window (plus any r5 reds per the red-until-green rule,
-# plus round-6 additions; 51 > 50, so the lowest-priority r2-green
-# tail entry rolls to r7). Everything else has an r3/r4/r5 row.
-_R6_EARMARK = (
-    # displaced from the r5 window by the 11 new round-5 queries
-    # (all r1/r2-green; the new ops have never had a driver row)
+    # -- 1. red in their last driver row (r4/r5; reworked this round) --
+    "kafka_wire_roundtrip", "snapshot_diff_cdc",
+    # -- 2. never driver-checked ------------------------------------
+    "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
+    "q16_part_supplier_variety", "q11_top_balance_nations",
+    "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
+    "events_hourly_range_sum", "asof_cogroup_pandas",
+    # -- 3. displaced from the r5 window (r1/r2-green era) ----------
     "cube_order_status_priority", "customers_with_urgent_orders",
     "top10_customers_by_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "q6_forecast_revenue", "q3_shipping_priority", "q5_revenue_by_nation",
     "q1_pricing_summary", "pipeline_add_fields",
-    "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
-    "q16_part_supplier_variety", "q11_top_balance_nations",
-    "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
-    "events_hourly_range_sum", "asof_cogroup_pandas",
-    # ^ never-checked; first r6 slots (asof_cogroup_pandas's Arrow twin
-    #   shares its oracle and sits in the r5 window)
+    # -- 4. oldest driver rows (r2-era) -----------------------------
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",
@@ -119,6 +81,14 @@ _R6_EARMARK = (
     "q10_returned_revenue_topk", "q13_order_count_distribution",
     "q14_promo_revenue_pct", "q15_top_suppliers",
     "q17_small_quantity_revenue", "q18_large_volume_orders",
+)
+
+# ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
+# round-6 additions (new queries displace the deepest slot-4 names
+# into this list as they land), then the r5-window cohort (greens
+# whose rows will be 2 rounds old by r7). Reds, as always, jump the
+# queue.
+_R7_EARMARK = (
     "q19_disjunctive_predicate", "q22_idle_rich_customers",
     "q4_late_shipment_orders", "q7_nation_trade_volume",
     "unpivot_part_measures",

@@ -91,31 +91,41 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declared schema (the engine's streaming-consumer path,
     ``io.sources.parse_kafka_records``), and aggregate. The oracle
     aggregates the source table DIRECTLY — any loss or type drift in
-    serialize->parse (decimals, dates) breaks the value hash. This is
-    as far as the produce/consume path can be exercised without a
-    broker in the environment (the connector API is wired in
-    ``io.sinks``/``io.sources``)."""
+    serialize->parse breaks the value hash. This is as far as the
+    produce/consume path can be exercised without a broker in the
+    environment (the connector API is wired in
+    ``io.sinks``/``io.sources``).
+
+    Hash-determinism note (r4/r5 driver reds): money crosses the wire
+    as integer CENTS (``floor(price*100+0.5)`` BIGINT — the portable
+    cent rule, same as ``streaming/pipelines.py``) and the date as a
+    pre-rendered ``yyyy-MM-dd`` string, so no per-row double→DECIMAL
+    cast whose tie-rounding can differ between the engines ever feeds
+    the hashed SUM/MAX."""
     o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice",
-        F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("price_cents"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+        .alias("o_orderdate"))
     from spark_kafka_airflow_pipeline_spark.io.sinks import serialize_for_kafka
 
     wire = serialize_for_kafka(o)
     schema = ("o_orderkey bigint, o_orderstatus string, "
-              "o_totalprice decimal(12,2), o_orderdate date")
+              "price_cents bigint, o_orderdate string")
     parsed = (wire.select(F.from_json("value", schema).alias("r"))
               .select("r.*"))
     return (parsed.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum("o_totalprice").cast("decimal(20,2)")
-                 .alias("total_price"),
+                 F.sum("price_cents").alias("total_cents"),
                  F.max("o_orderdate").alias("latest_order")))
 
 
 KAFKA_WIRE_SQL = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_price,
-       MAX(CAST(o_orderdate AS DATE)) AS latest_order
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MAX(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS latest_order
 FROM orders GROUP BY o_orderstatus
 """
 

@@ -195,8 +195,10 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle sees identical inputs: old = keys with ``%5 != 0``, new =
     keys with ``%7 != 0``, and the new side re-prices keys with
     ``%3 == 0`` (+1.00) to synthesize updates. Values compare as exact
-    ``decimal(12,2)`` (the engine's decimal discipline — a double
-    compare could misclassify on FP noise).
+    integer CENTS (``floor(price*100+0.5)`` BIGINT — the portable cent
+    rule): a double compare could misclassify on FP noise, and a
+    per-row double→DECIMAL cast can tie-round differently between the
+    engines and flip the hashed delta sum (the r5 driver red).
 
     One shuffle on the key for the full-outer join; the change-type
     aggregation is a 4-group rollup of (count, key checksum, summed
@@ -206,12 +208,13 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots the exchange disappears entirely."""
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price"))
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("price"))
     old = o.filter(F.col("o_orderkey") % 5 != 0)
     new = (o.filter(F.col("o_orderkey") % 7 != 0)
            .withColumn("price",
                        F.when(F.col("o_orderkey") % 3 == 0,
-                              F.col("price") + F.lit(1).cast("decimal(12,2)"))
+                              F.col("price") + F.lit(100))
                        .otherwise(F.col("price"))))
     j = old.alias("o").join(new.alias("n"),
                             F.col("o.o_orderkey") == F.col("n.o_orderkey"),
@@ -223,27 +226,27 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "update")
               .otherwise("unchanged"))
     key = F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey"))
-    delta = (F.coalesce(F.col("n.price"), F.lit(0).cast("decimal(12,2)"))
-             - F.coalesce(F.col("o.price"), F.lit(0).cast("decimal(12,2)")))
+    delta = (F.coalesce(F.col("n.price"), F.lit(0))
+             - F.coalesce(F.col("o.price"), F.lit(0)))
     return (j.select(change.alias("change_type"), key.alias("k"),
                      delta.alias("delta"))
             .groupBy("change_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("k").alias("key_checksum"),
-                 F.sum("delta").cast("decimal(20,2)").alias("price_delta")))
+                 F.sum("delta").alias("price_delta_cents")))
 
 
 SNAPSHOT_DIFF_SQL = """
 WITH o AS (
   SELECT o_orderkey, o_orderstatus,
-         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price
   FROM orders
 ), old AS (
   SELECT * FROM o WHERE o_orderkey % 5 != 0
 ), new AS (
   SELECT o_orderkey, o_orderstatus,
          CASE WHEN o_orderkey % 3 = 0
-              THEN price + CAST(1 AS DECIMAL(12,2)) ELSE price END AS price
+              THEN price + 100 ELSE price END AS price
   FROM o WHERE o_orderkey % 7 != 0
 ), j AS (
   SELECT CASE WHEN old.o_orderkey IS NULL THEN 'insert'
@@ -252,13 +255,12 @@ WITH o AS (
                    OR old.o_orderstatus != new.o_orderstatus THEN 'update'
               ELSE 'unchanged' END AS change_type,
          COALESCE(old.o_orderkey, new.o_orderkey) AS k,
-         COALESCE(new.price, CAST(0 AS DECIMAL(12,2)))
-           - COALESCE(old.price, CAST(0 AS DECIMAL(12,2))) AS delta
-  FROM old FULL OUTER JOIN new USING (o_orderkey)
+         COALESCE(new.price, 0) - COALESCE(old.price, 0) AS delta
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
 )
 SELECT change_type, COUNT(*) AS n_rows,
        CAST(SUM(k) AS BIGINT) AS key_checksum,
-       CAST(SUM(delta) AS DECIMAL(20,2)) AS price_delta
+       CAST(SUM(delta) AS BIGINT) AS price_delta_cents
 FROM j GROUP BY change_type
 """
 

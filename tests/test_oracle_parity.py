@@ -72,13 +72,36 @@ def test_oracle_output_types_hugeint_free(sf_dir, con):
     type-plans every oracle without executing Spark."""
     bad = {"hugeint", "uhugeint", "tinyint", "smallint", "utinyint",
            "usmallint", "uinteger", "ubigint"}
+    # r4/r5 failure class: kafka_wire_roundtrip was the ONLY oracle with
+    # a DATE-typed output column and was driver-red both rounds while
+    # every sibling value was proven green elsewhere — the driver hashes
+    # temporal cells divergently between its Spark and DuckDB fetch
+    # paths. Temporal outputs must be pre-rendered as strings
+    # (date_format / strftime) on both sides.
+    bad_prefixes = ("date", "timestamp", "time")
     offenders = []
     for name, sql in sorted(ORACLES.items()):
         rel = con.sql(sql)
         hits = [(c, str(t).lower()) for c, t in zip(rel.columns, rel.types)
-                if str(t).lower() in bad]
+                if str(t).lower() in bad
+                or str(t).lower().startswith(bad_prefixes)]
         if hits:
             offenders.append((name, hits))
+    assert not offenders, offenders
+
+
+def test_oracle_no_full_outer_using():
+    """Authoring-time lint, r5 failure class #2: a FULL OUTER JOIN via
+    USING with qualified references to the join column (old
+    snapshot_diff_cdc) resolves differently across DuckDB versions
+    (coalesced vs side-local) — the one shape that can silently
+    misclassify rows on the driver's build while passing locally.
+    Always join FULL OUTER with an explicit ON."""
+    import re
+    offenders = [
+        name for name, sql in sorted(ORACLES.items())
+        if re.search(r"FULL\s+(OUTER\s+)?JOIN\s+\w+\s+USING", sql, re.I)
+    ]
     assert not offenders, offenders
 
 
@@ -87,7 +110,7 @@ def test_window_priority_holds_last_driver_reds():
     hash_match:false must sit inside the first 50 queries() entries."""
     import json
     last: dict[str, bool] = {}
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         p = Path(__file__).resolve().parent.parent / f"CORRECTNESS_r0{r}.json"
         if p.exists():
             for k, v in json.loads(p.read_text()).items():

@@ -19,15 +19,15 @@ from spark_kafka_airflow_pipeline_spark.operators import (
 
 
 def test_window_priority_bookkeeping():
-    """Window priority is exactly the driver's 50-slot window; the r6
+    """Window priority is exactly the driver's 50-slot window; the r7
     earmark names are real queries and disjoint from the window."""
     qs = entry_mod.queries()
     names = list(qs)
     assert len(entry_mod._WINDOW_PRIORITY) == 50
     assert set(entry_mod._WINDOW_PRIORITY) == set(names[:50])
-    unknown = [n for n in entry_mod._R6_EARMARK if n not in qs]
+    unknown = [n for n in entry_mod._R7_EARMARK if n not in qs]
     assert not unknown, unknown
-    overlap = set(entry_mod._R6_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
+    overlap = set(entry_mod._R7_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
     assert not overlap, overlap
 
 
@@ -67,9 +67,9 @@ def test_snapshot_diff_classification_counts(spark, sf_dir):
     assert rows["delete"].n_rows == dele
     assert rows["update"].n_rows == upd
     assert rows["unchanged"].n_rows == unch
-    # updates are +1.00 each, exactly
-    assert float(rows["update"].price_delta) == float(upd)
-    assert float(rows["unchanged"].price_delta) == 0.0
+    # updates are +100 cents each, exactly (integer-cents discipline)
+    assert rows["update"].price_delta_cents == 100 * upd
+    assert rows["unchanged"].price_delta_cents == 0
 
 
 def test_gopher_rule_counts_bounded(spark, sf_dir):
