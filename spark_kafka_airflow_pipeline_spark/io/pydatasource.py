@@ -111,19 +111,27 @@ class SeqDataSource(DataSource):
 
 
 class _WroteFile(WriterCommitMessage):
-    def __init__(self, path: str, rows: int) -> None:
+    def __init__(self, path: str, pid: int, rows: int) -> None:
         self.path = path
+        self.pid = pid
         self.rows = rows
 
 
 class _JsonlWriter(DataSourceWriter):
-    """One JSONL file per partition; the commit message carries the
-    written path + row count back to the driver (the V2 two-phase
-    commit contract: only files named in commit messages are final —
-    a failed/speculative task's output is simply never committed)."""
+    """One JSONL file per partition, via a real two-phase commit: each
+    task ATTEMPT writes an attempt-unique staging file (named with the
+    task attempt id, so a retried or speculative attempt of the same
+    partition can never clobber another attempt's bytes), and only
+    ``commit()`` — which runs on the driver after every task succeeded
+    — renames the staged files named in the commit messages to their
+    final ``part-<pid>.jsonl`` paths. Overwrite-mode deletion of the
+    previous result also happens inside ``commit()``, so a failed job
+    leaves the old output fully intact (atomic-enough overwrite on a
+    posix dir)."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):  # noqa: ANN001, ANN201 - Spark API
         import json
@@ -131,16 +139,42 @@ class _JsonlWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        staged = os.path.join(
+            self.path, f".part-{pid:05d}-{attempt}.jsonl.tmp")
         n = 0
-        with open(out, "w", encoding="utf-8") as f:
+        with open(staged, "w", encoding="utf-8") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), default=str,
                                    sort_keys=True) + "\n")
                 n += 1
-        return _WroteFile(out, n)
+        return _WroteFile(staged, pid, n)
+
+    def commit(self, messages):  # noqa: ANN001, ANN201 - Spark API
+        import glob
+        import os
+
+        if self.overwrite:
+            # clear the PREVIOUS result only now that every task has
+            # succeeded — a failed overwrite job must not destroy it
+            for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(f)
+        for m in messages:
+            final = os.path.join(self.path, f"part-{m.pid:05d}.jsonl")
+            os.replace(m.path, final)
+        # anything still staged was a failed/speculative attempt
+        for f in glob.glob(os.path.join(self.path, ".part-*.jsonl.tmp")):
+            os.remove(f)
+
+    def abort(self, messages):  # noqa: ANN001, ANN201 - Spark API
+        import glob
+        import os
+
+        for f in glob.glob(os.path.join(self.path, ".part-*.jsonl.tmp")):
+            os.remove(f)
 
 
 class JsonlSinkDataSource(DataSource):
@@ -153,24 +187,18 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlpy"
 
     def writer(self, schema, overwrite):  # noqa: ANN001, ANN201
-        # mode("overwrite") must not leave stale part files behind —
-        # a previous run with MORE partitions would otherwise leak its
-        # tail files into the new result. writer() runs on the driver,
-        # so clearing here races with nothing.
-        if overwrite:
-            import glob
-            import os
-
-            for f in glob.glob(os.path.join(self.options["path"],
-                                            "part-*.jsonl")):
-                os.remove(f)
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite)
 
 
 def register(spark) -> None:  # noqa: ANN001
-    """Idempotent registration (re-registering a name raises)."""
+    """Idempotent registration. Only the already-registered error is
+    swallowed — a genuine failure (e.g. a build without Python
+    DataSource support) must surface here, not later as a confusing
+    format-not-found."""
     for src in (SeqDataSource, JsonlSinkDataSource):
         try:
             spark.dataSource.register(src)
-        except Exception:  # noqa: BLE001 - already registered
-            pass
+        except Exception as exc:  # noqa: BLE001 - filtered below
+            msg = str(exc).upper()
+            if "ALREADY" not in msg and "EXISTS" not in msg:
+                raise

@@ -336,7 +336,13 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_lines"),
                     dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                          "revenue")))
-        out.collect()  # materialize under the scoped confs
+        # materialize (and PIN) the result under the scoped confs: a
+        # bare collect() here would leave the returned frame to re-plan
+        # hint-free after the finally block restores the confs, paying
+        # the join twice and losing the bloom filter on the re-run
+        # (VERDICT r5 #4). The cached result is one aggregate row.
+        out.persist()
+        out.count()
         return out
     finally:
         for k, v in prev.items():

@@ -564,7 +564,18 @@ def streaming_tws_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    return _drain_to_memory(out, "update")
+    drained = _drain_to_memory(out, "update")
+    # update mode re-emits a user's CUMULATIVE state every micro-batch
+    # that touches it; if the source ever splits into >1 batch the sink
+    # table holds stale per-batch rows. Keep only the LATEST emission
+    # per user: n_purchases strictly increases across a user's
+    # emissions (a batch without that user's purchases emits nothing),
+    # so max(struct) picks the final state row.
+    return (drained.groupBy("user_id")
+            .agg(F.max(F.struct("n_purchases", "max_cents",
+                                "total_cents")).alias("s"))
+            .select("user_id", "s.n_purchases", "s.max_cents",
+                    "s.total_cents"))
 
 
 STREAMING_TWS_SQL = """

@@ -149,9 +149,39 @@ def test_python_datasource_jsonl_overwrite_clears_stale_parts(
     assert back.count() == 10
 
 
+def test_python_datasource_failed_overwrite_keeps_previous(
+        spark, sf_dir, tmp_path):
+    """Two-phase commit (ADVICE r5): overwrite deletes the previous
+    result only in commit(), AFTER every task succeeded — so a failing
+    overwrite job must leave the old output byte-identical, and no
+    staging .tmp files behind."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    out = str(tmp_path / "tp")
+    good = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey").limit(10).coalesce(1))
+    good.write.format("jsonlpy").option("path", out).mode("append").save()
+    before = sorted(p.read_text() for p in
+                    (tmp_path / "tp").glob("part-*.jsonl"))
+    bad = good.select(F.expr("assert_true(c_custkey < 0)").alias("boom"),
+                      "c_custkey")
+    with pytest.raises(Exception):
+        bad.write.format("jsonlpy").option("path", out) \
+            .mode("overwrite").save()
+    after = sorted(p.read_text() for p in
+                   (tmp_path / "tp").glob("part-*.jsonl"))
+    assert after == before, "failed overwrite destroyed previous output"
+    assert not list((tmp_path / "tp").glob(".part-*.tmp")), \
+        "staging files leaked"
+
+
 def test_python_datasource_empty_range(spark):
-    """n=0 declares zero InputPartitions — the scan is empty, not an
-    error."""
+    """n=0 declares ONE empty InputPartition (the API requires a
+    nonempty split list) — the scan is empty, not an error."""
     from spark_kafka_airflow_pipeline_spark.io import pydatasource
 
     pydatasource.register(spark)
