@@ -56,18 +56,20 @@ _MODULES = (graphops, streaming, dedup, similarity, multimodal, textops,
 _WINDOW_PRIORITY = (
     # -- 1. red in their last driver row (r4/r5; reworked this round) --
     "kafka_wire_roundtrip", "snapshot_diff_cdc",
-    # -- 2. never driver-checked ------------------------------------
+    # -- 2. new in round 6 ------------------------------------------
+    "metadata_compiled_q3",
+    # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
     "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
     "events_hourly_range_sum", "asof_cogroup_pandas",
-    # -- 3. displaced from the r5 window (r1/r2-green era) ----------
+    # -- 4. displaced from the r5 window (r1/r2-green era) ----------
     "cube_order_status_priority", "customers_with_urgent_orders",
     "top10_customers_by_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "q6_forecast_revenue", "q3_shipping_priority", "q5_revenue_by_nation",
     "q1_pricing_summary", "pipeline_add_fields",
-    # -- 4. oldest driver rows (r2-era) -----------------------------
+    # -- 5. oldest driver rows (r2-era) -----------------------------
     "approx_distinct_customers", "asof_last_click_before_purchase",
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",
@@ -80,7 +82,7 @@ _WINDOW_PRIORITY = (
     "part_type_taxonomy", "pivot_status_by_priority",
     "q10_returned_revenue_topk", "q13_order_count_distribution",
     "q14_promo_revenue_pct", "q15_top_suppliers",
-    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q17_small_quantity_revenue",
 )
 
 # ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
@@ -89,6 +91,7 @@ _WINDOW_PRIORITY = (
 # whose rows will be 2 rounds old by r7). Reds, as always, jump the
 # queue.
 _R7_EARMARK = (
+    "q18_large_volume_orders",
     "q19_disjunctive_predicate", "q22_idle_rich_customers",
     "q4_late_shipment_orders", "q7_nation_trade_volume",
     "unpivot_part_measures",

@@ -293,6 +293,41 @@ class PipelineExecutor:
             for f in t.params.fields:
                 out = out.withColumn(f.name, F.expr(f.function).over(spec))
             nodes[t.name] = out
+        elif kind == "topk":
+            # declarative top-k: global (orderBy+limit lowers to
+            # TakeOrderedAndProject — per-partition heaps, no full
+            # sort) or per-group via one row_number window (single
+            # shuffle on the partition keys). Authors should order by a
+            # tie-breaking key set so the selected row SET is unique.
+            if t.params.n is None or t.params.n <= 0:
+                raise ValueError(f"topk {t.name!r} needs a positive 'n'")
+            if not t.params.orderBy:
+                raise ValueError(f"topk {t.name!r} declares no orderBy")
+            keys = [F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+                    for c in t.params.orderBy]
+            if t.params.partitionBy:
+                from pyspark.sql import Window
+
+                spec = Window.partitionBy(*t.params.partitionBy).orderBy(*keys)
+                nodes[t.name] = (
+                    df.withColumn("__rn", F.row_number().over(spec))
+                    .filter(F.col("__rn") <= t.params.n).drop("__rn"))
+            else:
+                nodes[t.name] = df.orderBy(*keys).limit(t.params.n)
+        elif kind in ("intersect", "except"):
+            # declarative set ops; params.all keeps duplicate
+            # multiplicity (SQL INTERSECT ALL / EXCEPT ALL). Both plan
+            # as one shuffle on the full row, like any distinct.
+            if t.params.right not in nodes:
+                raise KeyError(f"{kind} {t.name!r} references unknown right "
+                               f"node {t.params.right!r}; known: {sorted(nodes)}")
+            right = nodes[t.params.right]
+            if kind == "intersect":
+                nodes[t.name] = (df.intersectAll(right) if t.params.all
+                                 else df.intersect(right))
+            else:
+                nodes[t.name] = (df.exceptAll(right) if t.params.all
+                                 else df.subtract(right))
         else:
             raise ValueError(f"unknown transformation type {kind!r} "
                              f"(node {t.name!r})")

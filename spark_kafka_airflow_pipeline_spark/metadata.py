@@ -92,6 +92,8 @@ class TransformationParams:
     idColumn: str | None = None       # type="dedup_near": unique id column
     textColumn: str = "text"          # type="dedup_near": text column
     threshold: float = 0.5            # type="dedup_near": Jaccard cutoff
+    # type="intersect"/"except": keep duplicate multiplicity (SQL ALL)
+    all: bool = False                 # noqa: A003 - mirrors SQL keyword
 
 
 @dataclass(frozen=True)
@@ -102,7 +104,8 @@ class Transformation:
     (``PipelineProcessor.scala:25``) and ``validate_fields`` (``:35``).
     The engine's registry adds: ``sql``, ``filter``, ``select``,
     ``drop``, ``dedup``, ``join``, ``aggregate``, ``union``, ``sort``,
-    ``limit``, ``rename``.
+    ``limit``, ``rename``, ``window``, ``dedup_near``, ``topk``,
+    ``intersect``, ``except``.
     """
 
     name: str
@@ -168,6 +171,7 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         idColumn=raw.get("idColumn"),
         textColumn=raw.get("textColumn", "text"),
         threshold=float(raw.get("threshold", 0.5)),
+        all=bool(raw.get("all", False)),
     )
 
 

@@ -170,8 +170,90 @@ FROM g GROUP BY bucket
 """
 
 
+def metadata_compiled_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 compiled PURELY from a declarative metadata JSON — the
+    reference's whole thesis is config-driven pipelines
+    (``Dataflow.scala:3-32``, ``PipelineProcessor.scala:13-42``); this
+    proves the engine's executor registry (filter/select/rename/join/
+    aggregate/add_fields/topk) composes into a real analytical query
+    with NO Python DataFrame code, and hash-matches the hand-written
+    ``q3_shipping_priority`` oracle. The plan Catalyst sees is the same
+    declarative join tree, so every optimization (pushdown, AQE
+    broadcast of the filtered customer side, shuffle join on the
+    fact-fact edge) applies identically to config-driven pipelines."""
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    # the confs base.table pins (the executor reads parquet straight
+    # from the metadata paths, bypassing the test-table loader)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the engine's portable double-sum discipline (relational.SQL_DSUM):
+    # per-term DECIMAL(20,6) makes the sum accumulation-order-free
+    dsum_expr = ("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                 "AS DECIMAL(20,6))) AS DOUBLE)")
+    meta = parse_metadata({"dataflows": [{
+        "name": "q3",
+        "sources": [
+            {"name": "customer", "path": f"{sf_dir}/customer.parquet"},
+            {"name": "orders", "path": f"{sf_dir}/orders.parquet"},
+            {"name": "lineitem", "path": f"{sf_dir}/lineitem.parquet"},
+        ],
+        "transformations": [
+            {"name": "cust_b", "type": "filter", "params": {
+                "input": "customer", "expr": "c_mktsegment = 'BUILDING'"}},
+            {"name": "cust_k", "type": "select", "params": {
+                "input": "cust_b", "columns": ["c_custkey"]}},
+            {"name": "cust_j", "type": "rename", "params": {
+                "input": "cust_k", "mapping": {"c_custkey": "o_custkey"}}},
+            {"name": "ord_f", "type": "filter", "params": {
+                "input": "orders",
+                "expr": "o_orderdate < TIMESTAMP '1997-01-01'"}},
+            {"name": "ord_k", "type": "select", "params": {
+                "input": "ord_f",
+                "columns": ["o_orderkey", "o_custkey", "o_orderdate"]}},
+            {"name": "co", "type": "join", "params": {
+                "input": "ord_k", "right": "cust_j", "on": ["o_custkey"]}},
+            {"name": "co_j", "type": "rename", "params": {
+                "input": "co", "mapping": {"o_orderkey": "l_orderkey"}}},
+            {"name": "li_f", "type": "filter", "params": {
+                "input": "lineitem",
+                "expr": "l_shipdate > TIMESTAMP '1997-01-01'"}},
+            {"name": "li_k", "type": "select", "params": {
+                "input": "li_f",
+                "columns": ["l_orderkey", "l_extendedprice", "l_discount"]}},
+            {"name": "joined", "type": "join", "params": {
+                "input": "li_k", "right": "co_j", "on": ["l_orderkey"]}},
+            {"name": "rev", "type": "aggregate", "params": {
+                "input": "joined", "groupBy": ["l_orderkey", "o_orderdate"],
+                "aggregates": [{"name": "revenue", "function": dsum_expr}]}},
+            {"name": "fmt", "type": "add_fields", "params": {
+                "input": "rev", "addFields": [{
+                    "name": "o_orderdate_s",
+                    "function": "date_format(o_orderdate, 'yyyy-MM-dd')"}]}},
+            {"name": "cols", "type": "select", "params": {
+                "input": "fmt",
+                "columns": ["l_orderkey", "o_orderdate_s", "revenue"]}},
+            {"name": "named", "type": "rename", "params": {
+                "input": "cols", "mapping": {"o_orderdate_s": "o_orderdate"}}},
+            {"name": "top10", "type": "topk", "params": {
+                "input": "named", "orderBy": ["-revenue", "l_orderkey"],
+                "n": 10}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    return nodes["top10"]
+
+
+from spark_kafka_airflow_pipeline_spark.operators.relational import (  # noqa: E402
+    Q3_SQL as _Q3_SQL,
+)
+
 QUERIES: dict[str, QueryFn] = {
     "python_datasource_scan": python_datasource_scan,
+    "metadata_compiled_q3": metadata_compiled_q3,
     "validate_split_ok": validate_split_ok,
     "validate_split_ko": validate_split_ko,
     "pipeline_add_fields": pipeline_add_fields,
@@ -180,6 +262,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "python_datasource_scan": PY_DATASOURCE_SQL,
+    "metadata_compiled_q3": _Q3_SQL,
     "validate_split_ok": VALIDATE_OK_SQL,
     "validate_split_ko": VALIDATE_KO_SQL,
     "pipeline_add_fields": ADD_FIELDS_SQL,

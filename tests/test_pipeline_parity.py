@@ -664,3 +664,100 @@ def test_streaming_dataflow_rejects_overwrite_sink(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="only 'append' is safe"):
         PipelineExecutor(spark).process(meta)
+
+
+def test_declarative_topk_global_and_grouped(spark, sf_dir):
+    """`topk` transformation type: global top-n (orderBy+limit,
+    lowers to TakeOrderedAndProject) and per-group top-n (one
+    row_number window) must match the direct DataFrame chains; the
+    helper rank column must not leak into the output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "topk",
+        "sources": [{"name": "o", "path": f"{sf_dir}/orders.parquet"}],
+        "transformations": [
+            {"name": "g", "type": "topk", "params": {
+                "input": "o", "orderBy": ["-o_totalprice", "o_orderkey"],
+                "n": 5}},
+            {"name": "per_cust", "type": "topk", "params": {
+                "input": "o", "partitionBy": ["o_custkey"],
+                "orderBy": ["-o_totalprice", "o_orderkey"], "n": 2}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    expect_g = [r.o_orderkey for r in o.orderBy(*keys).limit(5).collect()]
+    assert [r.o_orderkey for r in nodes["g"].collect()] == expect_g
+    assert "__rn" not in nodes["per_cust"].columns
+    spec = Window.partitionBy("o_custkey").orderBy(*keys)
+    expect_pc = {r.o_orderkey for r in
+                 o.withColumn("rn", F.row_number().over(spec))
+                 .filter("rn <= 2").collect()}
+    assert {r.o_orderkey for r in nodes["per_cust"].collect()} == expect_pc
+
+
+def test_declarative_set_ops(spark, sf_dir):
+    """`intersect`/`except` transformation types, distinct and ALL
+    variants, against the DataFrame equivalents."""
+    meta = parse_metadata({"dataflows": [{
+        "name": "setops",
+        "sources": [{"name": "o", "path": f"{sf_dir}/orders.parquet"}],
+        "transformations": [
+            {"name": "a", "type": "select", "params": {
+                "input": "o", "columns": ["o_orderstatus"]}},
+            {"name": "b", "type": "filter", "params": {
+                "input": "a", "expr": "o_orderstatus != 'P'"}},
+            {"name": "i", "type": "intersect", "params": {
+                "input": "a", "right": "b"}},
+            {"name": "i_all", "type": "intersect", "params": {
+                "input": "a", "right": "b", "all": True}},
+            {"name": "e", "type": "except", "params": {
+                "input": "a", "right": "b"}},
+            {"name": "e_all", "type": "except", "params": {
+                "input": "a", "right": "b", "all": True}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    a = nodes["a"]
+    b = nodes["b"]
+    assert ({r.o_orderstatus for r in nodes["i"].collect()}
+            == {r.o_orderstatus for r in a.intersect(b).collect()})
+    assert nodes["i_all"].count() == a.intersectAll(b).count()
+    assert ({r.o_orderstatus for r in nodes["e"].collect()} == {"P"})
+    # EXCEPT ALL keeps multiplicity: every 'P' row survives
+    assert (nodes["e_all"].count()
+            == a.filter("o_orderstatus = 'P'").count())
+
+
+def test_topk_without_order_rejected(spark, sf_dir):
+    meta = parse_metadata({"dataflows": [{
+        "name": "bad",
+        "sources": [{"name": "o", "path": f"{sf_dir}/orders.parquet"}],
+        "transformations": [
+            {"name": "t", "type": "topk", "params": {"input": "o", "n": 3}},
+        ],
+        "sinks": [],
+    }]})
+    with pytest.raises(ValueError, match="declares no orderBy"):
+        PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+
+
+def test_metadata_compiled_q3_matches_handwritten(spark, sf_dir):
+    """The metadata-compiled Q3 must be row-identical to the
+    hand-written DataFrame version — config-driven pipelines are the
+    same engine, not a parallel one."""
+    from spark_kafka_airflow_pipeline_spark.operators.pipelineops import (
+        metadata_compiled_q3,
+    )
+    from spark_kafka_airflow_pipeline_spark.operators.relational import (
+        q3_shipping_priority,
+    )
+
+    got = metadata_compiled_q3(spark, sf_dir).collect()
+    want = q3_shipping_priority(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
