@@ -1,0 +1,87 @@
+"""Round-6 additions: streaming checkpoint/restart recovery proof and
+supporting edge cases (VERDICT.md r5 ask #6)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _write_rows(spark, path: str, rows: list[tuple[str, str, float]]) -> None:
+    """One parquet file of (ts, event_type, value) rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Kill-and-resume a watermarked windowed aggregation: run 1 drains
+    batch A and finalizes window H1; run 2 is a NEW query object on the
+    same checkpoint + sink, draining batch B. Recovery must (a) restore
+    the watermark/state so H2's count includes only its own rows and H1
+    is NOT re-emitted (exactly-once per finalized window), and (b) keep
+    dropping data later than the restored watermark — a late H1 row in
+    batch B must not resurrect the window. This pins the one streaming
+    property the drain-based suite cannot see: state survives a
+    restart (`streaming/pipelines.py` topologies all checkpoint the
+    same way in production)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once() -> None:
+        schema = "ts timestamp, event_type string, value double"
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                       .alias("window_start"), "event_type", "n_events"))
+        q = (agg.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # batch A: 3 rows in hour 10 (H1) + a row 4 hours later that pushes
+    # the watermark past H1's end, finalizing it in run 1
+    _write_rows(spark, src, [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:20:00", "click", 1.0),
+        ("2024-01-01 10:40:00", "view", 1.0),
+        ("2024-01-01 14:30:00", "click", 1.0),
+    ])
+    run_once()
+    first = {(r.window_start, r.event_type): r.n_events
+             for r in spark.read.parquet(sink).collect()}
+    assert first[("2024-01-01 10:00:00", "click")] == 2
+    assert first[("2024-01-01 10:00:00", "view")] == 1
+
+    # batch B: 2 rows in hour 14 (H2, joining the run-1 row already in
+    # state), a LATE hour-10 row (behind the restored watermark: must
+    # be dropped), and a row far ahead to finalize H2
+    _write_rows(spark, src, [
+        ("2024-01-01 14:10:00", "click", 1.0),
+        ("2024-01-01 14:50:00", "click", 1.0),
+        ("2024-01-01 10:59:00", "click", 1.0),   # late vs 13:30 watermark
+        ("2024-01-01 20:00:00", "click", 1.0),
+    ])
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    by_key: dict[tuple, list[int]] = {}
+    for r in rows:
+        by_key.setdefault((r.window_start, r.event_type), []).append(r.n_events)
+    # exactly-once: H1 was finalized in run 1 and must not re-emit
+    assert by_key[("2024-01-01 10:00:00", "click")] == [2]
+    assert by_key[("2024-01-01 10:00:00", "view")] == [1]
+    # state recovery: H2 merges the run-1 14:30 row with run-2 rows
+    assert by_key[("2024-01-01 14:00:00", "click")] == [3]
+    # the late 10:59 row was dropped, not resurrected as a new window
+    total = sum(n for v in by_key.values() for n in v)
+    assert total == 2 + 1 + 3
