@@ -70,6 +70,39 @@ def _sentinel_seconds(spark) -> float:
     return round(best, 3)
 
 
+def _sentinel_shuffle_seconds(spark) -> float:
+    """Shuffle-exercising twin of the CPU sentinel (min of 3), frozen
+    code (VERDICT.md r5 ask #7: the CPU-only sentinel can't normalize
+    join-heavy timings when host noise hits the exchange path —
+    disk/page-cache/IPC — harder than the codegen path). Broadcast is
+    disabled so the join MUST exchange both sides on the key."""
+    from pyspark.sql import functions as F
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+                  .select("l_orderkey", "l_quantity"))
+            o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+                 .select("o_orderkey"))
+            (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("l_orderkey").agg(F.sum("l_quantity"))
+             .count())
+            best = min(best, time.perf_counter() - start)
+        return round(best, 3)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS",
                           str(_scaled_shuffle_partitions(SF_DIR)))
@@ -79,6 +112,7 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     sentinel = _sentinel_seconds(spark)
+    sentinel_shuffle = _sentinel_shuffle_seconds(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -104,6 +138,7 @@ def main() -> None:
         # host-noise calibration: compare `sentinel` (fixed code, min of
         # 3) across BENCH_r{N}.json files — if it moved, the host moved
         "sentinel": sentinel,
+        "sentinel_shuffle": sentinel_shuffle,
         "load_avg": list(os.getloadavg()),
     }))
     spark.stop()
