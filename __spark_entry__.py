@@ -57,7 +57,7 @@ _WINDOW_PRIORITY = (
     # -- 1. red in their last driver row (r4/r5; reworked this round) --
     "kafka_wire_roundtrip", "snapshot_diff_cdc",
     # -- 2. new in round 6 ------------------------------------------
-    "metadata_compiled_q3",
+    "metadata_compiled_q3", "metadata_corpus_refinery",
     # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
@@ -82,7 +82,6 @@ _WINDOW_PRIORITY = (
     "part_type_taxonomy", "pivot_status_by_priority",
     "q10_returned_revenue_topk", "q13_order_count_distribution",
     "q14_promo_revenue_pct", "q15_top_suppliers",
-    "q17_small_quantity_revenue",
 )
 
 # ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
@@ -91,7 +90,7 @@ _WINDOW_PRIORITY = (
 # whose rows will be 2 rounds old by r7). Reds, as always, jump the
 # queue.
 _R7_EARMARK = (
-    "q18_large_volume_orders",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
     "q19_disjunctive_predicate", "q22_idle_rich_customers",
     "q4_late_shipment_orders", "q7_nation_trade_volume",
     "unpivot_part_measures",

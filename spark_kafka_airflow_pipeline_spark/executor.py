@@ -263,13 +263,30 @@ class PipelineExecutor:
                     "document id)")
             d = df.select(F.col(t.params.idColumn).alias("doc_id"),
                           F.col(t.params.textColumn).alias("text"))
-            tokens = lambda c: T.shingles(c, 3)  # noqa: E731
-            sigs = minhash_signature_agg(d, num_hashes=16, tokens=tokens)
-            cand = lsh_band_candidates(sigs, 16, 4, distinct=False,
-                                       carry="minhash")
-            good = estimate_filter_pairs(cand, 16, t.params.threshold)
-            pairs = verify_pairs_jaccard(good, d, tokens,
-                                         t.params.threshold)
+            if t.params.hashFamily == "md5":
+                # portable family: every hash is md5-derived, so the
+                # declared step is value-hash provable against a DuckDB
+                # twin (MINHASH_MD5_SQL) — the config-driven path to
+                # the engine's oracled near-dedup
+                from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+                    md5_minhash_verified_pairs,
+                )
+
+                grams = d.select(
+                    "doc_id",
+                    F.array_distinct(T.raw_shingles("text", 3))
+                    .alias("grams"))
+                pairs = md5_minhash_verified_pairs(
+                    grams, t.params.threshold)
+            else:
+                tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+                sigs = minhash_signature_agg(d, num_hashes=16,
+                                             tokens=tokens)
+                cand = lsh_band_candidates(sigs, 16, 4, distinct=False,
+                                           carry="minhash")
+                good = estimate_filter_pairs(cand, 16, t.params.threshold)
+                pairs = verify_pairs_jaccard(good, d, tokens,
+                                             t.params.threshold)
             drop = pairs.select(
                 F.col("doc_b").alias(t.params.idColumn)).distinct()
             nodes[t.name] = df.join(drop, t.params.idColumn, "left_anti")

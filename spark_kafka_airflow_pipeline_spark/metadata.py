@@ -92,6 +92,9 @@ class TransformationParams:
     idColumn: str | None = None       # type="dedup_near": unique id column
     textColumn: str = "text"          # type="dedup_near": text column
     threshold: float = 0.5            # type="dedup_near": Jaccard cutoff
+    # type="dedup_near": "fast" (xxhash64, production) or "md5"
+    # (portable hashes, oracle-provable)
+    hashFamily: str = "fast"
     # type="intersect"/"except": keep duplicate multiplicity (SQL ALL)
     all: bool = False                 # noqa: A003 - mirrors SQL keyword
 
@@ -171,6 +174,7 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         idColumn=raw.get("idColumn"),
         textColumn=raw.get("textColumn", "text"),
         threshold=float(raw.get("threshold", 0.5)),
+        hashFamily=raw.get("hashFamily", "fast"),
         all=bool(raw.get("all", False)),
     )
 

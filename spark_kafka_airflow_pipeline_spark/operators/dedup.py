@@ -676,6 +676,16 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str,
     d = (table(spark, sf_dir, "documents")
          .select("doc_id",
                  F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+    return md5_minhash_verified_pairs(d, threshold)
+
+
+def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """The md5-portable MinHash+LSH pair pipeline over a prepared
+    ``(doc_id, grams)`` frame — shared by ``minhash_md5_pairs`` (the
+    oracled query) and the executor's declarative ``dedup_near`` with
+    ``hashFamily="md5"`` (so config-driven near-dedup is value-hash
+    provable end-to-end). See ``minhash_md5_pairs`` for the algorithm
+    and ``MINHASH_MD5_SQL`` for its independent SQL twin."""
     g = d.select("doc_id", F.explode("grams").alias("g"))
     h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
     hp = h_raw % _MH_P

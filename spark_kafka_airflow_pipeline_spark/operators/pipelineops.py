@@ -247,6 +247,97 @@ def metadata_compiled_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes["top10"]
 
 
+def metadata_corpus_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data refinery declared as ONE metadata JSON —
+    the reference's config-driven Dataflow model (``Dataflow.scala:3-32``)
+    carrying the engine's LLM-data surface: md5-portable MinHash+LSH
+    near-dedup (the declarative ``dedup_near`` step, ``hashFamily:
+    "md5"``) -> canonical-fingerprint exact dedup (window + filter
+    steps) -> token-length quality gate -> per-language corpus stats.
+    Every stage is a declared transformation; the whole composite is
+    value-hash oracled against an independent DuckDB implementation
+    (near-dedup candidates depend only on deterministic md5-derived
+    hashes, so both engines generate the identical pair set — banding
+    recall never perturbs the oracle).
+
+    Scale: the near-dedup is the library's banded topology (no
+    all-pairs), exact dedup is one window shuffle on the fingerprint,
+    the gate is a codegen filter, and the final aggregate is tiny —
+    the same plan the hand-written ``corpus_prep_pipeline`` makes."""
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    meta = parse_metadata({"dataflows": [{
+        "name": "refinery",
+        "sources": [
+            {"name": "documents", "path": f"{sf_dir}/documents.parquet"},
+        ],
+        "transformations": [
+            {"name": "near", "type": "dedup_near", "params": {
+                "input": "documents", "idColumn": "doc_id",
+                "textColumn": "text", "threshold": 0.5,
+                "hashFamily": "md5"}},
+            {"name": "fp", "type": "add_fields", "params": {
+                "input": "near", "addFields": [
+                    {"name": "fp", "function":
+                        "md5(regexp_replace(lower(trim(text)), "
+                        "'\\\\s+', ' '))"},
+                    {"name": "n_tokens", "function":
+                        "CASE WHEN trim(text) = '' THEN 0 "
+                        "ELSE size(split(trim(text), '\\\\s+')) END"},
+                ]}},
+            {"name": "ranked", "type": "window", "params": {
+                "input": "fp", "partitionBy": ["fp"],
+                "orderBy": ["doc_id"],
+                "fields": [{"name": "rn", "function": "row_number()"}]}},
+            {"name": "gated", "type": "filter", "params": {
+                "input": "ranked", "expr": "rn = 1 AND n_tokens >= 5"}},
+            {"name": "stats", "type": "aggregate", "params": {
+                "input": "gated", "groupBy": ["lang"],
+                "aggregates": [
+                    {"name": "n_docs", "function": "COUNT(*)"},
+                    {"name": "total_tokens",
+                     "function": "CAST(SUM(n_tokens) AS BIGINT)"},
+                ]}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    return nodes["stats"]
+
+
+def _corpus_refinery_sql() -> str:
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        MINHASH_MD5_SQL,
+    )
+
+    return f"""
+WITH pairs AS ({MINHASH_MD5_SQL}),
+kept AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+),
+m AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_tokens
+  FROM kept
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM m)
+  WHERE rn = 1 AND n_tokens >= 5
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM surv GROUP BY lang
+"""
+
+
 from spark_kafka_airflow_pipeline_spark.operators.relational import (  # noqa: E402
     Q3_SQL as _Q3_SQL,
 )
@@ -254,6 +345,7 @@ from spark_kafka_airflow_pipeline_spark.operators.relational import (  # noqa: E
 QUERIES: dict[str, QueryFn] = {
     "python_datasource_scan": python_datasource_scan,
     "metadata_compiled_q3": metadata_compiled_q3,
+    "metadata_corpus_refinery": metadata_corpus_refinery,
     "validate_split_ok": validate_split_ok,
     "validate_split_ko": validate_split_ko,
     "pipeline_add_fields": pipeline_add_fields,
@@ -263,6 +355,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "python_datasource_scan": PY_DATASOURCE_SQL,
     "metadata_compiled_q3": _Q3_SQL,
+    "metadata_corpus_refinery": _corpus_refinery_sql(),
     "validate_split_ok": VALIDATE_OK_SQL,
     "validate_split_ko": VALIDATE_KO_SQL,
     "pipeline_add_fields": ADD_FIELDS_SQL,
