@@ -58,6 +58,8 @@ _WINDOW_PRIORITY = (
     "kafka_wire_roundtrip", "snapshot_diff_cdc",
     # -- 2. new in round 6 ------------------------------------------
     "metadata_compiled_q3", "metadata_corpus_refinery",
+    "winnow_fingerprints", "winnow_overlap",
+    "mixture_temperature_weights", "embedding_dup_clusters",
     # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
@@ -80,8 +82,6 @@ _WINDOW_PRIORITY = (
     "order_price_histogram", "order_price_quantiles",
     "orders_date_functions", "orders_window_analytics",
     "part_type_taxonomy", "pivot_status_by_priority",
-    "q10_returned_revenue_topk", "q13_order_count_distribution",
-    "q14_promo_revenue_pct", "q15_top_suppliers",
 )
 
 # ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
@@ -90,6 +90,8 @@ _WINDOW_PRIORITY = (
 # whose rows will be 2 rounds old by r7). Reds, as always, jump the
 # queue.
 _R7_EARMARK = (
+    "q10_returned_revenue_topk", "q13_order_count_distribution",
+    "q14_promo_revenue_pct", "q15_top_suppliers",
     "q17_small_quantity_revenue", "q18_large_volume_orders",
     "q19_disjunctive_predicate", "q22_idle_rich_customers",
     "q4_late_shipment_orders", "q7_nation_trade_volume",

@@ -122,7 +122,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str,
     )
 
 
-EMBEDDING_NEAR_DUPS_SQL = """
+_EMBEDDING_NEAR_DUPS_SQL_T = """
 WITH emb AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
@@ -137,8 +137,10 @@ SELECT * FROM (
            6) AS cosine_sim
   FROM emb a, emb b
   WHERE a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cosine_sim >= 0.95
+) WHERE cosine_sim >= {thr}
 """
+
+EMBEDDING_NEAR_DUPS_SQL = _EMBEDDING_NEAR_DUPS_SQL_T.replace("{thr}", "0.95")
 
 
 def label_centroids(emb: DataFrame) -> DataFrame:
@@ -771,7 +773,81 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.35) -> DataFrame:
+    """Semantic-dedup clusters: connected components over the
+    ``embedding_near_dups`` cosine-threshold pair graph (the
+    SemDeDup-style grouping that keeps one representative per semantic
+    duplicate cluster). Same min-label-propagation fixpoint as
+    ``dedup.dedup_clusters_md5`` — one co-partitioned join + agg per
+    round, edge list localCheckpoint-ed once (each round consumes both
+    join directions), convergence by changed-label count; near-dup
+    components are dense, so 2-3 rounds suffice at any scale.
+
+    The default threshold sits where the SYNTHETIC corpus has
+    structure: its embeddings are near-orthogonal (max within-label
+    cosine ~0.45 at every SF), so a production-style 0.95 cut selects
+    nothing to cluster; 0.35 exercises the identical algorithm on a
+    nonempty graph. Because the pair graph itself is value-hash
+    oracled, the component structure is verified against a DuckDB
+    recursive-CTE reachability oracle: every member's cluster id is
+    the component's minimum vec_id."""
+    pairs = (embedding_near_dups(spark, sf_dir, threshold=threshold)
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))
+    sym = (pairs.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
+           .union(pairs.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst"))))
+    labels = (sym.select(F.col("src").alias("vec_id")).distinct()
+              .withColumn("label", F.col("vec_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(20):
+        nb = (sym.join(labels.withColumnsRenamed(
+                  {"vec_id": "dst", "label": "dst_label"}), "dst")
+              .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
+        new_labels = (labels.join(nb, labels.vec_id == nb.src, "left")
+                      .select(labels.vec_id,
+                              F.least("label", "nb_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "vec_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .filter(F.col("n_vecs") > 1)
+            .select(F.col("label").alias("cluster_id"), "n_vecs"))
+
+
+EMBEDDING_DUP_CLUSTERS_SQL = f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({_EMBEDDING_NEAR_DUPS_SQL_T.replace("{thr}", "0.35")})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS vec_id FROM edges
+), walk AS (
+  -- reachability closure (graph is symmetric, so reachable == same
+  -- component); UNION dedups, guaranteeing termination
+  WITH RECURSIVE r(v, reach) AS (
+    SELECT vec_id, vec_id FROM nodes
+    UNION
+    SELECT e.src, r.reach FROM edges e JOIN r ON r.v = e.dst
+  )
+  SELECT v, MIN(reach) AS label FROM r GROUP BY v
+)
+SELECT label AS cluster_id, COUNT(*) AS n_vecs
+FROM walk GROUP BY label HAVING COUNT(*) > 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "embedding_dup_clusters": embedding_dup_clusters,
     "embedding_int8_quant_error": embedding_int8_quant_error,
     "hard_negative_mining": hard_negative_mining,
     "ann_srp_topk": ann_srp_topk,
@@ -786,6 +862,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_dup_clusters": EMBEDDING_DUP_CLUSTERS_SQL,
     "embedding_int8_quant_error": EMBEDDING_INT8_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "ann_srp_topk": ANN_SRP_SQL,

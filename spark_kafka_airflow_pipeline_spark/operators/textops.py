@@ -1429,7 +1429,231 @@ FROM r GROUP BY source
 """
 
 
+# ----------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — local-minimum sampling of k-gram
+# hashes with a (k, w)-guarantee: any shared run of k+w-1 tokens
+# between two documents shares at least one selected fingerprint
+# (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+# Document Fingerprinting", SIGMOD 2003).
+# ----------------------------------------------------------------------
+
+_WIN_K = 3           # word k-gram size
+_WIN_W = 4           # winnowing window: gram hashes per window
+_WIN_POS = 1 << 20   # position field width inside the packed sort key
+
+
+def _winnow_selected(d: DataFrame) -> DataFrame:
+    """Distinct selected winnowing fingerprints ``(doc_id, fp)``.
+
+    Portable integer arithmetic end-to-end: gram hash = first 10 md5
+    hex chars (40 bits, md5 is bit-identical in DuckDB), packed with
+    the bit-inverted gram position into ``key = gh * 2^20 +
+    (2^20-1-pos)`` so a single window ``min(key)`` implements the
+    standard rightmost-minimum tie rule (larger pos => smaller key).
+    Positions are bounded by 2^20 grams/doc — far above any sane
+    document; a 100 TB pipeline chunks longer docs upstream
+    (``doc_chunks``) — and ``gh * 2^20 < 2^60`` never overflows under
+    ANSI mode.
+
+    Plan: one posexplode, ONE shuffle on doc_id shared by both window
+    functions (same partition key), distinct, agg — per-doc windows
+    only, so 1000 executors each winnow their documents
+    independently."""
+    from pyspark.sql import Window as Wn
+
+    grams = d.select(
+        "doc_id",
+        F.posexplode(T.raw_shingles("text", _WIN_K)).alias("pos", "g"))
+    gh = F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("bigint")
+    key = (gh * F.lit(_WIN_POS)
+           + (F.lit(_WIN_POS - 1) - F.col("pos").cast("bigint")))
+    keyed = grams.select("doc_id", "pos", key.alias("k"))
+    doc_w = Wn.partitionBy("doc_id")
+    frame = (Wn.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Wn.currentRow, _WIN_W - 1))
+    return (keyed
+            .withColumn("maxpos", F.max("pos").over(doc_w))
+            .withColumn("kmin", F.min("k").over(frame))
+            # valid window starts only; docs shorter than one window
+            # keep pos 0 (whole doc = one window) so every document
+            # yields at least one fingerprint
+            .filter(F.col("pos") <= F.greatest(
+                F.col("maxpos") - (_WIN_W - 1), F.lit(0)))
+            .select("doc_id",
+                    F.expr(f"kmin DIV {_WIN_POS}").alias("fp"))
+            .distinct())
+
+
+# shared CTE prefix: the oracle twin of _winnow_selected (identical
+# md5-derived 40-bit gram hash, packed key, window min, rightmost tie)
+_WINNOW_SEL_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), glist AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS gs
+  FROM toks
+), grams AS (
+  SELECT doc_id, z[2] AS pos, z[1] AS g
+  FROM (SELECT doc_id, unnest(list_zip(gs, range(0, len(gs)))) AS z
+        FROM glist)
+), keyed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(g), 1, 10))::BIGINT * 1048576
+           + (1048575 - pos) AS k
+  FROM grams
+), winmin AS (
+  SELECT doc_id, pos,
+         max(pos) OVER (PARTITION BY doc_id) AS maxpos,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin
+  FROM keyed
+), sel AS (
+  SELECT DISTINCT doc_id, kmin // 1048576 AS fp
+  FROM winmin
+  WHERE pos <= greatest(maxpos - 3, 0)
+)
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary: how many fingerprints
+    the (k=3, w=4) scheme selects plus an order-independent xor
+    checksum — the compact signature a fingerprint index stores per
+    document. See ``_winnow_selected`` for the algorithm and the
+    engine-portable packed-key construction."""
+    d = table(spark, sf_dir, "documents")
+    return (_winnow_selected(d)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 F.expr("bit_xor(fp)").alias("fp_xor"),
+                 F.min("fp").alias("fp_min")))
+
+
+WINNOW_FINGERPRINTS_SQL = _WINNOW_SEL_CTE + """
+SELECT doc_id, COUNT(*) AS n_fps, bit_xor(fp) AS fp_xor,
+       MIN(fp) AS fp_min
+FROM sel GROUP BY doc_id
+"""
+
+
+def winnow_overlap(spark: SparkSession, sf_dir: str,
+                   min_shared: int = 2, max_df: int = 64) -> DataFrame:
+    """MOSS-style cross-document overlap: document pairs ranked by how
+    many winnowing fingerprints they share, with the share expressed
+    against the smaller document (containment) in integer ppm.
+
+    Blocking: fingerprints shared by more than ``max_df`` documents are
+    corpus boilerplate and are dropped BEFORE the self-join (the MOSS
+    "too common to be interesting" rule) — this caps per-fingerprint
+    fan-out at ``max_df``^2 pairs, so the join volume is linear in the
+    fingerprint index size, never doc x doc. Everything is integer
+    arithmetic; the pair volume a real corpus produces is bounded by
+    the same winnowing density guarantee that bounds the index size
+    (~2/(w+1) of gram positions)."""
+    d = table(spark, sf_dir, "documents")
+    # four consumers below (doc sizes, df filter, two join sides):
+    # materialize once, lineage contains the whole winnowing pass
+    sel = _winnow_selected(d).localCheckpoint(eager=True)
+    nf = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    rare = sel.join(
+        sel.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+           .filter((F.col("nd") >= 2) & (F.col("nd") <= max_df))
+           .select("fp"),
+        "fp")
+    a = rare.select("fp", F.col("doc_id").alias("doc_a"))
+    b = rare.select(F.col("fp").alias("fp_b"),
+                    F.col("doc_id").alias("doc_b"))
+    pairs = (a.join(b, (F.col("fp") == F.col("fp_b"))
+                    & (F.col("doc_a") < F.col("doc_b")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    na = nf.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n_fps").alias("nf_a"))
+    nb = nf.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n_fps").alias("nf_b"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    F.expr("n_shared * 1000000 DIV least(nf_a, nf_b)")
+                    .alias("containment_ppm")))
+
+
+WINNOW_OVERLAP_SQL = _WINNOW_SEL_CTE + """
+, nf AS (
+  SELECT doc_id, COUNT(*) AS n_fps FROM sel GROUP BY doc_id
+), rare AS (
+  SELECT s.doc_id, s.fp
+  FROM sel s JOIN (SELECT fp FROM sel GROUP BY fp
+                   HAVING COUNT(*) BETWEEN 2 AND 64) r USING (fp)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared * 1000000 // least(na.n_fps, nb.n_fps) AS BIGINT)
+         AS containment_ppm
+FROM pairs
+JOIN nf na ON na.doc_id = doc_a
+JOIN nf nb ON nb.doc_id = doc_b
+"""
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language (alpha = 0.5,
+    the multinomial upsampling rule of XLM-R/mT5: w_i proportional to
+    n_i^alpha flattens the head and lifts low-resource tails).
+
+    Engine-portable determinism: sqrt is IEEE correctly-rounded in both
+    engines and everything after it is integer arithmetic —
+    ``s_i = floor(sqrt(n_i) * 1e6)`` then ppm weights by BIGINT
+    division, so no accumulation-order-sensitive float sums exist.
+    The unpartitioned window runs AFTER the per-language aggregate, on
+    a frame whose cardinality is the number of languages — a handful
+    of rows at any corpus scale."""
+    from pyspark.sql import Window as Wn
+
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = per.withColumn(
+        "s", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0)
+        .cast("bigint"))
+    w = Wn.partitionBy()
+    per = (per.withColumn("total_docs", F.sum("n_docs").over(w))
+           .withColumn("total_s", F.sum("s").over(w)))
+    return per.select(
+        "lang", "n_docs",
+        F.expr("n_docs * 1000000 DIV total_docs").alias("share_ppm"),
+        F.expr("s * 1000000 DIV total_s").alias("weight_ppm"))
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), sc AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS s
+  FROM per
+)
+SELECT lang, n_docs,
+       CAST(n_docs * 1000000 // SUM(n_docs) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(s * 1000000 // SUM(s) OVER () AS BIGINT) AS weight_ppm
+FROM sc
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "winnow_fingerprints": winnow_fingerprints,
+    "winnow_overlap": winnow_overlap,
+    "mixture_temperature_weights": mixture_temperature_weights,
     "doc_source_arrow_stats": doc_source_arrow_stats,
     "token_lift_pairs": token_lift_pairs,
     "grouped_sample_topk": grouped_sample_topk,
@@ -1463,6 +1687,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
+    "winnow_overlap": WINNOW_OVERLAP_SQL,
+    "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_source_arrow_stats": ARROW_STATS_SQL,
     "token_lift_pairs": TOKEN_LIFT_SQL,
     "grouped_sample_topk": GROUPED_SAMPLE_SQL,

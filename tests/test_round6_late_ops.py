@@ -1,0 +1,118 @@
+"""Round-6 late additions: winnowing fingerprints (MOSS), temperature
+mixture weights, embedding-cosine dedup clustering — algorithm-level
+properties beside the oracle parity checks."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from spark_kafka_airflow_pipeline_spark.operators import similarity, textops
+
+
+def _ref_winnow(text: str, k: int = 3, w: int = 4) -> set[int]:
+    """Independent Python reference of the (k, w) winnowing scheme with
+    the same md5-derived 40-bit gram hash and rightmost-minimum tie
+    rule as ``textops._winnow_selected``."""
+    toks = text.strip().lower().split()
+    if len(toks) <= k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams]
+    keys = [h * (1 << 20) + ((1 << 20) - 1 - p) for p, h in enumerate(hs)]
+    n = len(keys)
+    sel = set()
+    for s in range(max(n - w + 1, 1)):
+        sel.add(min(keys[s:s + w]))
+    return {kk >> 20 for kk in sel}
+
+
+def _spark_winnow(spark, docs: list[tuple[int, str]]) -> dict[int, set[int]]:
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = textops._winnow_selected(df).collect()
+    out: dict[int, set[int]] = {i: set() for i, _ in docs}
+    for r in rows:
+        out[r["doc_id"]].add(r["fp"])
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    """The distributed winnowing pass selects exactly the fingerprints
+    the sequential reference algorithm selects, per document."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one two three"),                       # exactly k tokens
+        (3, "tiny doc"),                            # < k tokens
+        (4, ""),                                    # empty text
+        (5, "a a a a a a a a a a"),                 # all-identical grams
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    got = _spark_winnow(spark, docs)
+    for doc_id, text in docs:
+        assert got[doc_id] == _ref_winnow(text), f"doc {doc_id}"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The (k=3, w=4) guarantee: two documents sharing a run of
+    k+w-1 = 6 tokens share at least one fingerprint, and identical
+    documents share ALL fingerprints."""
+    shared = "omega psi chi phi upsilon tau"  # 6-token shared run
+    docs = [
+        (1, f"unrelated head words here {shared} and a different tail"),
+        (2, f"{shared} entirely other continuation tokens follow now"),
+        (3, "completely disjoint vocabulary nothing in common whatsoever"),
+        (4, f"unrelated head words here {shared} and a different tail"),
+    ]
+    got = _spark_winnow(spark, docs)
+    assert got[1] & got[2], "6-token shared run must share a fingerprint"
+    assert got[1] == got[4], "identical docs share all fingerprints"
+    assert not (got[3] & got[1])
+
+
+def test_mixture_temperature_flattens(spark, sf_dir):
+    """alpha=0.5 temperature weights: ppm weights are a (near-)unit
+    partition, the head language is down-weighted vs its raw share and
+    the tail language is up-weighted."""
+    rows = textops.mixture_temperature_weights(spark, sf_dir).collect()
+    total_w = sum(r["weight_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total_w <= 1_000_000
+    head = max(rows, key=lambda r: r["n_docs"])
+    tail = min(rows, key=lambda r: r["n_docs"])
+    assert head["weight_ppm"] <= head["share_ppm"]
+    assert tail["weight_ppm"] >= tail["share_ppm"]
+
+
+def test_embedding_dup_clusters_match_union_find(spark, sf_dir):
+    """The distributed min-label fixpoint produces exactly the
+    connected components a sequential union-find derives from the same
+    (oracled) pair graph."""
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_near_dups(spark, sf_dir, threshold=0.35)
+             .select("id_a", "id_b").collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, int] = {}
+    for node in parent:
+        comps[find(node)] = comps.get(find(node), 0) + 1
+    expected = {(cid, n) for cid, n in comps.items() if n > 1}
+
+    got = {(r["cluster_id"], r["n_vecs"]) for r in
+           similarity.embedding_dup_clusters(spark, sf_dir).collect()}
+    assert got == expected
+    assert got, "fixture corpus must contain at least one dup cluster"
