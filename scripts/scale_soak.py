@@ -116,6 +116,11 @@ OPS = {
     "snapshot_diff_cdc": warehouse.snapshot_diff_cdc,
     "table_profile": warehouse.table_profile,
     "token_lift_pairs": textops.token_lift_pairs,
+    # round-6 additions
+    "winnow_fingerprints": textops.winnow_fingerprints,
+    "winnow_overlap": textops.winnow_overlap,
+    "longest_shared_spans": textops.longest_shared_spans,
+    "embedding_dup_clusters": similarity.embedding_dup_clusters,
 }
 
 

@@ -1605,6 +1605,112 @@ JOIN nf nb ON nb.doc_id = doc_b
 """
 
 
+def longest_shared_spans(spark: SparkSession, sf_dir: str,
+                         n: int = 8, max_df: int = 64,
+                         min_grams: int = 2) -> DataFrame:
+    """Exact-substring duplication between document pairs: the longest
+    run of consecutive shared word ``n``-grams, reported as a token
+    span — the pair-level statistic behind suffix-array ExactSubstr
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022), computed with joins + windows instead
+    of a suffix array.
+
+    A shared substring of L >= n tokens appears as a diagonal of
+    matched gram positions: pairs (pa, pb) with pa - pb constant and
+    pa consecutive. So: positional grams -> df-capped equi-join on the
+    gram hash (grams in > ``max_df`` docs are boilerplate and cannot
+    anchor a faithful pair diagonal; dropping them BEFORE the join
+    bounds fan-out exactly like ``winnow_overlap``) -> gaps-and-islands
+    per (pair, diagonal) via the pa - row_number() trick -> max island.
+    All shuffles are keyed on gram hash then (pair, diag) — never
+    doc x doc.
+
+    Repeated grams inside one document contribute every occurrence, so
+    island rows per (pair, diag) stay unique in pa and runs through
+    repetitions are found exactly; the fan-out this costs is bounded by
+    the per-gram occurrence product, itself capped by the df filter.
+    Span arithmetic is pure integers: run of g grams = g + n - 1
+    tokens."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(T.raw_shingles("text", n)).alias("pos", "g"))
+    gh40 = F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("bigint")
+    grams = grams.select("doc_id", "pos", gh40.alias("gh"))
+    # both join sides consume `rare`, whose lineage holds the whole
+    # posexplode+md5 pass twice (gram stream + df aggregate) —
+    # materialize once; the df-capped survivor set is tiny relative to
+    # the corpus
+    rare = grams.join(
+        grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+             .filter((F.col("nd") >= 2) & (F.col("nd") <= max_df))
+             .select("gh"),
+        "gh").localCheckpoint(eager=True)
+    a = rare.select("gh", F.col("doc_id").alias("doc_a"),
+                    F.col("pos").alias("pa"))
+    b = rare.select(F.col("gh").alias("gh_b"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pb"))
+    matched = (a.join(b, (F.col("gh") == F.col("gh_b"))
+                      & (F.col("doc_a") < F.col("doc_b")))
+               .select("doc_a", "doc_b", "pa",
+                       (F.col("pa") - F.col("pb")).alias("diag")))
+    from pyspark.sql import Window as Wn
+    w = Wn.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (matched
+            .withColumn("isl", F.col("pa") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "isl")
+            .agg(F.count(F.lit(1)).alias("run_grams")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg(F.max("run_grams").alias("longest_run_grams"))
+            .filter(F.col("longest_run_grams") >= min_grams)
+            .select("doc_a", "doc_b", "longest_run_grams",
+                    (F.col("longest_run_grams") + (n - 1))
+                    .cast("bigint").alias("longest_span_tokens")))
+
+
+LONGEST_SHARED_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), glist AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 6),
+                                  i -> array_to_string(t[i:i+7], ' '))
+         END AS gs
+  FROM toks
+), grams AS (
+  SELECT doc_id, z[2] AS pos,
+         ('0x' || substr(md5(z[1]), 1, 10))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest(list_zip(gs, range(0, len(gs)))) AS z
+        FROM glist)
+), rare AS (
+  SELECT g.doc_id, g.pos, g.gh
+  FROM grams g JOIN (SELECT gh FROM grams
+                     GROUP BY gh
+                     HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64) r
+    USING (gh)
+), matched AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS isl
+  FROM matched
+), agg AS (
+  SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run_grams
+  FROM runs GROUP BY doc_a, doc_b, diag, isl
+)
+SELECT doc_a, doc_b, MAX(run_grams) AS longest_run_grams,
+       CAST(MAX(run_grams) + 7 AS BIGINT) AS longest_span_tokens
+FROM agg GROUP BY doc_a, doc_b
+HAVING MAX(run_grams) >= 2
+"""
+
+
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled sampling weights per language (alpha = 0.5,
     the multinomial upsampling rule of XLM-R/mT5: w_i proportional to
@@ -1653,6 +1759,7 @@ FROM sc
 QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap": winnow_overlap,
+    "longest_shared_spans": longest_shared_spans,
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_source_arrow_stats": doc_source_arrow_stats,
     "token_lift_pairs": token_lift_pairs,
@@ -1689,6 +1796,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,
+    "longest_shared_spans": LONGEST_SHARED_SPANS_SQL,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_source_arrow_stats": ARROW_STATS_SQL,
     "token_lift_pairs": TOKEN_LIFT_SQL,

@@ -74,6 +74,32 @@ def test_winnow_shared_run_guarantee(spark):
     assert not (got[3] & got[1])
 
 
+def test_longest_shared_spans_planted_run(spark, tmp_path):
+    """A planted 12-token exact shared substring between two otherwise
+    disjoint documents is reported as exactly a 12-token span (5 runs
+    of 8-grams); a pair sharing only scattered single grams reports
+    the minimum span."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"  # 12 tokens
+    filler_a = " ".join(f"a{i}" for i in range(20))
+    filler_b = " ".join(f"b{i}" for i in range(20))
+    docs = [
+        (1, f"{filler_a} {shared} {'z1 z2 z3 z4 z5'}", "en", "w", 1),
+        (2, f"{filler_b} {shared} {'y1 y2 y3 y4 y5'}", "en", "w", 1),
+        (3, "totally different text with no overlap at all here", "en",
+         "w", 1),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, "
+              "n_chars int")
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    from spark_kafka_airflow_pipeline_spark.operators import textops as t
+    rows = {(r["doc_a"], r["doc_b"]): r["longest_span_tokens"]
+            for r in t.longest_shared_spans(spark, str(tmp_path),
+                                            min_grams=1).collect()}
+    assert rows == {(1, 2): 12}
+
+
 def test_mixture_temperature_flattens(spark, sf_dir):
     """alpha=0.5 temperature weights: ppm weights are a (near-)unit
     partition, the head language is down-weighted vs its raw share and
