@@ -567,11 +567,32 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_price_quantiles(spark: SparkSession, sf_dir: str,
+                           accuracy: int = 10000) -> DataFrame:
+    """Approximate percentiles (Spark's Greenwald-Khanna / KLL-family
+    ``percentile_approx`` sketch) beside the exact interpolated ones —
+    the mergeable single-pass form that at 100 TB replaces the exact
+    sort-based percentile (whose per-group state is unbounded). The
+    sketch guarantees rank error <= n/accuracy and is mergeable across
+    partitions, so the aggregation stays one shuffle with bounded
+    state. Rows-only check: DuckDB has no twin sketch; the test
+    asserts every approximate value sits within the guaranteed rank
+    window of the exact order statistics."""
+    orders = table(spark, sf_dir, "orders")
+    ps = "array(0.5D, 0.9D, 0.99D)"
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.expr(f"percentile_approx(o_totalprice, {ps}, {accuracy})")
+                 .alias("approx_q"),
+                 F.expr(f"percentile(o_totalprice, {ps})").alias("exact_q"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
+    "approx_price_quantiles": approx_price_quantiles,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_revenue_by_nation": q5_revenue_by_nation,

@@ -113,6 +113,36 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     assert tail["weight_ppm"] >= tail["share_ppm"]
 
 
+def test_approx_quantiles_rank_bound(spark, sf_dir):
+    """percentile_approx's contract: each reported value sits within
+    rank n/accuracy of the target order statistic (checked against the
+    fully sorted per-group values)."""
+    import bisect
+
+    from spark_kafka_airflow_pipeline_spark.operators import relational
+
+    rows = relational.approx_price_quantiles(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderpriority", "o_totalprice").collect()
+    by_group: dict[str, list[float]] = {}
+    for r in orders:
+        by_group.setdefault(r["o_orderpriority"], []).append(
+            r["o_totalprice"])
+    assert rows
+    for r in rows:
+        vals = sorted(by_group[r["o_orderpriority"]])
+        n = len(vals)
+        assert r["n_orders"] == n
+        slack = n / 10000 + 1
+        for p, av in zip((0.5, 0.9, 0.99), r["approx_q"]):
+            # rank window of the reported value (ties included)
+            lo = bisect.bisect_left(vals, av)
+            hi = bisect.bisect_right(vals, av) - 1
+            target = p * (n - 1)
+            assert lo - slack <= target <= hi + slack, (
+                r["o_orderpriority"], p, av, lo, hi, target)
+
+
 def test_embedding_dup_clusters_match_union_find(spark, sf_dir):
     """The distributed min-label fixpoint produces exactly the
     connected components a sequential union-find derives from the same
