@@ -26,7 +26,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -46,15 +51,49 @@ class _SeqReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", "1000"))
         self.nparts = int(options.get("partitions", "8"))
+        # range pushdown state: [lo, hi) over the id column, narrowed
+        # by pushFilters before partitions() plans the splits
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):  # noqa: ANN001, ANN201 - Spark API
+        """Source-side range pruning (Spark 4.1 Python DataSource
+        filter pushdown): comparison predicates on the monotonic ``id``
+        column clamp the generated range BEFORE partition planning, so
+        pruned splits are never scheduled — the Python-connector
+        equivalent of parquet row-group/partition pruning. Handled
+        filters are consumed (not returned), so the scan itself proves
+        the clamp is correct; anything else is left for Spark to
+        evaluate post-scan."""
+        for f in filters:
+            col_ok = getattr(f, "attribute", None) == ("id",)
+            val = getattr(f, "value", None)
+            if not (col_ok and isinstance(val, int)
+                    and not isinstance(val, bool)):
+                yield f
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, val + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, val)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, val)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, val + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, val)
+                self.hi = min(self.hi, val + 1)
+            else:
+                yield f
 
     def partitions(self):  # noqa: ANN201 - Spark API signature
-        if self.n <= 0:
+        lo, hi = self.lo, min(self.hi, self.n)
+        if hi <= lo:
             # the API requires >= 1 partition: Spark calls read(None)
             # when the list is empty — emit one empty split instead
             return [_SeqPartition(0, 0)]
-        step = max(1, -(-self.n // self.nparts))  # ceil div
-        return [_SeqPartition(s, min(s + step, self.n))
-                for s in range(0, self.n, step)]
+        step = max(1, -(-(hi - lo) // self.nparts))  # ceil div
+        return [_SeqPartition(s, min(s + step, hi))
+                for s in range(lo, hi, step)]
 
     def read(self, partition):  # noqa: ANN001, ANN201 - Spark API
         for i in range(partition.start, partition.end):
@@ -195,6 +234,9 @@ def register(spark) -> None:  # noqa: ANN001
     swallowed — a genuine failure (e.g. a build without Python
     DataSource support) must surface here, not later as a confusing
     format-not-found."""
+    # a reader that implements pushFilters refuses to plan unless the
+    # pushdown feature flag is on (Spark 4.1 guards the new API)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for src in (SeqDataSource, JsonlSinkDataSource):
         try:
             spark.dataSource.register(src)

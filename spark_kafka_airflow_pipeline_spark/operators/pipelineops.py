@@ -170,6 +170,47 @@ FROM g GROUP BY bucket
 """
 
 
+def python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python DataSource (Spark 4.1
+    ``DataSourceReader.pushFilters``): range predicates on the
+    monotonic ``id`` column are consumed by the reader and clamp its
+    partition planning — pruned splits are never scheduled — while the
+    non-pushable ``bucket`` predicate stays a Spark-side residual.
+    The clamp arithmetic is proven by the value-hash oracle (a wrong
+    bound changes every aggregate), and the planning effect is pinned
+    by ``tests/test_round6_late_ops.py::test_pushdown_prunes_partitions``.
+    sf_dir is unused: the source IS the data."""
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    df = (spark.read.format("seqgen")
+          .option("n", "20000").option("partitions", "8").load())
+    return (df.filter((F.col("id") >= 12000) & (F.col("id") < 18000)
+                      & (F.col("bucket") >= 4))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("id").alias("id_checksum"),
+                 F.min("tag").alias("min_tag"),
+                 F.max("tag").alias("max_tag")))
+
+
+PY_DATASOURCE_PUSHDOWN_SQL = """
+WITH g AS (
+  SELECT i AS id, substr(md5(CAST(i AS VARCHAR)), 1, 8) AS tag,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 AS INT)
+           AS bucket
+  FROM (SELECT unnest(range(0, 20000)) AS i)
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_checksum,
+       MIN(tag) AS min_tag, MAX(tag) AS max_tag
+FROM g
+WHERE id >= 12000 AND id < 18000 AND bucket >= 4
+GROUP BY bucket
+"""
+
+
 def metadata_compiled_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 compiled PURELY from a declarative metadata JSON — the
     reference's whole thesis is config-driven pipelines
@@ -344,6 +385,7 @@ from spark_kafka_airflow_pipeline_spark.operators.relational import (  # noqa: E
 
 QUERIES: dict[str, QueryFn] = {
     "python_datasource_scan": python_datasource_scan,
+    "python_datasource_pushdown": python_datasource_pushdown,
     "metadata_compiled_q3": metadata_compiled_q3,
     "metadata_corpus_refinery": metadata_corpus_refinery,
     "validate_split_ok": validate_split_ok,
@@ -354,6 +396,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "python_datasource_scan": PY_DATASOURCE_SQL,
+    "python_datasource_pushdown": PY_DATASOURCE_PUSHDOWN_SQL,
     "metadata_compiled_q3": _Q3_SQL,
     "metadata_corpus_refinery": _corpus_refinery_sql(),
     "validate_split_ok": VALIDATE_OK_SQL,

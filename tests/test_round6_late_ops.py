@@ -113,6 +113,52 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     assert tail["weight_ppm"] >= tail["share_ppm"]
 
 
+def test_pushdown_prunes_partitions(spark):
+    """pushFilters on the seqgen reader: range predicates on id clamp
+    the planned range (unit-level: partitions() bounds shrink; only
+    consumed filters disappear), and the e2e scan result equals the
+    unpushed filter semantics."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from spark_kafka_airflow_pipeline_spark.io import pydatasource
+
+    r = pydatasource._SeqReader({"n": "1000", "partitions": "4"})
+    residual = list(r.pushFilters([
+        GreaterThanOrEqual(("id",), 600),
+        LessThan(("id",), 800),
+        StringStartsWith(("tag",), "a"),      # not pushable -> residual
+        EqualTo(("bucket",), 3),              # wrong column -> residual
+    ]))
+    assert {type(f).__name__ for f in residual} == {
+        "StringStartsWith", "EqualTo"}
+    parts = r.partitions()
+    assert min(p.start for p in parts) == 600
+    assert max(p.end for p in parts) == 800
+    assert len(parts) == 4
+
+    # empty clamp -> one empty split, scan yields zero rows
+    r2 = pydatasource._SeqReader({"n": "1000", "partitions": "4"})
+    list(r2.pushFilters([GreaterThanOrEqual(("id",), 900),
+                         LessThan(("id",), 100)]))
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].start == parts2[0].end
+
+    # e2e: pushed scan == in-memory filter of the full scan
+    pydatasource.register(spark)
+    full = (spark.read.format("seqgen").option("n", "2000")
+            .option("partitions", "4").load().collect())
+    expect = sorted(r["id"] for r in full if 250 <= r["id"] < 1250)
+    pushed = (spark.read.format("seqgen").option("n", "2000")
+              .option("partitions", "4").load()
+              .filter("id >= 250 and id < 1250").collect())
+    assert sorted(r["id"] for r in pushed) == expect
+
+
 def test_approx_quantiles_rank_bound(spark, sf_dir):
     """percentile_approx's contract: each reported value sits within
     rank n/accuracy of the target order statistic (checked against the
