@@ -718,6 +718,54 @@ GROUP BY o_orderpriority
 """
 
 
+def sql_api_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ANSI SQL/PSM): a BEGIN...END compound
+    statement with DECLAREd variables and a WHILE loop — the
+    stored-procedure-style control flow migrated workloads expect from
+    a warehouse. The script searches the smallest 50k price threshold
+    whose cumulative order share reaches 60%: each iteration runs one
+    DISTRIBUTED count (the loop is driver-side control only, the work
+    per step is a full Catalyst query), and the script's final SELECT
+    is the result set ``spark.sql`` returns.
+
+    The oracle derives the same fixpoint closed-form (min qualifying
+    threshold over a generated step table) — loop semantics vs
+    set semantics, identical integers."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sqls_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+    BEGIN
+      DECLARE thr BIGINT DEFAULT 0;
+      DECLARE n_below BIGINT DEFAULT 0;
+      DECLARE n_total BIGINT DEFAULT 0;
+      SET n_total = (SELECT COUNT(*) FROM __sqls_orders);
+      WHILE n_below * 10 < n_total * 6 DO
+        SET thr = thr + 50000;
+        SET n_below = (SELECT COUNT(*) FROM __sqls_orders
+                       WHERE o_totalprice <= thr);
+      END WHILE;
+      SELECT thr AS threshold, n_below, n_total;
+    END
+    """)
+
+
+SQL_API_SCRIPTING_SQL = """
+WITH t AS (SELECT COUNT(*) AS n_total FROM orders),
+steps AS (SELECT unnest(range(1, 100)) * 50000 AS thr),
+counts AS (
+  SELECT thr,
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= thr)
+           AS n_below
+  FROM steps
+)
+SELECT CAST(thr AS BIGINT) AS threshold, n_below,
+       (SELECT n_total FROM t) AS n_total
+FROM counts
+WHERE n_below * 10 >= (SELECT n_total FROM t) * 6
+ORDER BY thr LIMIT 1
+"""
+
+
 def orders_status_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DataFrame.transpose()`` (Spark 4): flip a per-status metrics
     aggregate so statuses become COLUMNS and metric names become rows —
@@ -757,6 +805,7 @@ FROM agg
 
 QUERIES: dict[str, QueryFn] = {
     "sql_api_parameterized": sql_api_parameterized,
+    "sql_api_scripting": sql_api_scripting,
     "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
@@ -781,6 +830,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "sql_api_parameterized": SQL_API_PARAM_SQL,
+    "sql_api_scripting": SQL_API_SCRIPTING_SQL,
     "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,
