@@ -718,6 +718,37 @@ GROUP BY o_orderpriority
 """
 
 
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, GoogleSQL-style ``|>`` chains): the
+    linear dataflow form of SQL — scan |> filter |> aggregate |>
+    post-aggregation filter — matching how the DataFrame API (and this
+    engine's declarative metadata pipelines) compose. Catalyst plans it
+    identically to the nested GROUP BY/HAVING form the oracle uses, so
+    the surface is pure syntax: same pushdown, same partial
+    aggregation."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql("""
+    FROM __pipe_orders
+    |> WHERE o_orderstatus = 'O'
+    |> AGGREGATE COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
+           AS revenue
+       GROUP BY o_orderpriority
+    |> WHERE n_orders >= 10
+    """)
+
+
+SQL_API_PIPE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
+         AS revenue
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING COUNT(*) >= 10
+"""
+
+
 def sql_api_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4 ANSI SQL/PSM): a BEGIN...END compound
     statement with DECLAREd variables and a WHILE loop — the
@@ -806,6 +837,7 @@ FROM agg
 QUERIES: dict[str, QueryFn] = {
     "sql_api_parameterized": sql_api_parameterized,
     "sql_api_scripting": sql_api_scripting,
+    "sql_api_pipe_syntax": sql_api_pipe_syntax,
     "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
@@ -831,6 +863,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "sql_api_parameterized": SQL_API_PARAM_SQL,
     "sql_api_scripting": SQL_API_SCRIPTING_SQL,
+    "sql_api_pipe_syntax": SQL_API_PIPE_SQL,
     "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,

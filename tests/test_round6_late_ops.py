@@ -113,6 +113,33 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     assert tail["weight_ppm"] >= tail["share_ppm"]
 
 
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """The RocksDB state store provider — the at-scale backend whose
+    state lives off-heap/on-disk instead of in executor memory — yields
+    byte-identical results to the default HDFS-backed provider for a
+    watermarked aggregation and a stateful dedup. This pins that every
+    streaming topology here can run with production state sizing by
+    flipping one conf, no code change."""
+    from spark_kafka_airflow_pipeline_spark.streaming import (
+        pipelines as sp,
+    )
+
+    names = ("streaming_tumbling_window", "streaming_dedup_keys")
+    base = {n: sorted(map(tuple, sp.QUERIES[n](spark, sf_dir).collect()))
+            for n in names}
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        for n in names:
+            rocks = sorted(map(tuple, sp.QUERIES[n](spark, sf_dir)
+                               .collect()))
+            assert rocks == base[n], n
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_pushdown_prunes_partitions(spark):
     """pushFilters on the seqgen reader: range predicates on id clamp
     the planned range (unit-level: partitions() bounds shrink; only
