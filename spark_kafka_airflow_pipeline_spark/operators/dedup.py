@@ -392,7 +392,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     correctness check (xxhash64 not in DuckDB).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+    # gram IDENTITY (hash-of-token-hashes), not gram text: the k-1
+    # zip_with passes move fixed-width longs instead of building
+    # O(k^2)-char shingle strings — measured 3x faster on the sf0.1
+    # signature pass (0.20s vs 0.63s), same Jaccard up to 64-bit
+    # collisions; the md5 twin keeps the string family for
+    # portability, this murmur3/xxhash production path is free to
+    # pick the fast space
+    tokens = lambda c: T.shingle_hashes_of(T.token_hashes(c), 3)  # noqa: E731
     sigs = minhash_signature_agg(d, num_hashes=num_hashes, tokens=tokens)
     cand = lsh_band_candidates(sigs, num_hashes, bands, distinct=False,
                                carry="minhash")
@@ -424,7 +431,9 @@ def incremental_dedup_minhash(spark: SparkSession, sf_dir: str,
     filtered) star center. Rows-only check (xxhash64 not in DuckDB).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    tokens = lambda c: T.shingles(c, 3)  # noqa: E731
+    # hash-chain gram identity — same fast feature space as
+    # minhash_lsh_pairs (see the rationale there)
+    tokens = lambda c: T.shingle_hashes_of(T.token_hashes(c), 3)  # noqa: E731
     par = spark.sparkContext.defaultParallelism
     base = d.select("doc_id", "text",
                     (F.col("source") == new_source).alias("is_new"))
