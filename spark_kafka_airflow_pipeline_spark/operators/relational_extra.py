@@ -718,6 +718,39 @@ GROUP BY o_orderpriority
 """
 
 
+def pandas_api_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (``pyspark.pandas``): the drop-in pandas
+    surface compiled onto the same engine — read_parquet -> groupby ->
+    named-agg -> reset_index -> to_spark, planned by Catalyst like any
+    DataFrame query (distributed default index, no driver
+    materialization). Aggregates are chosen hash-portable: count is
+    integer, min/max return data values bit-identical in both engines
+    (no float accumulation)."""
+    import warnings
+
+    import pyspark.pandas as ps
+
+    with warnings.catch_warnings():
+        # advice-level warnings about default index/index_col choices;
+        # the distributed index is exactly what we want here
+        warnings.simplefilter("ignore")
+        ps.set_option("compute.default_index_type", "distributed")
+        pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+        out = (pdf.groupby("o_orderstatus")
+               .agg(n_orders=("o_orderkey", "count"),
+                    max_price=("o_totalprice", "max"),
+                    min_price=("o_totalprice", "min"))
+               .reset_index())
+        return out.to_spark()
+
+
+PANDAS_API_SQL = """
+SELECT o_orderstatus, COUNT(o_orderkey) AS n_orders,
+       MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4, GoogleSQL-style ``|>`` chains): the
     linear dataflow form of SQL — scan |> filter |> aggregate |>
@@ -838,6 +871,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_api_parameterized": sql_api_parameterized,
     "sql_api_scripting": sql_api_scripting,
     "sql_api_pipe_syntax": sql_api_pipe_syntax,
+    "pandas_api_status_profile": pandas_api_status_profile,
     "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
@@ -864,6 +898,7 @@ ORACLES: dict[str, str] = {
     "sql_api_parameterized": SQL_API_PARAM_SQL,
     "sql_api_scripting": SQL_API_SCRIPTING_SQL,
     "sql_api_pipe_syntax": SQL_API_PIPE_SQL,
+    "pandas_api_status_profile": PANDAS_API_SQL,
     "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,
