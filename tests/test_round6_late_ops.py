@@ -113,6 +113,48 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     assert tail["weight_ppm"] >= tail["share_ppm"]
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join handling — the complement of the static
+    salting operator (`salted_group_agg`): a join keyed on a hot key
+    (5/6 of all rows on one value) is re-planned at runtime into split
+    subpartitions, visible as SortMergeJoin(skew=true) in the executed
+    plan. Results are unchanged; only the partitioning is. This pins
+    that the engine's scale posture for skewed joins (AQE on, no manual
+    salting needed for moderate skew) actually activates."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") < 250000, F.lit(0))
+            .otherwise((F.col("id") % 50) + 1).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        joined = left.join(right, "k")
+        # collect THIS frame (count() would execute a different plan
+        # and leave joined's own AQE plan unfinalized)
+        assert len(joined.collect()) == 300000  # every left row matches
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_rocksdb_state_store_matches_default(spark, sf_dir):
     """The RocksDB state store provider — the at-scale backend whose
     state lives off-heap/on-disk instead of in executor memory — yields
