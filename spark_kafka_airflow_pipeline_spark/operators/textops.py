@@ -1711,6 +1711,95 @@ HAVING MAX(run_grams) >= 2
 """
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str,
+              terms: tuple = ("dup", "vector", "scan"),
+              k1: float = 1.2, b: float = 0.75,
+              topk: int = 10) -> DataFrame:
+    """BM25 lexical relevance: top-k documents for a fixed query term
+    set — the retrieval scorer a data pipeline uses for targeted corpus
+    slicing (and the lexical baseline next to the embedding ANN
+    retrievers). Okapi BM25 with k1/b defaults; one tokenize pass
+    feeds doc lengths, per-doc term frequencies and document
+    frequencies; corpus stats broadcast back as a 1-row frame.
+
+    Cross-engine determinism (same discipline as ``doc_tfidf_topterms``
+    and the cent rule): idf's natural log is rounded to 6 decimals
+    (ln is only 1-ulp reproducible across libm builds), every other
+    factor is identical-operand double arithmetic, and the per-term
+    score is converted to integer MICROS (floor(x*1e6+0.5)) before the
+    per-doc sum — so the only order-sensitive reduction is over
+    BIGINTs. Ranking ties break on doc_id."""
+    from pyspark.sql import Window as Wn
+
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != ""))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    hits = toks.filter(F.col("term").isin(*terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1)))
+               .alias("avgdl")))
+    idf = F.round(F.log((F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0), 6)
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    score_micro = F.floor(idf * sat * 1000000.0 + 0.5).cast("bigint")
+    scored = (tf.join(dl, "doc_id")
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(score_micro).alias("bm25_micro"),
+                   F.count(F.lit(1)).alias("n_terms_hit")))
+    w = Wn.orderBy(F.desc("bm25_micro"), "doc_id")
+    # the global top-k window runs on the scored-docs frame (bounded by
+    # docs containing a query term), and Catalyst turns sort+limit
+    # shapes into TakeOrdered at any scale
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("doc_id", "bm25_micro", "n_terms_hit", "rank"))
+
+
+BM25_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('dup', 'vector', 'scan')
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(floor(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * ((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micro,
+         COUNT(*) AS n_terms_hit
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats JOIN dfreq ON tf.term = dfreq.term
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25_micro, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+            AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled sampling weights per language (alpha = 0.5,
     the multinomial upsampling rule of XLM-R/mT5: w_i proportional to
@@ -1760,6 +1849,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap": winnow_overlap,
     "longest_shared_spans": longest_shared_spans,
+    "bm25_topk": bm25_topk,
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_source_arrow_stats": doc_source_arrow_stats,
     "token_lift_pairs": token_lift_pairs,
@@ -1797,6 +1887,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,
     "longest_shared_spans": LONGEST_SHARED_SPANS_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_source_arrow_stats": ARROW_STATS_SQL,
     "token_lift_pairs": TOKEN_LIFT_SQL,
