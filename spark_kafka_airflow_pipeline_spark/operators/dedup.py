@@ -787,6 +787,140 @@ WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.5
 """
 
 
+import hashlib as _hl
+
+_NG_BANDS, _NG_ROWS = 4, 8
+# 32 md5-derived permutation coefficients — deterministic constants
+# baked identically into the Spark expressions and the SQL oracle
+# (no RNG; a != 0 mod p)
+_NG_COEFFS = tuple(
+    (int(_hl.md5(f"ng-a{i}".encode()).hexdigest()[:12], 16)
+     % (_MH_P - 1) + 1,
+     int(_hl.md5(f"ng-b{i}".encode()).hexdigest()[:12], 16) % _MH_P)
+    for i in range(_NG_BANDS * _NG_ROWS))
+
+
+def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
+                            threshold: float = 0.9) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs on the md5-portable
+    pipeline — the exactly-ORACLED twin of ``ngram_jaccard_dups``
+    (whose char-MinHash blocking rides murmur3 and is rows-only).
+
+    Geometry matches the production path's hard-won S-curve lesson
+    (see ``ngram_jaccard_dups``): unrelated same-language docs already
+    share ~0.3-0.5 of their char-trigram set, so the word-gram twin's
+    permissive 4x2 banding admits nearly EVERY pair (measured: 4.3M
+    verified pairs, 423 s at sf0.1). 4 bands x 8 rows puts the
+    candidate knee at the 0.9 threshold — P[candidate] = 0.015 at
+    j=0.5 — and the verify join stays linear in true near-dups. With
+    this, every near-dup family (word-MinHash, char-n-gram Jaccard,
+    SimHash, clustering, incremental) has a value-hash-verified
+    algorithm proof."""
+    par = spark.sparkContext.defaultParallelism
+    d = (table(spark, sf_dir, "documents")
+         .repartition(par, "doc_id")
+         .select("doc_id", T.char_ngrams(F.col("text"), 3).alias("grams")))
+    g = d.select("doc_id", F.explode("grams").alias("g"))
+    h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    # everything downstream (signature mins, verify join, sizes) works
+    # on the 60-bit md5 gram identity, never the gram string — both
+    # engines apply the SAME hash, so a (negligible) collision affects
+    # both sides identically and the value-hash compare still holds.
+    # Materialized once: three consumers, and the lineage holds the
+    # full char-gram + md5 pass (the DuckDB twin needed the same
+    # MATERIALIZED hint — uncached it recomputed the gram pipeline per
+    # band/verify reference, >550 s at sf0.1 vs 16 s).
+    hpdf = (g.select("doc_id", (h_raw % _MH_P).alias("hpv"))
+            .localCheckpoint(eager=True))
+    sig = hpdf.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("hpv") + F.lit(b)) % _MH_P)
+          .alias(f"h{i}")
+          for i, (a, b) in enumerate(_NG_COEFFS)])
+    bands = None
+    for j in range(_NG_BANDS):
+        cols = [F.col(f"h{j * _NG_ROWS + r}") for r in range(_NG_ROWS)]
+        band = sig.select(
+            "doc_id", F.concat_ws(":", F.lit(j), *cols).alias("bk"))
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    ga = hpdf.select(F.col("doc_id").alias("doc_a"), "hpv")
+    gb = hpdf.select(F.col("doc_id").alias("doc_b"), "hpv")
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "hpv"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = hpdf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (inter
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+                  "doc_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+                  "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter")
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_inter")), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+_NG_HASHES_SQL = ",\n         ".join(
+    f"MIN(({a} * hpv + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_NG_COEFFS))
+_NG_BANDS_SQL = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, concat("
+    + f"{j}, ':', "
+    + ", ':', ".join(f"h{j * _NG_ROWS + r}" for r in range(_NG_ROWS))
+    + ") AS bk FROM sig"
+    for j in range(_NG_BANDS))
+
+NGRAM_MD5_SQL = f"""
+WITH hp AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: inlined, the char-gram + md5 pass
+  -- re-runs per downstream reference (4 band selects + 2 verify
+  -- sides + sizes) — measured >550 s at sf0.1 vs 16 s materialized
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_P} AS hpv
+  FROM (
+    SELECT doc_id, unnest(
+      list_distinct(
+        CASE WHEN len(cs) <= 3 THEN [array_to_string(cs, '')]
+             ELSE list_transform(range(1, len(cs) - 1),
+                                 i -> array_to_string(cs[i:i+2], ''))
+        END)) AS g
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '') AS cs
+          FROM documents))
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_NG_HASHES_SQL}
+  FROM hp GROUP BY doc_id
+), bands AS (
+{_NG_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN hp ga ON ga.doc_id = c.doc_a
+  JOIN hp gb ON gb.doc_id = c.doc_b AND gb.hpv = ga.hpv
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM hp GROUP BY doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.9
+"""
+
+
 def incremental_dedup_md5(spark: SparkSession, sf_dir: str,
                           new_source: str = "src0",
                           threshold: float = 0.5) -> DataFrame:
@@ -1162,6 +1296,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup_md5": incremental_dedup_md5,
     "doc_dup_scores": doc_dup_scores,
     "minhash_md5_pairs": minhash_md5_pairs,
+    "ngram_jaccard_md5_pairs": ngram_jaccard_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_clusters_md5": dedup_clusters_md5,
     "dedup_exact": dedup_exact,
@@ -1182,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_md5": INCREMENTAL_MD5_SQL,
     "doc_dup_scores": DOC_DUP_SCORES_SQL,
     "minhash_md5_pairs": MINHASH_MD5_SQL,
+    "ngram_jaccard_md5_pairs": NGRAM_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
