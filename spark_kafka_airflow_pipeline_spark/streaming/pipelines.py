@@ -411,6 +411,75 @@ WHERE p.ts < w.wm
 """
 
 
+def streaming_stream_stream_full_join(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join [EXT], completing the streaming
+    join matrix (inner / left outer / full outer): unmatched rows on
+    BOTH sides flush as NULL-extended rows when the watermark proves
+    no match can still arrive — for a purchase once the watermark
+    passes ``p_ts`` (its click window is in the past), for a click
+    once it passes ``c_ts + 1h`` (the last purchase it could match).
+
+    On the bounded drain the final watermark is
+    ``min(max purchase ts, max click ts) - 1h``, so the emission set
+    is exactly: matched pairs, unmatched purchases with ``p_ts < wm``,
+    and unmatched clicks with ``c_ts + 1h < wm`` — the asymmetric
+    eviction horizons fall straight out of the join condition's time
+    bounds, and the oracle reproduces the drain value-exactly (same
+    empirically-pinned methodology as the left-outer twin above)."""
+    purchases = (_events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    clicks = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND "
+               "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
+        "full_outer",
+    ).select("purchase_id", "click_id")
+    return _drain_to_memory(joined, "append")
+
+
+STREAMING_FULL_JOIN_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+         - INTERVAL 1 HOUR AS wm
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+UNION ALL
+SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id
+FROM p, w
+WHERE p.ts < w.wm
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS purchase_id, c.event_id AS click_id
+FROM c, w
+WHERE c.ts + INTERVAL 1 HOUR < w.wm
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)
+"""
+
+
 def _session_count_kernel(key, pdf_iter, state):
     """applyInPandasWithState kernel: per-user sessionization with a
     30-minute gap rule. State carries (n_sessions, n_events, last_us)
@@ -628,6 +697,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_session_window": streaming_session_window,
     "streaming_topk_per_window": streaming_topk_per_window,
     "streaming_stream_stream_left_join": streaming_stream_stream_left_join,
+    "streaming_stream_stream_full_join": streaming_stream_stream_full_join,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_static_join": streaming_static_join,
     "streaming_stream_stream_join": streaming_stream_stream_join,
@@ -656,6 +726,7 @@ ORACLES: dict[str, str] = {
     "streaming_session_window": STREAMING_SESSION_WINDOW_SQL,
     "streaming_topk_per_window": STREAMING_TOPK_SQL,
     "streaming_stream_stream_left_join": STREAMING_LEFT_JOIN_SQL,
+    "streaming_stream_stream_full_join": STREAMING_FULL_JOIN_SQL,
 }
 
 if _tws_available():  # pragma: no cover - depends on environment
