@@ -236,6 +236,71 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_session_window_dynamic(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (Spark's
+    expression-valued ``session_window`` gap): purchases close their
+    session after 10 minutes of silence, every other event type after
+    30 — the real-world sessionizer where conversion events have
+    tighter engagement windows.
+
+    Semantics: each event contributes a window ``[ts, ts + gap(event))``
+    and overlapping windows union-merge. The oracle expresses that as
+    gaps-and-islands on the RUNNING MAX of previous window ends in
+    integer microseconds — a new session starts exactly when
+    ``ts > max(prev ts + prev gap)`` (boundary-inclusive merge, the
+    same empirically-pinned rule as the fixed-gap query above); the
+    running max over all previous events equals the current session's
+    end because session ends are monotone along the event order."""
+    stream = _events_stream(spark, sf_dir)
+    # session_window requires CalendarIntervalType — string durations
+    # cast to it; the INTERVAL literal parses as DayTimeIntervalType
+    # and is rejected
+    gap = F.expr("CASE WHEN event_type = 'purchase' "
+                 "THEN '10 minutes' ELSE '30 minutes' END")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                "n_events")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+STREAMING_SESSION_DYNAMIC_SQL = """
+WITH ends AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                             THEN 600000000 ELSE 1800000000 END AS end_us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN max(end_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR epoch_us(ts) > max(end_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM ends
+), islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
 def streaming_topk_per_window(spark: SparkSession, sf_dir: str,
                               k: int = 3) -> DataFrame:
     """Windowed top-k over a stream: hourly (window x event_type)
@@ -698,6 +763,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_topk_per_window": streaming_topk_per_window,
     "streaming_stream_stream_left_join": streaming_stream_stream_left_join,
     "streaming_stream_stream_full_join": streaming_stream_stream_full_join,
+    "streaming_session_window_dynamic": streaming_session_window_dynamic,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_static_join": streaming_static_join,
     "streaming_stream_stream_join": streaming_stream_stream_join,
@@ -727,6 +793,7 @@ ORACLES: dict[str, str] = {
     "streaming_topk_per_window": STREAMING_TOPK_SQL,
     "streaming_stream_stream_left_join": STREAMING_LEFT_JOIN_SQL,
     "streaming_stream_stream_full_join": STREAMING_FULL_JOIN_SQL,
+    "streaming_session_window_dynamic": STREAMING_SESSION_DYNAMIC_SQL,
 }
 
 if _tws_available():  # pragma: no cover - depends on environment
