@@ -718,6 +718,44 @@ GROUP BY o_orderpriority
 """
 
 
+def sql_registered_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A VECTORIZED (Arrow-batched) pandas UDF registered as a SQL
+    function and invoked from a plain SQL string — the path by which
+    Python extensions become part of the SQL surface for analysts who
+    never touch the DataFrame API. The kernel applies the engine's
+    portable cent rule (floor(x*100+0.5)) on numpy arrays, so the
+    summed output is exact BIGINT arithmetic and value-hash oracled;
+    per-batch Arrow transfer keeps the Python boundary off the per-row
+    path (same posture as every other UDF here — no row-at-a-time
+    Python anywhere)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: the module's postponed annotations turn `pd.Series`
+    # hints into strings pandas_udf cannot resolve for eval-type
+    # inference
+    price_cents = pandas_udf(
+        lambda p: pd.Series(np.floor(p.values * 100 + 0.5)
+                            .astype("int64")),
+        "bigint")
+    spark.udf.register("price_cents", price_cents)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__udf_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               SUM(price_cents(o_totalprice)) AS total_cents
+        FROM __udf_orders GROUP BY o_orderstatus
+    """)
+
+
+SQL_REGISTERED_UDF_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def pandas_api_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas API on Spark (``pyspark.pandas``): the drop-in pandas
     surface compiled onto the same engine — read_parquet -> groupby ->
@@ -872,6 +910,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_api_scripting": sql_api_scripting,
     "sql_api_pipe_syntax": sql_api_pipe_syntax,
     "pandas_api_status_profile": pandas_api_status_profile,
+    "sql_registered_pandas_udf": sql_registered_pandas_udf,
     "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
@@ -899,6 +938,7 @@ ORACLES: dict[str, str] = {
     "sql_api_scripting": SQL_API_SCRIPTING_SQL,
     "sql_api_pipe_syntax": SQL_API_PIPE_SQL,
     "pandas_api_status_profile": PANDAS_API_SQL,
+    "sql_registered_pandas_udf": SQL_REGISTERED_UDF_SQL,
     "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,
