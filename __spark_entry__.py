@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = (
     "sql_api_pipe_syntax", "pandas_api_status_profile", "bm25_topk",
     "ngram_jaccard_md5_pairs", "streaming_stream_stream_full_join",
     "streaming_session_window_dynamic", "sql_registered_pandas_udf",
+    "pandas_udaf_cents",
     # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
@@ -81,7 +82,6 @@ _WINDOW_PRIORITY = (
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",
     "events_sessionize", "events_sliding_window", "events_tumbling_window",
-    "except_all_nation_bags",
 )
 
 # ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
@@ -90,7 +90,7 @@ _WINDOW_PRIORITY = (
 # whose rows will be 2 rounds old by r7). Reds, as always, jump the
 # queue.
 _R7_EARMARK = (
-    "full_outer_nation_roles",
+    "except_all_nation_bags", "full_outer_nation_roles",
     "grouping_sets_revenue", "intersect_all_order_counts",
     "lineitem_moment_stats", "nations_supplier_outer",
     "order_price_histogram", "order_price_quantiles", "orders_date_functions",

@@ -756,6 +756,49 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def pandas_udaf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDAF (GROUPED_AGG eval type): a Series->scalar
+    kernel aggregating per group through Arrow batches — the
+    user-defined AGGREGATE cell of the Python UDF matrix (beside
+    map/grouped-map/cogroup/state/UDTF/scalar). The kernel sums
+    integer cents (floor(x*100+0.5)), so the result is exact BIGINT
+    arithmetic and value-hash oracled. Custom distributive aggregates
+    at 100 TB look exactly like this: partial aggregation per
+    partition, merge by the same kernel."""
+    import warnings
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf, PandasUDFType
+
+    with warnings.catch_warnings():
+        # explicit eval type instead of type hints: the module's
+        # postponed annotations break hint-based inference (see
+        # sql_registered_pandas_udf); Spark warns about the old style
+        warnings.simplefilter("ignore")
+        cents_sum = pandas_udf(
+            lambda p: int(np.floor(p.values * 100 + 0.5)
+                          .astype("int64").sum()),
+            "bigint", PandasUDFType.GROUPED_AGG)
+        # GROUPED_AGG UDFs cannot mix with built-in aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a
+        # second kernel
+        n_rows = pandas_udf(lambda p: len(p), "bigint",
+                            PandasUDFType.GROUPED_AGG)
+    o = table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(n_rows("o_totalprice").alias("n_orders"),
+                 cents_sum("o_totalprice").alias("total_cents")))
+
+
+PANDAS_UDAF_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def pandas_api_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas API on Spark (``pyspark.pandas``): the drop-in pandas
     surface compiled onto the same engine — read_parquet -> groupby ->
@@ -911,6 +954,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_api_pipe_syntax": sql_api_pipe_syntax,
     "pandas_api_status_profile": pandas_api_status_profile,
     "sql_registered_pandas_udf": sql_registered_pandas_udf,
+    "pandas_udaf_cents": pandas_udaf_cents,
     "orders_status_transpose": orders_status_transpose,
     "recursive_month_spine": recursive_month_spine,
     "lateral_topk_per_nation": lateral_topk_per_nation,
@@ -939,6 +983,7 @@ ORACLES: dict[str, str] = {
     "sql_api_pipe_syntax": SQL_API_PIPE_SQL,
     "pandas_api_status_profile": PANDAS_API_SQL,
     "sql_registered_pandas_udf": SQL_REGISTERED_UDF_SQL,
+    "pandas_udaf_cents": PANDAS_UDAF_SQL,
     "orders_status_transpose": TRANSPOSE_SQL,
     "lateral_topk_per_nation": LATERAL_TOPK_SQL,
     "sql_api_revenue_rollup": SQL_API_ROLLUP_SQL,
