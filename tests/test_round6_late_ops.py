@@ -74,6 +74,33 @@ def test_winnow_shared_run_guarantee(spark):
     assert not (got[3] & got[1])
 
 
+def test_winnow_overlap_df_cap_blocks_boilerplate(spark, tmp_path):
+    """The MOSS df-cap: a boilerplate sentence shared by 70 documents
+    (> max_df=64) contributes NO pairs — its fingerprints are dropped
+    before the self-join, so corpus-wide boilerplate cannot go
+    quadratic — while a genuine 2-document near-dup (df=2) is still
+    found."""
+    from spark_kafka_airflow_pipeline_spark.operators import textops as t
+
+    boiler = "this boilerplate footer appears on every page of the site"
+    dup = ("completely original duplicated essay about winnowing "
+           "schemes covering selection density guarantees tie rules "
+           "packing positions and portability across engines")
+    docs = [(i, f"unique{i}a unique{i}b unique{i}c {boiler} tail{i}",
+             "en", "w", 1) for i in range(70)]
+    docs += [(100, f"{dup} first variant ending"),
+             (101, f"{dup} second variant ending")]
+    docs = [(d[0], d[1], "en", "w", 1) if len(d) == 2 else d for d in docs]
+    df = spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, "
+              "n_chars int")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in t.winnow_overlap(spark, str(tmp_path)).collect()}
+    assert (100, 101) in pairs
+    assert all(a == 100 and b == 101 for a, b in pairs), pairs
+
+
 def test_longest_shared_spans_planted_run(spark, tmp_path):
     """A planted 12-token exact shared substring between two otherwise
     disjoint documents is reported as exactly a 12-token span (5 runs
