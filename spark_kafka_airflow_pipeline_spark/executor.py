@@ -290,6 +290,29 @@ class PipelineExecutor:
             drop = pairs.select(
                 F.col("doc_b").alias(t.params.idColumn)).distinct()
             nodes[t.name] = df.join(drop, t.params.idColumn, "left_anti")
+        elif kind == "fingerprint":
+            # winnowing fingerprint summary as a DECLARATIVE step:
+            # annotate each row with its MOSS (k=3, w=4) fingerprint
+            # stats (count / xor checksum / min) — the config-driven
+            # path to the oracled winnow_fingerprints operator; the
+            # join back on the id preserves the full input schema
+            from spark_kafka_airflow_pipeline_spark.operators.textops import (
+                _winnow_selected,
+            )
+
+            if not t.params.idColumn:
+                raise ValueError(
+                    f"fingerprint {t.name!r} needs 'idColumn' (a unique "
+                    "document id)")
+            d = df.select(F.col(t.params.idColumn).alias("doc_id"),
+                          F.col(t.params.textColumn).alias("text"))
+            summary = (_winnow_selected(d)
+                       .groupBy("doc_id")
+                       .agg(F.count(F.lit(1)).alias("n_fps"),
+                            F.expr("bit_xor(fp)").alias("fp_xor"),
+                            F.min("fp").alias("fp_min"))
+                       .withColumnsRenamed({"doc_id": t.params.idColumn}))
+            nodes[t.name] = df.join(summary, t.params.idColumn)
         elif kind == "window":
             # declarative window functions: each field is a Spark SQL
             # expression string evaluated over ONE shared window spec,

@@ -74,6 +74,39 @@ def test_winnow_shared_run_guarantee(spark):
     assert not (got[3] & got[1])
 
 
+def test_declarative_fingerprint_matches_operator(spark, sf_dir):
+    """`fingerprint` transformation type: metadata-declared winnowing
+    summaries must equal the oracled winnow_fingerprints operator,
+    with the input schema preserved through the annotate join."""
+    from spark_kafka_airflow_pipeline_spark.executor import (
+        PipelineExecutor,
+    )
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "fp",
+        "sources": [{"name": "docs",
+                     "path": f"{sf_dir}/documents.parquet"}],
+        "transformations": [
+            {"name": "tagged", "type": "fingerprint", "params": {
+                "input": "docs", "idColumn": "doc_id",
+                "textColumn": "text"}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    got = {(r["doc_id"], r["n_fps"], r["fp_xor"], r["fp_min"])
+           for r in nodes["tagged"]
+           .select("doc_id", "n_fps", "fp_xor", "fp_min").collect()}
+    want = {(r["doc_id"], r["n_fps"], r["fp_xor"], r["fp_min"])
+            for r in textops.winnow_fingerprints(spark, sf_dir).collect()}
+    assert got == want and got
+    src_cols = set(spark.read.parquet(
+        f"{sf_dir}/documents.parquet").columns)
+    assert src_cols <= set(nodes["tagged"].columns)
+
+
 def test_winnow_overlap_df_cap_blocks_boilerplate(spark, tmp_path):
     """The MOSS df-cap: a boilerplate sentence shared by 70 documents
     (> max_df=64) contributes NO pairs — its fingerprints are dropped
