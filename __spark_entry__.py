@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
+    corpusops,
     dedup,
     events,
     graphops,
@@ -37,7 +38,7 @@ from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming 
 # most recently must land inside that window; the relational family has
 # been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
 # "What's wrong #1").
-_MODULES = (graphops, streaming, dedup, similarity, multimodal, textops,
+_MODULES = (corpusops, graphops, streaming, dedup, similarity, multimodal, textops,
             scaleops, warehouse, pipelineops, events, joins_extra,
             tpch_extra, relational_extra, relational)
 

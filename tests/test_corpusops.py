@@ -1,0 +1,171 @@
+"""Planted-case tests for the round-6 corpus-construction operators
+(`operators/corpusops.py`): span-removal dedup, tokenizer statistics,
+entropy scoring, posting lists, gap fill and edit-distance blocking.
+
+The oracle sweep (scripts/check_oracle.py) proves the arithmetic against
+DuckDB on the real tables; these tests pin the SEMANTICS on small
+constructed inputs where the right answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_kafka_airflow_pipeline_spark.operators import corpusops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def _run_on(monkeypatch, df, fn, spark):
+    """Run a corpusops query with the documents scan replaced by df."""
+    def fake_table(_spark, _sf, name):
+        assert name == "documents"
+        return df
+    monkeypatch.setattr(corpusops, "table", fake_table)
+    return fn(spark, "unused")
+
+
+def test_span_dedup_drops_second_copy(spark, monkeypatch):
+    """An exact duplicate document keeps zero spans; the original keeps
+    everything; totals are conserved."""
+    text = " ".join(f"w{i}" for i in range(25))  # 3 spans: 10+10+5
+    df = _docs(spark, [text, text, "unique words only here"])
+    out = {r["doc_id"]: r for r in
+           _run_on(monkeypatch, df, corpusops.span_dedup_removal,
+                   spark).collect()}
+    assert out[0]["n_spans"] == 3 and out[0]["spans_kept"] == 3
+    assert out[0]["tokens_kept"] == 25
+    assert out[1]["n_spans"] == 3 and out[1]["spans_kept"] == 0
+    assert out[1]["tokens_kept"] == 0 and out[1]["tokens_total"] == 25
+    assert out[2]["spans_kept"] == 1 and out[2]["tokens_kept"] == 4
+
+
+def test_span_dedup_partial_overlap(spark, monkeypatch):
+    """Only the identical aligned span is removed, not the whole doc."""
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    df = _docs(spark, [a + " " + b, a + " tail words"])
+    out = {r["doc_id"]: r for r in
+           _run_on(monkeypatch, df, corpusops.span_dedup_removal,
+                   spark).collect()}
+    # doc 1's first span duplicates doc 0's; its second span survives
+    assert out[1]["n_spans"] == 2
+    assert out[1]["spans_kept"] == 1
+    assert out[1]["tokens_kept"] == 2
+
+
+def test_vocab_coverage_tiny(spark, monkeypatch):
+    """9x 'a' + 1x 'b': one type covers exactly 90% of tokens."""
+    df = _docs(spark, ["a a a a a a a a a b"])
+    row = _run_on(monkeypatch, df, corpusops.vocab_coverage_curve,
+                  spark).collect()[0]
+    assert row["total_tokens"] == 10
+    assert row["vocab_size"] == 2
+    assert row["vocab_p90"] == 1
+
+
+def test_bpe_top_pair(spark, monkeypatch):
+    """'aaab' once: pairs aa(x2), ab(x1) — 'aa' wins; frequency weights
+    multiply through repeated words."""
+    df = _docs(spark, ["aaab aaab xy"])
+    rows = sorted(_run_on(monkeypatch, df, corpusops.bpe_merge_candidates,
+                          spark).collect(), key=lambda r: r["rank"])
+    by_pair = {r["pair"]: r for r in rows}
+    assert rows[0]["pair"] == "aa" and rows[0]["pair_count"] == 4
+    assert by_pair["ab"]["pair_count"] == 2
+    assert by_pair["xy"]["pair_count"] == 1
+
+
+def test_entropy_degenerate_vs_uniform(spark, monkeypatch):
+    """A one-type doc has zero entropy; a uniform two-type doc has
+    ln(2) = 693147 micro-nats exactly (the 6dp-rounded ln path)."""
+    df = _docs(spark, ["x x x x", "u v u v"])
+    out = {r["doc_id"]: r for r in
+           _run_on(monkeypatch, df, corpusops.unigram_entropy_scores,
+                   spark).collect()}
+    assert out[0]["entropy_micronats"] == 0
+    assert out[0]["distinct_tokens"] == 1
+    assert out[1]["entropy_micronats"] == 693147
+    assert out[1]["n_tokens"] == 4
+
+
+def test_inverted_index_postings_order_and_cap(spark, monkeypatch):
+    df = _docs(spark, ["b a b", "a b"])
+    rows = sorted(_run_on(monkeypatch, df, corpusops.inverted_index_postings,
+                          spark).collect(), key=lambda r: r["rank"])
+    by_term = {r["term"]: r for r in rows}
+    # positions are 1-based within each doc, ordered (doc_id, pos)
+    assert by_term["b"]["postings"] == "0:1,0:3,1:2"
+    assert by_term["a"]["postings"] == "0:2,1:1"
+    assert by_term["b"]["doc_freq"] == 2 and by_term["b"]["term_freq"] == 3
+    # both terms appear in both docs -> doc_freq ties break on term_freq
+    assert rows[0]["term"] == "b" and rows[0]["rank"] == 1
+
+
+def test_inverted_index_cap_truncates(spark, monkeypatch):
+    df = _docs(spark, [" ".join(["z"] * 30)])
+    rows = _run_on(monkeypatch, df,
+                   lambda s, d: corpusops.inverted_index_postings(
+                       s, d, postings_cap=5), spark).collect()
+    r = rows[0]
+    assert r["term_freq"] == 30  # stats from the UNCAPPED aggregate
+    assert r["postings"] == "0:1,0:2,0:3,0:4,0:5"
+
+
+def test_events_gap_fill_forward_fills(spark, monkeypatch):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 2.0, "{}"),
+         (2, "2024-01-03 10:00:00", 1, "click", 5.0, "{}"),
+         (3, "2024-01-01 11:00:00", 2, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn(
+            "ts", F.to_timestamp("ts"))
+
+    def fake_table(_spark, _sf, name):
+        assert name == "events"
+        return ev
+    monkeypatch.setattr(corpusops, "table", fake_table)
+    rows = corpusops.events_gap_fill(spark, "unused").collect()
+    got = {(r["event_type"], r["day"]): (r["cents_filled"], r["is_gap"])
+           for r in rows}
+    assert len(rows) == 6  # 3-day spine x 2 types
+    assert got[("click", "2024-01-01")] == (200, 0)
+    assert got[("click", "2024-01-02")] == (200, 1)   # gap, filled
+    assert got[("click", "2024-01-03")] == (500, 0)
+    assert got[("view", "2024-01-01")] == (100, 0)
+    assert got[("view", "2024-01-02")] == (100, 1)
+    assert got[("view", "2024-01-03")] == (100, 1)
+
+
+def test_prefix_edit_finds_planted_near_dup(spark, monkeypatch):
+    """Two docs sharing a first token with a 1-edit prefix difference are
+    a near-dup pair; an unrelated doc in the same block is not."""
+    df = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta tail1",
+        "alpha beta gamma delta epsilon zetX tail2",   # 1 substitution
+        "alpha completely different words here now ok",
+    ])
+    rows = _run_on(monkeypatch, df, corpusops.prefix_edit_near_dups,
+                   spark).collect()
+    r = rows[0]
+    assert r["lang"] == "en"
+    assert r["n_blocks"] == 1 and r["blocks_dropped"] == 0
+    assert r["pairs_checked"] == 3
+    assert r["near_dup_pairs"] == 1
+
+
+def test_prefix_edit_block_cap_drops(spark, monkeypatch):
+    """A block over the cap contributes no pairs but is counted."""
+    df = _docs(spark, ["same prefix words here"] * 70)
+    rows = _run_on(monkeypatch, df,
+                   lambda s, d: corpusops.prefix_edit_near_dups(
+                       s, d, block_cap=64), spark).collect()
+    r = rows[0]
+    assert r["blocks_dropped"] == 1
+    assert r["pairs_checked"] == 0
+    assert r["near_dup_pairs"] == 0
