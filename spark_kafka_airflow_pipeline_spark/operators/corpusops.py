@@ -539,6 +539,132 @@ FROM blk_stats s LEFT JOIN pairs p ON s.lang = p.lang
 """
 
 
+def misra_gries_topk(spark: SparkSession, sf_dir: str,
+                     k: int = 64, topk: int = 10) -> DataFrame:
+    """Mergeable frequent-items sketch (Misra-Gries): per-partition
+    bounded-memory heavy-hitter summaries over corpus tokens, merged by
+    counter addition — the O(k)-state answer to "top terms over 100 TB"
+    when an exact (term, count) aggregate's shuffle is the bottleneck.
+
+    Per partition the classic MG stream algorithm keeps at most ``k``
+    counters (when full, an unseen item decrements ALL counters — no
+    eviction choice exists, so the sketch is deterministic given the
+    partition contents and order, which ``repartition(doc_id) +
+    sortWithinPartitions`` pins). Merging summed counters preserves the
+    guarantee ``true - sum_p floor((n_p - retained_p)/(k+1)) <=
+    est_lower <= true`` — asserted against exact counts in
+    tests/test_corpusops.py.
+
+    Rows-only (the estimate depends on the partition split, which has
+    no DuckDB twin); the EXACT counterpart ``word_freq_topk`` is the
+    oracled query this sketch trades accuracy against.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    d = _tokens(table(spark, sf_dir, "documents"))
+    words = (d.select("doc_id", F.explode("toks").alias("w"))
+             .repartition(8, "doc_id")
+             .sortWithinPartitions("doc_id", "w"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for w in pdf["w"]:
+                n += 1
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        pid = TaskContext.get().partitionId()
+        retained = sum(counters.values())
+        yield pd.DataFrame({
+            "pid": pid, "term": list(counters) or [""],
+            "cnt": list(counters.values()) or [0],
+            "part_n": n, "retained": retained})
+
+    sketch = words.mapInPandas(
+        mg, "pid int, term string, cnt long, part_n long, retained long"
+    ).filter(F.col("term") != "")
+    err = (sketch.groupBy("pid")
+           .agg(F.expr(f"CAST((first(part_n) - first(retained)) "
+                       f"DIV {k + 1} AS BIGINT)").alias("e"))
+           .agg(F.sum("e").alias("err_bound")))
+    merged = (sketch.groupBy("term").agg(F.sum("cnt").alias("est_lower"))
+              .crossJoin(F.broadcast(err)))
+    w_top = Wn.orderBy(F.desc("est_lower"), "term")
+    return (merged.withColumn("rank", F.row_number().over(w_top)
+                              .cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select("rank", "term", "est_lower", "err_bound"))
+
+
+def embedding_principal_component(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via distributed
+    partial Gram matrices + driver-side power iteration — the spectral
+    summary (dominant direction + explained-variance share) an
+    embedding-quality audit reports next to ``embedding_norm_stats``.
+
+    Scale shape: each partition emits ONE row (count, mean-sum vector,
+    flattened d x d Gram partial as binary numpy buffers), so the
+    driver reduces #partitions rows of 4 KB each regardless of corpus
+    size; the d x d eigenproblem (d=64) is driver-trivial. This is the
+    legitimate collect-to-driver pattern: a BOUNDED summary, not data.
+    50 fixed power iterations from a fixed start vector; sign pinned by
+    making the largest-|loading| coordinate positive. Rows-only: float
+    accumulation order makes micro-digit determinism partition-split-
+    dependent (property-tested against numpy.linalg.eigh instead).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def partial_gram(batches):
+        tot = None
+        n = 0
+        s = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n += m.shape[0]
+            tot = m.T @ m if tot is None else tot + m.T @ m
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+        if n == 0:
+            return
+        yield pd.DataFrame({"n": [n], "s": [s.tobytes()],
+                            "g": [tot.tobytes()]})
+
+    parts = e.repartition(8, "vec_id").mapInPandas(
+        partial_gram, "n long, s binary, g binary").collect()
+    import numpy as np  # noqa: F811 (driver scope)
+    n = sum(r["n"] for r in parts)
+    s = sum(np.frombuffer(r["s"], dtype=np.float64) for r in parts)
+    g = sum(np.frombuffer(r["g"], dtype=np.float64) for r in parts)
+    d = s.shape[0]
+    cov = g.reshape(d, d) / n - np.outer(s / n, s / n)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(50):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    eigval = float(v @ cov @ v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    share = eigval / float(np.trace(cov))
+    rows = [(int(i), float(round(v[i], 6)), float(round(eigval, 6)),
+             float(round(share, 6))) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigval double, var_share double")
+
+
 QUERIES: dict[str, QueryFn] = {
     "span_dedup_removal": span_dedup_removal,
     "vocab_coverage_curve": vocab_coverage_curve,
@@ -547,6 +673,8 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index_postings": inverted_index_postings,
     "events_gap_fill": events_gap_fill,
     "prefix_edit_near_dups": prefix_edit_near_dups,
+    "misra_gries_topk": misra_gries_topk,
+    "embedding_principal_component": embedding_principal_component,
 }
 
 ORACLES: dict[str, str] = {

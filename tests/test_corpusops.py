@@ -159,6 +159,57 @@ def test_prefix_edit_finds_planted_near_dup(spark, monkeypatch):
     assert r["near_dup_pairs"] == 1
 
 
+def test_misra_gries_bounds_vs_exact(spark, sf_dir):
+    """MG merged estimates are true lower bounds and within the summed
+    per-partition error of the exact counts; the true heaviest term is
+    surfaced."""
+    rows = corpusops.misra_gries_topk(spark, sf_dir, k=64,
+                                      topk=10).collect()
+    assert rows, "sketch returned nothing"
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+    exact = {r["w"]: r["c"] for r in (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            lambda x: x != "")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect())}
+    err = rows[0]["err_bound"]
+    for r in rows:
+        true = exact[r["term"]]
+        assert r["est_lower"] <= true <= r["est_lower"] + err, \
+            (r["term"], r["est_lower"], true, err)
+    top_true = max(exact.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert top_true in {r["term"] for r in rows}
+
+
+def test_misra_gries_deterministic(spark, sf_dir):
+    a = corpusops.misra_gries_topk(spark, sf_dir).collect()
+    b = corpusops.misra_gries_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """The distributed partial-Gram + power-iteration component matches
+    numpy's dense eigendecomposition of the same covariance."""
+    import numpy as np
+    rows = corpusops.embedding_principal_component(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["dim"])
+    v = np.array([r["loading"] for r in rows])
+    X = np.array([r["embedding"] for r in
+                  spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                  .select("embedding").collect()], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, _V = np.linalg.eigh(cov)
+    # the synthetic cloud's top eigenvalues are near-degenerate, so the
+    # *direction* is ill-conditioned; the invariant properties are that
+    # v is unit and its Rayleigh quotient reaches the top eigenvalue
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+    rq = float(v @ cov @ v)
+    assert rq >= 0.999 * float(w[-1])
+    assert abs(rows[0]["eigval"] - float(w[-1])) < 1e-3
+    assert 0.0 < rows[0]["var_share"] <= 1.0
+
+
 def test_prefix_edit_block_cap_drops(spark, monkeypatch):
     """A block over the cap contributes no pairs but is counted."""
     df = _docs(spark, ["same prefix words here"] * 70)
