@@ -67,6 +67,9 @@ _WINDOW_PRIORITY = (
     "ngram_jaccard_md5_pairs", "streaming_stream_stream_full_join",
     "streaming_session_window_dynamic", "sql_registered_pandas_udf",
     "pandas_udaf_cents",
+    "span_dedup_removal", "vocab_coverage_curve", "bpe_merge_candidates",
+    "unigram_entropy_scores", "inverted_index_postings",
+    "events_gap_fill", "prefix_edit_near_dups",
     # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
@@ -80,9 +83,7 @@ _WINDOW_PRIORITY = (
     "q1_pricing_summary", "pipeline_add_fields",
     # -- 5. oldest driver rows (r2-era) -----------------------------
     "approx_distinct_customers", "asof_last_click_before_purchase",
-    "customer_first_last_orders", "customer_status_profile",
-    "events_json_extract", "events_range_join", "events_running_value",
-    "events_sessionize", "events_sliding_window", "events_tumbling_window",
+    "customer_first_last_orders",
 )
 
 # ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
@@ -91,6 +92,12 @@ _WINDOW_PRIORITY = (
 # whose rows will be 2 rounds old by r7). Reds, as always, jump the
 # queue.
 _R7_EARMARK = (
+    # r2-era greens displaced by the round-6 corpusops additions, plus
+    # the two new rows-only ops (driver rows still pending for all)
+    "customer_status_profile", "events_json_extract", "events_range_join",
+    "events_running_value", "events_sessionize", "events_sliding_window",
+    "events_tumbling_window", "misra_gries_topk",
+    "embedding_principal_component",
     "except_all_nation_bags", "full_outer_nation_roles",
     "grouping_sets_revenue", "intersect_all_order_counts",
     "lineitem_moment_stats", "nations_supplier_outer",
