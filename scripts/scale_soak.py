@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.session import get_spark
 from spark_kafka_airflow_pipeline_spark.operators import (
+    corpusops,
     dedup,
     events,
     graphops,
@@ -121,6 +122,13 @@ OPS = {
     "winnow_overlap": textops.winnow_overlap,
     "longest_shared_spans": textops.longest_shared_spans,
     "embedding_dup_clusters": similarity.embedding_dup_clusters,
+    # late round-6 corpusops additions
+    "span_dedup_removal": corpusops.span_dedup_removal,
+    "prefix_edit_near_dups": corpusops.prefix_edit_near_dups,
+    "inverted_index_postings": corpusops.inverted_index_postings,
+    "unigram_entropy_scores": corpusops.unigram_entropy_scores,
+    "misra_gries_topk": corpusops.misra_gries_topk,
+    "embedding_principal_component": corpusops.embedding_principal_component,
 }
 
 

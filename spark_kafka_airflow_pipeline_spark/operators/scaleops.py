@@ -413,7 +413,77 @@ FROM z GROUP BY 1
 """
 
 
+def join_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics as a query: the distribution of per-key row
+    counts on the workload's hottest join/aggregation keys — the table
+    an operator consults BEFORE choosing between plain shuffle, AQE
+    skew-join and explicit salting (PLANS.md §skew). One row per
+    (key column, group size): how many key groups have that many rows,
+    and what share of total rows they carry (integer ppm).
+
+    Scale: each profile is one hash aggregate (linear) followed by an
+    aggregate over GROUP SIZES — a frame bounded by the distinct-size
+    count (dozens), so the report itself never grows with data. Sizes
+    are clamped to an 8+ bucket to keep the output schema stable
+    across SFs.
+    """
+    from pyspark.sql import Window as Wn
+
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("m"))
+        sized = per_key.select(
+            F.when(F.col("m") >= 8, F.lit(8)).otherwise(F.col("m"))
+            .cast("int").alias("group_size"))
+        w = Wn.partitionBy()
+        return (sized.groupBy("group_size")
+                .agg(F.count(F.lit(1)).alias("n_groups"))
+                .withColumn("rows_in_bucket",
+                            F.col("group_size") * F.col("n_groups"))
+                .withColumn("total",
+                            F.sum("rows_in_bucket").over(w))
+                .select(F.lit(label).alias("key_col"), "group_size",
+                        "n_groups",
+                        F.expr("CAST(rows_in_bucket * 1000000 DIV total "
+                               "AS BIGINT)").alias("row_share_ppm")))
+
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    return (profile(li, "l_orderkey", "lineitem.l_orderkey")
+            .unionByName(profile(ev, "user_id", "events.user_id")))
+
+
+JOIN_SKEW_SQL = """
+WITH li AS (
+  SELECT LEAST(COUNT(*), 8) AS group_size
+  FROM lineitem GROUP BY l_orderkey
+), ev AS (
+  SELECT LEAST(COUNT(*), 8) AS group_size
+  FROM events GROUP BY user_id
+), li_h AS (
+  SELECT 'lineitem.l_orderkey' AS key_col,
+         CAST(group_size AS INT) AS group_size,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(group_size * COUNT(*) AS BIGINT) AS rows_in_bucket
+  FROM li GROUP BY group_size
+), ev_h AS (
+  SELECT 'events.user_id' AS key_col,
+         CAST(group_size AS INT) AS group_size,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(group_size * COUNT(*) AS BIGINT) AS rows_in_bucket
+  FROM ev GROUP BY group_size
+), unioned AS (
+  SELECT * FROM li_h UNION ALL SELECT * FROM ev_h
+)
+SELECT key_col, group_size, n_groups,
+       CAST(rows_in_bucket * 1000000 //
+            SUM(rows_in_bucket) OVER (PARTITION BY key_col) AS BIGINT)
+         AS row_share_ppm
+FROM unioned
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "join_key_skew_histogram": join_key_skew_histogram,
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
     "hll_distinct_rollup": hll_distinct_rollup,
@@ -425,6 +495,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "join_key_skew_histogram": JOIN_SKEW_SQL,
     "events_monthly_from_rollup": MONTHLY_ROLLUP_SQL,
     "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,
     "salted_group_agg": SALTED_AGG_SQL,

@@ -846,7 +846,54 @@ FROM walk GROUP BY label HAVING COUNT(*) > 1
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query: per-probe
+    recall@TOP_K of the SRP-LSH retriever against the exact cosine
+    baseline — the metric the ANN unit tests assert, productionized so
+    an index-tuning run can monitor it as a table.
+
+    Both inputs are themselves oracled deterministic pipelines
+    (``ann_srp_topk``, ``cosine_topk``), so the whole evaluation is
+    value-hash verifiable: the oracle composes the two queries' SQL as
+    CTEs. Scale: composes two bounded top-k frames (N_QUERIES x TOP_K
+    rows each), joined on (query, neighbor) — the evaluation itself is
+    free at any corpus size; cost lives in the retrievers it audits.
+    """
+    exact = cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    ann = ann_srp_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor"))
+    hits = (exact.join(
+        ann, [exact.query_id == ann.query_id,
+              exact.neighbor_id == ann.ann_neighbor], "left")
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("exact_k"),
+             F.count("ann_neighbor").cast("int").alias("ann_hits")))
+    return hits.select(
+        "query_id", "exact_k", "ann_hits",
+        F.expr("CAST(ann_hits * 100 DIV exact_k AS INT)")
+        .alias("recall_pct"))
+
+
+ANN_RECALL_SQL = f"""
+WITH exact_topk AS (
+{COSINE_TOPK_SQL}
+), ann_topk AS (
+{ANN_SRP_SQL}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INT) AS exact_k,
+       CAST(COUNT(a.neighbor_id) AS INT) AS ann_hits,
+       CAST(COUNT(a.neighbor_id) * 100 // COUNT(*) AS INT) AS recall_pct
+FROM exact_topk e
+LEFT JOIN ann_topk a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "ann_recall_report": ann_recall_report,
     "embedding_dup_clusters": embedding_dup_clusters,
     "embedding_int8_quant_error": embedding_int8_quant_error,
     "hard_negative_mining": hard_negative_mining,
@@ -862,6 +909,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ann_recall_report": ANN_RECALL_SQL,
     "embedding_dup_clusters": EMBEDDING_DUP_CLUSTERS_SQL,
     "embedding_int8_quant_error": EMBEDDING_INT8_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,

@@ -210,6 +210,41 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
     assert 0.0 < rows[0]["var_share"] <= 1.0
 
 
+def test_ann_recall_report_bounds(spark, sf_dir):
+    """Recall is exact-k-normalized, in [0,100], and the report's hit
+    counts reproduce the set intersection of the two top-k frames it
+    composes (recall MAGNITUDE is pinned by the ANN recall tests at
+    sf0.01+; at sf0.001's 500 vectors the 16-bit buckets are sparse)."""
+    from spark_kafka_airflow_pipeline_spark.operators import similarity
+    rows = similarity.ann_recall_report(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.cosine_topk(spark, sf_dir).collect()}
+    ann = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.ann_srp_topk(spark, sf_dir).collect()}
+    inter = exact & ann
+    for r in rows:
+        assert r["exact_k"] == similarity.TOP_K
+        assert r["ann_hits"] == sum(
+            1 for q, _n in inter if q == r["query_id"])
+        assert r["recall_pct"] == r["ann_hits"] * 100 // r["exact_k"]
+
+
+def test_join_key_skew_histogram_shares(spark, sf_dir):
+    """Per key column, ppm shares sum to ~1e6 and group counts times
+    sizes reproduce the clamped row mass."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+    rows = scaleops.join_key_skew_histogram(spark, sf_dir).collect()
+    by_col: dict = {}
+    for r in rows:
+        by_col.setdefault(r["key_col"], []).append(r)
+    assert set(by_col) == {"lineitem.l_orderkey", "events.user_id"}
+    for col, rs in by_col.items():
+        total_ppm = sum(r["row_share_ppm"] for r in rs)
+        assert 1000000 - len(rs) <= total_ppm <= 1000000, (col, total_ppm)
+        assert all(1 <= r["group_size"] <= 8 for r in rs)
+
+
 def test_prefix_edit_block_cap_drops(spark, monkeypatch):
     """A block over the cap contributes no pairs but is counted."""
     df = _docs(spark, ["same prefix words here"] * 70)
