@@ -25,6 +25,7 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -216,10 +217,69 @@ class _JsonlWriter(DataSourceWriter):
             os.remove(f)
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``_JsonlWriter``: one JSONL file per
+    (micro-batch, partition), with the same attempt-unique staging +
+    driver-side commit protocol. Exactly-once per micro-batch comes
+    from IDEMPOTENT commits: the final name is a pure function of
+    ``(batchId, partitionId)``, so when the engine replays a batch
+    after a crash (same batchId, same source offsets) the re-commit
+    renames over the same paths instead of duplicating rows — the
+    contract every exactly-once file sink (and Kafka transactional
+    sink) implements. ``abort`` removes only that batch's staging.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: ANN001, ANN201 - Spark API
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f".stream-part-{pid:05d}-{attempt}.jsonl.tmp")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str,
+                                   sort_keys=True) + "\n")
+                n += 1
+        return _WroteFile(staged, pid, n)
+
+    def commit(self, messages, batchId):  # noqa: ANN001, ANN201, N803
+        import glob
+        import os
+
+        for m in messages:
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{m.pid:05d}.jsonl")
+            os.replace(m.path, final)
+        for f in glob.glob(os.path.join(self.path,
+                                        ".stream-part-*.jsonl.tmp")):
+            os.remove(f)
+
+    def abort(self, messages, batchId):  # noqa: ANN001, ANN201, N803
+        import glob
+        import os
+
+        for f in glob.glob(os.path.join(self.path,
+                                        ".stream-part-*.jsonl.tmp")):
+            os.remove(f)
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonlpy").option("path", dir).mode(...).save()``
     — the WRITER half of the Python DataSource V2 API, symmetric to
-    ``seqgen``'s reader half."""
+    ``seqgen``'s reader half; ``df.writeStream.format("jsonlpy")``
+    reaches the STREAMING writer, completing the V2 matrix
+    (batch read + pushdown / batch write / stream read / stream write).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -227,6 +287,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite):  # noqa: ANN001, ANN201
         return _JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):  # noqa: ANN001, ANN201, N802
+        return _JsonlStreamWriter(self.options)
 
 
 def register(spark) -> None:  # noqa: ANN001
