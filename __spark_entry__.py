@@ -70,7 +70,7 @@ _WINDOW_PRIORITY = (
     "span_dedup_removal", "vocab_coverage_curve", "bpe_merge_candidates",
     "unigram_entropy_scores", "inverted_index_postings",
     "events_gap_fill", "prefix_edit_near_dups", "ann_recall_report",
-    "join_key_skew_histogram",
+    "join_key_skew_histogram", "events_rolling_median",
     # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
@@ -82,8 +82,6 @@ _WINDOW_PRIORITY = (
     "customer_running_total", "rollup_lineitem_flags",
     "q6_forecast_revenue", "q3_shipping_priority", "q5_revenue_by_nation",
     "q1_pricing_summary", "pipeline_add_fields",
-    # -- 5. oldest driver rows (r2-era) -----------------------------
-    "approx_distinct_customers",
 )
 
 # ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
@@ -94,6 +92,7 @@ _WINDOW_PRIORITY = (
 _R7_EARMARK = (
     # r2-era greens displaced by the round-6 corpusops additions, plus
     # the two new rows-only ops (driver rows still pending for all)
+    "approx_distinct_customers",
     "asof_last_click_before_purchase", "customer_first_last_orders",
     "customer_status_profile", "events_json_extract", "events_range_join",
     "events_running_value", "events_sessionize", "events_sliding_window",

@@ -762,7 +762,49 @@ FROM counts
 """
 
 
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ORDER-STATISTIC window: per event type, the median of the
+    last 7 values (current + 6 preceding, event-time order) — the
+    robust-smoothing pass a monitoring pipeline prefers over rolling
+    means when values spike. A new window-function class beside the
+    sum/rank/lag families: the frame aggregate is a percentile, which
+    Spark evaluates per frame without materializing a per-row sort of
+    the whole partition.
+
+    Portability: values go to integer cents FIRST; a 7-row median is
+    either an exact cent value or a .5 interpolation (even frames at
+    the partition head), so ``median * 2`` is exactly integral in both
+    engines — emitted as BIGINT ``med_x2_cents``. Ties in event-time
+    order break on event_id. Scale: one shuffle on event_type with
+    in-partition ordering — per-type volume is the natural partition;
+    for a hot type the frame is still 7 rows per output row, so work
+    is linear.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("ts"), F.col("event_id"))
+         .rowsBetween(-6, 0))
+    return (e.select("event_id", "event_type", "ts",
+                     cents.alias("cents"))
+            .withColumn("med_x2_cents",
+                        (F.percentile(F.col("cents"), F.lit(0.5)).over(w)
+                         * 2).cast("bigint"))
+            .select("event_id", "event_type", "med_x2_cents"))
+
+
+EVENTS_ROLLING_MEDIAN_SQL = """
+SELECT event_id, event_type,
+       CAST(median(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
+         AS med_x2_cents
+FROM events
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_rolling_median": events_rolling_median,
     "events_drift_chi2": events_drift_chi2,
     "event_transition_matrix": event_transition_matrix,
     "value_trend_by_type": value_trend_by_type,
@@ -782,6 +824,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_rolling_median": EVENTS_ROLLING_MEDIAN_SQL,
     "events_drift_chi2": EVENTS_DRIFT_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "value_trend_by_type": VALUE_TREND_SQL,
