@@ -539,6 +539,93 @@ FROM blk_stats s LEFT JOIN pairs p ON s.lang = p.lang
 """
 
 
+def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit per source: OLS slope/intercept of
+    ``ln(freq)`` against ``ln(rank)`` over the frequency-ranked
+    vocabulary — the corpus-health statistic (natural language sits
+    near slope -1; templated/boilerplate corpora flatten, spam steepens)
+    a data-quality audit tracks per ingestion source.
+
+    Determinism combines the repo's two portability idioms: each ln is
+    rounded to 6 decimals and converted to integer MICROS per row (the
+    bm25 idiom), then the OLS moments are summed as wide decimals and
+    the slope is one fixed double expression (the ``value_trend_by_type``
+    idiom) — no order-sensitive float accumulation exists. Scale: the
+    regression runs over the vocab-sized ranked frame, not the corpus.
+    """
+    d = _tokens(table(spark, sf_dir, "documents"))
+    counts = (d.select("source", F.explode("toks").alias("w"))
+              .groupBy("source", "w")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w_rank = Wn.partitionBy("source").orderBy(F.desc("c"), "w")
+    def ln_micros(col):  # noqa: ANN001, ANN202
+        return F.floor(F.round(F.log(col.cast("double")), 6)
+                       * 1000000.0 + 0.5).cast("bigint")
+    m = (counts.withColumn("rnk", F.row_number().over(w_rank))
+         .select("source", ln_micros(F.col("rnk")).alias("x"),
+                 ln_micros(F.col("c")).alias("y")))
+    agg = (m.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("vocab_n"),
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+                .alias("sxx"),
+                F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+                F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+                .alias("sxy")))
+    n = F.col("vocab_n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "source", "vocab_n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / (n * 1000000.0), 6)
+        .alias("ln_c0"))
+
+
+ZIPF_FIT_SQL = r"""
+WITH counts AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY source, w
+), m AS (
+  SELECT source,
+         CAST(floor(round(ln(CAST(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY c DESC, w) AS DOUBLE)), 6)
+           * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(round(ln(CAST(c AS DOUBLE)), 6)
+           * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM counts
+), agg AS (
+  SELECT source, COUNT(*) AS vocab_n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+  FROM m GROUP BY source
+)
+SELECT source, vocab_n,
+       round((CAST(vocab_n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(vocab_n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(vocab_n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(vocab_n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / (CAST(vocab_n AS DOUBLE) * 1000000.0), 6) AS ln_c0
+FROM agg
+"""
+
+
 def misra_gries_topk(spark: SparkSession, sf_dir: str,
                      k: int = 64, topk: int = 10) -> DataFrame:
     """Mergeable frequent-items sketch (Misra-Gries): per-partition
@@ -673,11 +760,13 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index_postings": inverted_index_postings,
     "events_gap_fill": events_gap_fill,
     "prefix_edit_near_dups": prefix_edit_near_dups,
+    "zipf_fit_by_source": zipf_fit_by_source,
     "misra_gries_topk": misra_gries_topk,
     "embedding_principal_component": embedding_principal_component,
 }
 
 ORACLES: dict[str, str] = {
+    "zipf_fit_by_source": ZIPF_FIT_SQL,
     "inverted_index_postings": INVERTED_INDEX_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "prefix_edit_near_dups": PREFIX_EDIT_SQL,

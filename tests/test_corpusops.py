@@ -210,6 +210,29 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
     assert 0.0 < rows[0]["var_share"] <= 1.0
 
 
+def test_zipf_fit_planted_power_law(spark, monkeypatch):
+    """A corpus built with freq(rank) = floor(120/rank) must fit close
+    to slope -1; a uniform corpus must fit close to slope 0."""
+    zipf_words = []
+    for r in range(1, 21):
+        zipf_words += [f"w{r:02d}"] * (120 // r)
+    uniform_words = [f"u{r:02d}" for r in range(1, 21)] * 6
+    df = spark.createDataFrame(
+        [(0, " ".join(zipf_words), "en", "zipfy", 1),
+         (1, " ".join(uniform_words), "en", "flat", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    def fake_table(_spark, _sf, name):
+        assert name == "documents"
+        return df
+    monkeypatch.setattr(corpusops, "table", fake_table)
+    out = {r["source"]: r for r in
+           corpusops.zipf_fit_by_source(spark, "unused").collect()}
+    assert -1.15 < out["zipfy"]["zipf_slope"] < -0.85
+    assert abs(out["flat"]["zipf_slope"]) < 0.05
+    assert out["zipfy"]["vocab_n"] == 20
+
+
 def test_ann_recall_report_bounds(spark, sf_dir):
     """Recall is exact-k-normalized, in [0,100], and the report's hit
     counts reproduce the set intersection of the two top-k frames it
