@@ -210,6 +210,61 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
     assert 0.0 < rows[0]["var_share"] <= 1.0
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+    _doc = st.lists(_word, min_size=0, max_size=40).map(" ".join)
+    _corpus = st.lists(_doc, min_size=1, max_size=8)
+    _SLOW = settings(max_examples=8, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow,
+                                            HealthCheck.function_scoped_fixture])
+
+    @given(docs=_corpus)
+    @_SLOW
+    def test_span_dedup_invariants_any_corpus(spark, monkeypatch, docs):
+        """For ANY corpus: per-doc kept <= total (spans and tokens),
+        totals match the tokenizer, and the corpus-wide number of kept
+        spans equals the number of DISTINCT span texts (each survives
+        exactly once)."""
+        df = _docs(spark, docs)
+        out = _run_on(monkeypatch, df, corpusops.span_dedup_removal,
+                      spark).collect()
+        assert len(out) == len(docs)
+        total_kept = 0
+        spans = set()
+        for r in out:
+            toks = [t for t in docs[r["doc_id"]].lower().split() if t]
+            assert r["tokens_total"] == len(toks)
+            assert 0 <= r["tokens_kept"] <= r["tokens_total"]
+            assert 0 <= r["spans_kept"] <= r["n_spans"]
+            assert r["n_spans"] == -(-len(toks) // corpusops.SPAN_W)
+            total_kept += r["spans_kept"]
+            for i in range(r["n_spans"]):
+                spans.add(" ".join(
+                    toks[i * corpusops.SPAN_W:(i + 1) * corpusops.SPAN_W]))
+        assert total_kept == len(spans)
+
+    @given(docs=_corpus)
+    @_SLOW
+    def test_entropy_bounds_any_corpus(spark, monkeypatch, docs):
+        """0 <= entropy <= ln(distinct_tokens), within micro rounding."""
+        import math
+        df = _docs(spark, docs)
+        out = _run_on(monkeypatch, df, corpusops.unigram_entropy_scores,
+                      spark).collect()
+        for r in out:
+            assert r["entropy_micronats"] >= 0
+            if r["distinct_tokens"] > 0:
+                ub = math.log(r["distinct_tokens"]) * 1e6 + r["n_tokens"]
+                assert r["entropy_micronats"] <= ub
+
+
 def test_zipf_fit_planted_power_law(spark, monkeypatch):
     """A corpus built with freq(rank) = floor(120/rank) must fit close
     to slope -1; a uniform corpus must fit close to slope 0."""
