@@ -539,6 +539,57 @@ FROM blk_stats s LEFT JOIN pairs p ON s.lang = p.lang
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of ingestion
+    sources, the number of distinct word 8-grams they share — the
+    curation question behind per-doc span dedup ("which feeds copy from
+    each other / from a common upstream") aggregated to the level a
+    data-sourcing decision is made at.
+
+    Plan: gram explode -> DISTINCT (gram, source) -> self-join on gram
+    with ``source_a < source_b`` -> count per pair. The join's per-gram
+    fan-out is bounded by the SOURCE count squared (not doc count), so
+    the pair volume is linear in distinct shared grams at any corpus
+    size. Gram identity is the hash-chain long (the
+    ``cross_doc_span_dups`` speed path); the oracle uses gram strings —
+    counts are identity-invariant, and the hash-exact gate would
+    surface a collision."""
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    grams = (d.withColumn("th", T.token_hashes("text"))
+             .select("source",
+                     F.explode(T.shingle_hashes_of(F.col("th"), 8))
+                     .alias("gh")))
+    gsrc = grams.groupBy("gh", "source").agg(F.lit(1).alias("_one"))
+    a, b = gsrc.alias("a"), gsrc.alias("b")
+    return (a.join(b, [F.col("a.gh") == F.col("b.gh"),
+                       F.col("a.source") < F.col("b.source")])
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH grams AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source,
+           unnest(list_distinct(
+             CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+             END)) AS g
+    FROM (SELECT source,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents))
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_grams
+FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit per source: OLS slope/intercept of
     ``ln(freq)`` against ``ln(rank)`` over the frequency-ranked
@@ -761,12 +812,14 @@ QUERIES: dict[str, QueryFn] = {
     "events_gap_fill": events_gap_fill,
     "prefix_edit_near_dups": prefix_edit_near_dups,
     "zipf_fit_by_source": zipf_fit_by_source,
+    "source_overlap_matrix": source_overlap_matrix,
     "misra_gries_topk": misra_gries_topk,
     "embedding_principal_component": embedding_principal_component,
 }
 
 ORACLES: dict[str, str] = {
     "zipf_fit_by_source": ZIPF_FIT_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "inverted_index_postings": INVERTED_INDEX_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "prefix_edit_near_dups": PREFIX_EDIT_SQL,

@@ -803,7 +803,68 @@ FROM events
 """
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) instead of mean / stddev — the detector that
+    does not let the outliers it hunts inflate its own threshold
+    (complements ``events_zscore_outliers``, whose moments an extreme
+    value can drag).
+
+    Exactness: values go to integer cents; a median of integers is at
+    worst a .5 interpolation, so with ``c2 = 2*cents``:
+    ``med2 = median(c2)``, ``d2 = |c2 - med2|`` and
+    ``mad4 = 2*median(d2)`` all stay integral, and the
+    k=3.5 outlier rule becomes the pure integer comparison
+    ``4*|2c - med2| > 7*mad4``. Plan: ONE shuffle on event_type — both
+    medians are whole-partition window aggregates over the same
+    partitioning, then one final aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    c2 = (F.floor(F.col("value") * 100 + 0.5).cast("bigint") * 2)
+    base = e.select("event_type", c2.alias("c2"))
+    med = base.withColumn(
+        "med2", (F.percentile(F.col("c2"), F.lit(0.5)).over(w))
+        .cast("bigint"))
+    dev = med.withColumn("d2", F.abs(F.col("c2") - F.col("med2")))
+    mad = dev.withColumn(
+        "mad4", (F.percentile(F.col("d2"), F.lit(0.5)).over(w) * 2)
+        .cast("bigint"))
+    return (mad.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("med2").alias("med2_cents"),
+                 F.max("mad4").alias("mad4_cents"),
+                 F.sum((F.col("d2") * 4 > F.col("mad4") * 7).cast("int"))
+                 .cast("bigint").alias("n_outliers")))
+
+
+EVENTS_MAD_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) * 2 AS c2
+  FROM events
+), med AS (
+  SELECT event_type, c2,
+         CAST(median(c2) OVER (PARTITION BY event_type) AS BIGINT) AS med2
+  FROM base
+), dev AS (
+  SELECT event_type, med2, abs(c2 - med2) AS d2 FROM med
+), mad AS (
+  SELECT event_type, med2, d2,
+         CAST(median(d2) OVER (PARTITION BY event_type) * 2 AS BIGINT)
+           AS mad4
+  FROM dev
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(MAX(med2) AS BIGINT) AS med2_cents,
+       CAST(MAX(mad4) AS BIGINT) AS mad4_cents,
+       CAST(SUM(CASE WHEN d2 * 4 > mad4 * 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM mad GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_anomaly_mad": events_anomaly_mad,
     "events_rolling_median": events_rolling_median,
     "events_drift_chi2": events_drift_chi2,
     "event_transition_matrix": event_transition_matrix,
@@ -824,6 +885,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_anomaly_mad": EVENTS_MAD_SQL,
     "events_rolling_median": EVENTS_ROLLING_MEDIAN_SQL,
     "events_drift_chi2": EVENTS_DRIFT_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,

@@ -288,6 +288,46 @@ def test_zipf_fit_planted_power_law(spark, monkeypatch):
     assert out["zipfy"]["vocab_n"] == 20
 
 
+def test_events_anomaly_mad_planted(spark, monkeypatch):
+    """9 values at 10.00 and one at 1000.00: the spike is the only
+    outlier and does not move median or MAD (the robustness the op
+    exists for)."""
+    from spark_kafka_airflow_pipeline_spark.operators import events as ev_ops
+    vals = [10.0] * 9 + [1000.0]
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", 1, "click", v, "{}")
+         for i, v in enumerate(vals)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(ev_ops, "table",
+                        lambda _s, _d, name: ev)
+    row = ev_ops.events_anomaly_mad(spark, "unused").collect()[0]
+    assert row["med2_cents"] == 2000      # median 10.00 -> c2
+    assert row["mad4_cents"] == 0         # 9 of 10 deviations are zero
+    assert row["n_outliers"] == 1
+
+
+def test_source_overlap_matrix_planted(spark, monkeypatch):
+    """Two sources sharing one 8-gram-long span register exactly its
+    gram count; an unrelated source shares nothing."""
+    span = " ".join(f"s{i}" for i in range(9))  # 9 tokens -> two 8-grams
+    df = spark.createDataFrame(
+        [(0, span + " alpha beta gamma delta eps zeta eta theta", "en",
+          "srcA", 1),
+         (1, span + " one two three four five six seven eight", "en",
+          "srcB", 1),
+         (2, "totally different words in every position here now", "en",
+          "srcC", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _run_on(monkeypatch, df, corpusops.source_overlap_matrix,
+                  spark).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("srcA", "srcB")
+    assert r["n_shared_grams"] == 2
+
+
 def test_ann_recall_report_bounds(spark, sf_dir):
     """Recall is exact-k-normalized, in [0,100], and the report's hit
     counts reproduce the set intersection of the two top-k frames it
