@@ -677,6 +677,166 @@ FROM agg
 """
 
 
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO iterations of BPE training — pick the top adjacent-pair,
+    APPLY the merge corpus-wide, recount, pick the next — the iterative
+    loop `bpe_merge_candidates` takes one step of. Words are symbol
+    sequences (space-separated chars); applying a merge is one
+    ``replace(seq, 'x y', 'xy')`` (left-to-right non-overlapping in
+    both engines, the exact greedy BPE application order).
+
+    Output: the first two merges with their pre-merge counts plus the
+    post-merge vocabulary size — all strings/integers. Scale: both
+    iterations run over the DISTINCT-word frame (vocabulary-bounded);
+    the chosen merge is a 1-row broadcast cross join, never collected.
+    """
+    d = _tokens(table(spark, sf_dir, "documents"))
+    words = (d.select(F.explode("toks").alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+             # symbol sequence: 'abc' -> 'a b c'
+             .select(F.array_join(F.split("word", ""), " ").alias("seq"),
+                     "wc"))
+
+    def top_pair(seqs: DataFrame) -> DataFrame:
+        """(pair, pair_count) of the most frequent adjacent symbol
+        pair, tie on pair string — 1 row, aggregate-bounded."""
+        syms = seqs.select("wc", F.split("seq", " ").alias("s"))
+        pairs = (syms.filter(F.size("s") >= 2)
+                 .select("wc", F.explode(
+                     F.expr("transform(sequence(1, size(s) - 1),"
+                            " i -> concat(s[i-1], ' ', s[i]))"))
+                     .alias("pair"))
+                 .groupBy("pair").agg(F.sum("wc").alias("pair_count")))
+        w = Wn.orderBy(F.desc("pair_count"), "pair")
+        return (pairs.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1).drop("r"))
+
+    def apply_merge(seqs: DataFrame, merge: DataFrame) -> DataFrame:
+        m = merge.select(
+            F.col("pair"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("joined"))
+        return (seqs.crossJoin(F.broadcast(m))
+                .select(F.replace(F.col("seq"), F.col("pair"),
+                                  F.col("joined")).alias("seq"), "wc"))
+
+    m1 = top_pair(words)
+    words2 = apply_merge(words, m1)
+    m2 = top_pair(words2)
+    vocab2 = (words2.select(F.explode(F.split("seq", " ")).alias("sym"))
+              .agg(F.countDistinct("sym").cast("int").alias("v")))
+    out1 = m1.select(F.lit(1).alias("step"), "pair", "pair_count")
+    out2 = m2.select(F.lit(2).alias("step"), "pair", "pair_count")
+    return (out1.unionByName(out2)
+            .crossJoin(F.broadcast(vocab2))
+            .select("step", "pair", "pair_count",
+                    F.col("v").alias("post_merge1_vocab")))
+
+
+BPE_APPLY_SQL = r"""
+WITH words AS (
+  SELECT array_to_string(list_filter(string_split(word, ''),
+                                     c -> c <> ''), ' ') AS seq,
+         CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+          AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+), p1 AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, s[i] || ' ' || s[i+1] AS pair
+        FROM (SELECT wc, string_split(seq, ' ') AS s FROM words),
+             LATERAL (SELECT unnest(range(1, len(s))) AS i)
+        WHERE len(s) >= 2)
+  GROUP BY pair
+), m1 AS (
+  SELECT pair, pair_count FROM p1
+  ORDER BY pair_count DESC, pair LIMIT 1
+), words2 AS (
+  SELECT replace(seq, (SELECT pair FROM m1),
+                 replace((SELECT pair FROM m1), ' ', '')) AS seq, wc
+  FROM words
+), p2 AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, s[i] || ' ' || s[i+1] AS pair
+        FROM (SELECT wc, string_split(seq, ' ') AS s FROM words2),
+             LATERAL (SELECT unnest(range(1, len(s))) AS i)
+        WHERE len(s) >= 2)
+  GROUP BY pair
+), m2 AS (
+  SELECT pair, pair_count FROM p2
+  ORDER BY pair_count DESC, pair LIMIT 1
+), vocab2 AS (
+  SELECT CAST(COUNT(DISTINCT sym) AS INT) AS v
+  FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM words2)
+)
+SELECT step, pair, pair_count, (SELECT v FROM vocab2) AS post_merge1_vocab
+FROM (SELECT 1 AS step, pair, pair_count FROM m1
+      UNION ALL
+      SELECT 2 AS step, pair, pair_count FROM m2)
+"""
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str,
+                 mask: int = 7) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the
+    rolling 3-gram hash satisfies ``H % (mask+1) == 0`` — the
+    rsync/LBFS trick that keeps chunk boundaries STABLE under insertions
+    (a fixed-stride chunker shifts every downstream chunk; a
+    content-defined one re-synchronizes), which is what makes
+    chunk-level dedup of evolving corpora work. Output per document:
+    chunk count, mean chunk length in integer centitokens, max chunk.
+
+    The gram hash is the md5-derived 60-bit identity (portable), so
+    boundary positions are bit-identical in DuckDB. Scale: one gram
+    explode + per-doc aggregation; boundary density is 1/(mask+1) in
+    expectation, set by the mask, independent of corpus size.
+    """
+    d = _tokens(table(spark, sf_dir, "documents"))
+    toks = (d.withColumn("n", F.size("toks"))
+            .filter(F.col("n") >= 3)
+            .select("doc_id", "n",
+                    F.posexplode(F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> concat_ws(' ', toks[i-1], toks[i],"
+                        " toks[i+1]))")).alias("pos", "g")))
+    h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    cuts = (toks.withColumn("is_cut", (h % (mask + 1) == 0).cast("int"))
+            .groupBy("doc_id")
+            .agg(F.max("n").alias("n_tokens"),
+                 F.sum("is_cut").alias("n_cuts")))
+    return cuts.select(
+        "doc_id", "n_tokens",
+        (F.col("n_cuts") + 1).cast("int").alias("n_chunks"),
+        F.expr("CAST(n_tokens * 100 DIV (n_cuts + 1) AS BIGINT)")
+        .alias("mean_chunk_centitokens"))
+
+
+CDC_CHUNKING_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM tok WHERE len(t) >= 3
+), cuts AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(g), 1, 15))::BIGINT
+                            % 8 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_cuts + 1 AS INT) AS n_chunks,
+       CAST(n_tokens * 100 // (n_cuts + 1) AS BIGINT)
+         AS mean_chunk_centitokens
+FROM cuts
+"""
+
+
 def misra_gries_topk(spark: SparkSession, sf_dir: str,
                      k: int = 64, topk: int = 10) -> DataFrame:
     """Mergeable frequent-items sketch (Misra-Gries): per-partition
@@ -813,6 +973,8 @@ QUERIES: dict[str, QueryFn] = {
     "prefix_edit_near_dups": prefix_edit_near_dups,
     "zipf_fit_by_source": zipf_fit_by_source,
     "source_overlap_matrix": source_overlap_matrix,
+    "bpe_merge_apply": bpe_merge_apply,
+    "cdc_chunking": cdc_chunking,
     "misra_gries_topk": misra_gries_topk,
     "embedding_principal_component": embedding_principal_component,
 }
@@ -820,6 +982,8 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "zipf_fit_by_source": ZIPF_FIT_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "bpe_merge_apply": BPE_APPLY_SQL,
+    "cdc_chunking": CDC_CHUNKING_SQL,
     "inverted_index_postings": INVERTED_INDEX_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "prefix_edit_near_dups": PREFIX_EDIT_SQL,

@@ -1291,7 +1291,84 @@ GROUP BY split
 """
 
 
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation as an ORACLED query: for every
+    verified near-dup pair, the MinHash ESTIMATE of Jaccard (fraction
+    of the 8 signature coordinates that agree) against the exact
+    verified Jaccard — the ``ann_recall_report`` counterpart for the
+    dedup family, quantifying what the signature alone would have
+    claimed before the verify join corrected it.
+
+    Everything rides the md5-portable pipeline, so estimate, exact
+    value and their ppm error are bit-identical in DuckDB. Scale: one
+    extra signature build (vocab-linear) joined to the bounded verified
+    pair set; integer ppm outputs.
+    """
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+    pairs = md5_minhash_verified_pairs(d, 0.5)
+    g = d.select("doc_id", F.explode("grams").alias("g"))
+    hp = (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+          % _MH_P)
+    sig = g.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * hp + F.lit(b)) % _MH_P).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_COEFFS)])
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)])
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)])
+    matches = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                  for i in range(8))
+    est_ppm = (F.col("n_sig_matches") * 125000).cast("bigint")
+    jac_ppm = F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("bigint")
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("n_sig_matches", matches)
+            .select("doc_a", "doc_b", "n_sig_matches",
+                    est_ppm.alias("est_ppm"), jac_ppm.alias("jac_ppm"),
+                    F.abs(est_ppm - jac_ppm).alias("abs_err_ppm")))
+
+
+_SIG_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8))
+
+MINHASH_ESTIMATE_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({MINHASH_MD5_SQL})
+), d AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+           END) AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+), hp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_P} AS hp
+  FROM (SELECT doc_id, unnest(grams) AS g FROM d)
+), sig AS (
+  SELECT doc_id,
+         {_MH_HASHES_SQL}
+  FROM hp GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({_SIG_MATCH_SQL} AS INT) AS n_sig_matches,
+       CAST(({_SIG_MATCH_SQL}) * 125000 AS BIGINT) AS est_ppm,
+       CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) AS jac_ppm,
+       abs(CAST(({_SIG_MATCH_SQL}) * 125000 AS BIGINT)
+           - CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT))
+         AS abs_err_ppm
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "minhash_estimate_error": minhash_estimate_error,
     "split_leakage_audit": split_leakage_audit,
     "incremental_dedup_md5": incremental_dedup_md5,
     "doc_dup_scores": doc_dup_scores,
@@ -1313,6 +1390,7 @@ QUERIES: dict[str, QueryFn] = {
 # rows-only entries (murmur3 minhash/simhash/ngram) intentionally
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "minhash_estimate_error": MINHASH_ESTIMATE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_SQL,
     "incremental_dedup_md5": INCREMENTAL_MD5_SQL,
     "doc_dup_scores": DOC_DUP_SCORES_SQL,

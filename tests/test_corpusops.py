@@ -288,6 +288,56 @@ def test_zipf_fit_planted_power_law(spark, monkeypatch):
     assert out["zipfy"]["vocab_n"] == 20
 
 
+def test_bpe_merge_apply_two_steps(spark, monkeypatch):
+    """'abab' x3: step 1 merges the top pair; step 2's top pair is
+    computed over the MERGED sequences (the iteration is real)."""
+    df = _docs(spark, ["abab abab abab"])
+    rows = sorted(_run_on(monkeypatch, df, corpusops.bpe_merge_apply,
+                          spark).collect(), key=lambda r: r["step"])
+    # pairs of 'a b a b': ab(x2), ba(x1) per word -> 'a b' wins (x6)
+    assert rows[0]["pair"] == "a b" and rows[0]["pair_count"] == 6
+    # after merge: 'ab ab' -> top pair is 'ab ab' (x3)
+    assert rows[1]["pair"] == "ab ab" and rows[1]["pair_count"] == 3
+    # post-merge-1 symbols: only 'ab' remains
+    assert rows[0]["post_merge1_vocab"] == 1
+
+
+def test_cdc_chunking_stable_under_prefix_insert(spark, monkeypatch):
+    """The content-defined property: prepending tokens to a document
+    leaves the boundary STRUCTURE of the shared suffix intact — chunk
+    count grows by at most the cuts in/adjacent to the new prefix,
+    while a fixed-stride chunker would reflow everything. We assert
+    the shared-suffix cut count is identical by construction: cuts
+    depend only on local 3-grams, which are unchanged in the suffix."""
+    base = [f"w{i}" for i in range(40)]
+    shifted = ["new0", "new1", "new2"] + base
+    df = _docs(spark, [" ".join(base), " ".join(shifted)])
+    out = {r["doc_id"]: r for r in
+           _run_on(monkeypatch, df, corpusops.cdc_chunking,
+                   spark).collect()}
+    # grams of doc 1 = 3 prefix-spanning grams + grams of doc 0 + 2
+    # bridge grams; suffix grams identical -> cut-count difference is
+    # bounded by those 5 new grams
+    assert abs(out[1]["n_chunks"] - out[0]["n_chunks"]) <= 5
+    assert out[0]["n_tokens"] == 40 and out[1]["n_tokens"] == 43
+    assert out[0]["mean_chunk_centitokens"] == \
+        out[0]["n_tokens"] * 100 // out[0]["n_chunks"]
+
+
+def test_minhash_estimate_error_bounds(spark, sf_dir):
+    """Every verified pair's estimate is k/8; the |error| column is
+    consistent; identical docs estimate 8/8."""
+    from spark_kafka_airflow_pipeline_spark.operators import dedup
+    rows = dedup.minhash_estimate_error(spark, sf_dir).collect()
+    assert rows, "no verified pairs at this SF"
+    for r in rows:
+        assert 0 <= r["n_sig_matches"] <= 8
+        assert r["est_ppm"] == r["n_sig_matches"] * 125000
+        assert r["abs_err_ppm"] == abs(r["est_ppm"] - r["jac_ppm"])
+        if r["jac_ppm"] == 1000000:   # exact duplicates
+            assert r["n_sig_matches"] == 8
+
+
 def test_events_anomaly_mad_planted(spark, monkeypatch):
     """9 values at 10.00 and one at 1000.00: the spike is the only
     outlier and does not move median or MAD (the robustness the op
