@@ -129,6 +129,11 @@ OPS = {
     "unigram_entropy_scores": corpusops.unigram_entropy_scores,
     "misra_gries_topk": corpusops.misra_gries_topk,
     "embedding_principal_component": corpusops.embedding_principal_component,
+    "zipf_fit_by_source": corpusops.zipf_fit_by_source,
+    "source_overlap_matrix": corpusops.source_overlap_matrix,
+    "bpe_merge_apply": corpusops.bpe_merge_apply,
+    "cdc_chunking": corpusops.cdc_chunking,
+    "minhash_estimate_error": dedup.minhash_estimate_error,
 }
 
 
@@ -150,6 +155,8 @@ def build_events(spark, n: int, out: Path) -> None:
 EVENT_OPS = {
     "events_drift_chi2": events.events_drift_chi2,
     "event_transition_matrix": events.event_transition_matrix,
+    "events_anomaly_mad": events.events_anomaly_mad,
+    "events_rolling_median": events.events_rolling_median,
 }
 
 

@@ -376,9 +376,9 @@ SELECT rank, t.term, doc_freq, term_freq, postings
 FROM top t JOIN postings p ON t.term = p.term
 """
 
-NOTE_SPACE_SPLIT = None  # (positions above come from the SAME split in
-# both engines: Spark posexplode vs DuckDB generate_subscripts — empty
-# leading tokens are impossible after trim, so ordinals align.)
+# (positions above come from the SAME split in both engines: Spark
+# posexplode vs DuckDB generate_subscripts — empty leading tokens are
+# impossible after trim, so ordinals align)
 
 
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
