@@ -753,7 +753,46 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
+def streaming_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER STATISTICS under streaming: per 1-hour tumbling window and
+    event type, the exact median value — `percentile` is a
+    TypedImperativeAggregate, so the state store checkpoints its
+    serialized buffer between micro-batches (a different state class
+    from the algebraic sum/count aggregates every other streaming query
+    exercises). Complete mode emits all windows once the source drains.
+
+    Same exactness trick as the batch twins: integer cents in, median*2
+    out as BIGINT (a median of integers is at worst a .5 interpolation).
+    Oracle = the batch median over the same hour buckets."""
+    stream = _events_stream(spark, sf_dir)
+    c2 = (F.floor(F.col("value") * 100 + 0.5).cast("bigint") * 2)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .select(F.col("ts"), F.col("event_type"), c2.alias("c2"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.percentile(F.col("c2"), F.lit(0.5)).cast("bigint")
+             .alias("med2_cents"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type", "n_events", "med2_cents")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+STREAMING_WINDOW_MEDIAN_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(median(CAST(floor(value * 100 + 0.5) AS BIGINT) * 2)
+            AS BIGINT) AS med2_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "streaming_window_median": streaming_window_median,
     "streaming_python_source": streaming_python_source,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
@@ -779,6 +818,7 @@ def _py_datasource_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "streaming_python_source": _py_datasource_sql(),
+    "streaming_window_median": STREAMING_WINDOW_MEDIAN_SQL,
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
