@@ -948,7 +948,38 @@ FROM agg
 """
 
 
+def collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: grouping on a ``UTF8_LCASE``-collated
+    column merges case variants ENGINE-side — no lower() rewrite in the
+    query, the collation is a property of the comparison. The fixture
+    data is single-case, so the query first re-cases rows
+    deterministically by key parity (odd part keys upper, even lower)
+    to make the merge observable; the oracle states the same semantics
+    the classic way (GROUP BY lower(x)).
+
+    Scale: identical to any hash aggregate — the collated comparison
+    changes the grouping hash function, not the shuffle topology."""
+    p = table(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_partkey") % 2 == 0,
+                   F.lower("p_type")).otherwise(F.upper("p_type"))
+    return (p.select(F.collate(mixed, "UTF8_LCASE").alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .select(F.lower(F.col("t")).cast("string").alias("p_type_lc"),
+                    "n_parts"))
+
+
+COLLATED_TYPE_SQL = """
+SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                  ELSE upper(p_type) END) AS p_type_lc,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "collated_type_counts": collated_type_counts,
     "sql_api_parameterized": sql_api_parameterized,
     "sql_api_scripting": sql_api_scripting,
     "sql_api_pipe_syntax": sql_api_pipe_syntax,
@@ -978,6 +1009,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "collated_type_counts": COLLATED_TYPE_SQL,
     "sql_api_parameterized": SQL_API_PARAM_SQL,
     "sql_api_scripting": SQL_API_SCRIPTING_SQL,
     "sql_api_pipe_syntax": SQL_API_PIPE_SQL,
