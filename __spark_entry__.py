@@ -74,13 +74,13 @@ _WINDOW_PRIORITY = (
     "zipf_fit_by_source", "events_anomaly_mad", "source_overlap_matrix",
     "minhash_estimate_error", "bpe_merge_apply", "cdc_chunking",
     "streaming_window_median", "collated_type_counts",
+    "region_nation_listagg",
     # -- 3. never driver-checked ------------------------------------
     "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
     "q16_part_supplier_variety", "q11_top_balance_nations",
     "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
     "events_hourly_range_sum", "asof_cogroup_pandas",
     # -- 4. displaced from the r5 window (r1/r2-green era) ----------
-    "q5_revenue_by_nation",
     "q1_pricing_summary", "pipeline_add_fields",
 )
 
@@ -92,7 +92,7 @@ _WINDOW_PRIORITY = (
 _R7_EARMARK = (
     # r2-era greens displaced by the round-6 corpusops additions, plus
     # the two new rows-only ops (driver rows still pending for all)
-    "q3_shipping_priority", "q6_forecast_revenue",
+    "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",
     "latest3_orders_per_customer", "customer_running_total",
     "rollup_lineitem_flags",
     "customers_with_urgent_orders", "top10_customers_by_revenue",

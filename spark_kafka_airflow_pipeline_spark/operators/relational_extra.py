@@ -978,7 +978,37 @@ GROUP BY 1
 """
 
 
+def region_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 ``listagg ... WITHIN GROUP (ORDER BY ...)``: ordered
+    string aggregation as a first-class aggregate (the ANSI form of the
+    sort_array+array_join idiom older Spark needed). Per region, the
+    ordered comma list of its nations plus member count.
+
+    Determinism comes from the WITHIN GROUP order clause — without it
+    listagg concatenates in partition arrival order and no oracle could
+    exist. Scale: a groupBy whose per-group state is the member list;
+    safe only for bounded groups (here: nations per region), which is
+    exactly what the inverted-index cap protects against elsewhere."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.expr("listagg(n_name, ',') within group "
+                        "(order by n_name)").alias("nations"),
+                 F.count(F.lit(1)).cast("int").alias("n_nations")))
+
+
+REGION_LISTAGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS INT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "region_nation_listagg": region_nation_listagg,
     "collated_type_counts": collated_type_counts,
     "sql_api_parameterized": sql_api_parameterized,
     "sql_api_scripting": sql_api_scripting,
@@ -1009,6 +1039,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "region_nation_listagg": REGION_LISTAGG_SQL,
     "collated_type_counts": COLLATED_TYPE_SQL,
     "sql_api_parameterized": SQL_API_PARAM_SQL,
     "sql_api_scripting": SQL_API_SCRIPTING_SQL,
