@@ -90,8 +90,11 @@ _WINDOW_PRIORITY = (
 # whose rows will be 2 rounds old by r7). Reds, as always, jump the
 # queue.
 _R7_EARMARK = (
+    # round-6-new queries that no longer fit the 50-slot window (the
+    # two core anchors q1/pipeline_add_fields are kept instead), then
     # r2-era greens displaced by the round-6 corpusops additions, plus
     # the two new rows-only ops (driver rows still pending for all)
+    "ansi_safe_arithmetic",
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",
     "latest3_orders_per_customer", "customer_running_total",
     "rollup_lineitem_flags",

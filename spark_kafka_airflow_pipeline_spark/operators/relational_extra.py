@@ -1007,7 +1007,51 @@ GROUP BY r_name
 """
 
 
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default: division by zero, bigint
+    overflow and bad casts RAISE instead of silently wrapping/nulling —
+    and the ``try_*`` family is the row-level escape hatch that turns
+    those errors back into NULLs without failing the job. This audit
+    counts, per order priority, the rows each hazard would have killed:
+    ``try_divide`` by a data-dependent zero, ``try_add`` at bigint max
+    (overflow), ``try_cast`` of a non-numeric string. A 100 TB batch
+    job cannot afford one poison row aborting stage retries — this is
+    the quarantine-count report that justifies the try_* rewrite.
+
+    The oracle states the same semantics as CASE algebra (DuckDB nulls
+    rather than raises on int overflow only with explicit guards, so
+    the guards ARE the specification). Integer outputs only."""
+    o = table(spark, sf_dir, "orders")
+    div_null = F.try_divide(F.col("o_totalprice"),
+                            (F.col("o_custkey") % 5).cast("double"))
+    add_null = F.try_add(F.lit(9223372036854775807).cast("bigint"),
+                         F.col("o_custkey").cast("bigint"))
+    cast_null = F.expr("try_cast(o_orderstatus AS INT)")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(div_null.isNull().cast("int")).cast("bigint")
+                 .alias("n_div_by_zero"),
+                 F.sum(add_null.isNull().cast("int")).cast("bigint")
+                 .alias("n_overflow"),
+                 F.sum(cast_null.isNull().cast("int")).cast("bigint")
+                 .alias("n_bad_cast")))
+
+
+ANSI_SAFE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       CAST(SUM(CASE WHEN o_custkey > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow,
+       CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "ansi_safe_arithmetic": ansi_safe_arithmetic,
     "region_nation_listagg": region_nation_listagg,
     "collated_type_counts": collated_type_counts,
     "sql_api_parameterized": sql_api_parameterized,
@@ -1039,6 +1083,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ansi_safe_arithmetic": ANSI_SAFE_SQL,
     "region_nation_listagg": REGION_LISTAGG_SQL,
     "collated_type_counts": COLLATED_TYPE_SQL,
     "sql_api_parameterized": SQL_API_PARAM_SQL,
