@@ -1050,7 +1050,79 @@ GROUP BY o_orderpriority
 """
 
 
+def order_status_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mode(expr, deterministic := true)` — Spark 4's statistical-mode
+    aggregate with the pinned tie rule (lowest value wins, verified by
+    probe and by this oracle, which states the rule explicitly as
+    max-count-then-min-value). Per order priority: the modal order
+    status and how many rows carry it."""
+    o = table(spark, sf_dir, "orders")
+    modal = (o.groupBy("o_orderpriority")
+             .agg(F.mode("o_orderstatus", True).alias("modal_status"),
+                  F.count(F.lit(1)).alias("n_orders")))
+    counts = (o.groupBy("o_orderpriority", "o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n_modal")))
+    return (modal.join(
+        counts,
+        (modal.o_orderpriority == counts.o_orderpriority)
+        & (modal.modal_status == counts.o_orderstatus))
+        .select(modal.o_orderpriority, "modal_status", "n_modal",
+                "n_orders"))
+
+
+ORDER_STATUS_MODE_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_modal,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY COUNT(*) DESC, o_orderstatus) AS r
+  FROM orders GROUP BY 1, 2
+), totals AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT c.o_orderpriority, c.o_orderstatus AS modal_status, c.n_modal,
+       t.n_orders
+FROM counts c JOIN totals t ON c.o_orderpriority = t.o_orderpriority
+WHERE c.r = 1
+"""
+
+
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    three-valued-logic corner where a plain equi-join silently DROPS
+    null keys (NULL = NULL is unknown) while the null-safe operator
+    matches them — the semantics a keyed reconciliation between two
+    halves of a dataset needs when the key is nullable. The null-key
+    row's presence in the output IS the test.
+
+    Scale note: Spark plans `<=>` as an ordinary hash join (the null
+    bucket hashes like any value); no nested loop appears."""
+    o = table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k")
+    even = (o.filter(F.col("o_orderkey") % 2 == 0).select(k)
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n_even")))
+    odd = (o.filter(F.col("o_orderkey") % 2 == 1).select(k)
+           .groupBy("k").agg(F.count(F.lit(1)).alias("n_odd")))
+    return (even.alias("a").join(
+        odd.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(F.col("a.k").cast("int").alias("k"), "n_even", "n_odd"))
+
+
+NULL_SAFE_JOIN_SQL = """
+WITH even AS (
+  SELECT nullif(o_custkey % 7, 0) AS k, COUNT(*) AS n_even
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+), odd AS (
+  SELECT nullif(o_custkey % 7, 0) AS k, COUNT(*) AS n_odd
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+)
+SELECT CAST(a.k AS INT) AS k, n_even, n_odd
+FROM even a JOIN odd b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "order_status_mode": order_status_mode,
+    "null_safe_join_counts": null_safe_join_counts,
     "ansi_safe_arithmetic": ansi_safe_arithmetic,
     "region_nation_listagg": region_nation_listagg,
     "collated_type_counts": collated_type_counts,
@@ -1083,6 +1155,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "order_status_mode": ORDER_STATUS_MODE_SQL,
+    "null_safe_join_counts": NULL_SAFE_JOIN_SQL,
     "ansi_safe_arithmetic": ANSI_SAFE_SQL,
     "region_nation_listagg": REGION_LISTAGG_SQL,
     "collated_type_counts": COLLATED_TYPE_SQL,
