@@ -186,11 +186,22 @@ class _JsonlWriter(DataSourceWriter):
         staged = os.path.join(
             self.path, f".part-{pid:05d}-{attempt}.jsonl.tmp")
         n = 0
-        with open(staged, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str,
-                                   sort_keys=True) + "\n")
-                n += 1
+        # task-level cleanup: if this task fails mid-write, remove its
+        # own staging file HERE (the driver's abort() also sweeps, but
+        # it can race a still-running sibling task of the failed job —
+        # the owner deleting its own file cannot race anyone)
+        try:
+            with open(staged, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str,
+                                       sort_keys=True) + "\n")
+                    n += 1
+        except BaseException:
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+            raise
         return _WroteFile(staged, pid, n)
 
     def commit(self, messages):  # noqa: ANN001, ANN201 - Spark API
@@ -245,11 +256,18 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
         staged = os.path.join(
             self.path, f".stream-part-{pid:05d}-{attempt}.jsonl.tmp")
         n = 0
-        with open(staged, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str,
-                                   sort_keys=True) + "\n")
-                n += 1
+        try:  # owner-cleans-own-staging, as in _JsonlWriter.write
+            with open(staged, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str,
+                                       sort_keys=True) + "\n")
+                    n += 1
+        except BaseException:
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+            raise
         return _WroteFile(staged, pid, n)
 
     def commit(self, messages, batchId):  # noqa: ANN001, ANN201, N803
