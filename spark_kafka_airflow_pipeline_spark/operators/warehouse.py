@@ -318,7 +318,69 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
     for c in _PROFILE_COLS)
 
 
+def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM) for a JOIN + aggregate view:
+    the per-market-segment revenue view over ``orders x customer`` is
+    maintained from one snapshot to the next by applying DELTAS —
+    ``new_view = old_view + Δinserts⋈customer − Δdeletes⋈customer`` —
+    instead of recomputing the join. At 100 TB the delta join touches
+    only the changed rows (here: one month of orders), which is the
+    entire point of maintaining an MV. The QUERY returns the maintained
+    view; the ORACLE recomputes the new snapshot's view directly, so a
+    hash match proves the delta algebra exactly.
+
+    Snapshots are predicate-defined (v1: orders before 1996-01-01; v2:
+    before 1996-07-01 excluding status 'F' — so the step has both
+    inserts AND deletes). Integer cents; delete counts go negative
+    through the same sum, no special cases. One delta-sized join +
+    one segment-level merge; broadcast stays AQE-managed.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    v1 = o.filter(F.col("o_orderdate") < "1996-01-01")
+    v2 = o.filter((F.col("o_orderdate") < "1996-07-01")
+                  & (F.col("o_orderstatus") != "F"))
+    # deltas by key (orderkey is the snapshot key)
+    ins = v2.join(v1.select("o_orderkey"), "o_orderkey", "left_anti")
+    dele = v1.join(v2.select("o_orderkey"), "o_orderkey", "left_anti")
+    base = (v1.join(c, v1.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(cents).alias("cents"),
+                 F.count(F.lit(1)).alias("n")))
+    delta = (ins.select("o_custkey", cents.alias("d_cents"),
+                        F.lit(1).alias("d_n"))
+             .unionByName(dele.select(
+                 "o_custkey", (-cents).alias("d_cents"),
+                 F.lit(-1).alias("d_n")))
+             .join(c, F.col("o_custkey") == c.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.sum("d_cents").alias("d_cents"),
+                  F.sum("d_n").alias("d_n")))
+    return (base.join(delta, "c_mktsegment", "full")
+            .select("c_mktsegment",
+                    (F.coalesce("cents", F.lit(0))
+                     + F.coalesce("d_cents", F.lit(0)))
+                    .cast("bigint").alias("revenue_cents"),
+                    (F.coalesce("n", F.lit(0))
+                     + F.coalesce("d_n", F.lit(0)))
+                    .cast("bigint").alias("n_orders"))
+            .filter(F.col("n_orders") > 0))
+
+
+MV_DELTA_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < DATE '1996-07-01' AND o_orderstatus <> 'F'
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "mv_join_delta_maintenance": mv_join_delta_maintenance,
     "scd2_user_tier_history": scd2_user_tier_history,
     "upsert_latest_events": upsert_latest_events,
     "partial_agg_rollup": partial_agg_rollup,
@@ -327,6 +389,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "mv_join_delta_maintenance": MV_DELTA_SQL,
     "scd2_user_tier_history": SCD2_SQL,
     "upsert_latest_events": UPSERT_SQL,
     "partial_agg_rollup": PARTIAL_AGG_SQL,
