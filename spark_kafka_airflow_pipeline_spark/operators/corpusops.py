@@ -887,10 +887,14 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str,
             "cnt": list(counters.values()) or [0],
             "part_n": n, "retained": retained})
 
-    sketch = words.mapInPandas(
-        mg, "pid int, term string, cnt long, part_n long, retained long"
-    ).filter(F.col("term") != "")
-    err = (sketch.groupBy("pid")
+    # the "" placeholder row keeps a partition VISIBLE even when its
+    # counters emptied out (all-ones decrement case) or it had no rows:
+    # the error bound must count that partition's (n - retained) mass,
+    # so err is computed BEFORE the placeholder filter
+    base = words.mapInPandas(
+        mg, "pid int, term string, cnt long, part_n long, retained long")
+    sketch = base.filter(F.col("term") != "")
+    err = (base.groupBy("pid")
            .agg(F.expr(f"CAST((first(part_n) - first(retained)) "
                        f"DIV {k + 1} AS BIGINT)").alias("e"))
            .agg(F.sum("e").alias("err_bound")))
