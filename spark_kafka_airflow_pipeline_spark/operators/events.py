@@ -775,10 +775,16 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     either an exact cent value or a .5 interpolation (even frames at
     the partition head), so ``median * 2`` is exactly integral in both
     engines — emitted as BIGINT ``med_x2_cents``. Ties in event-time
-    order break on event_id. Scale: one shuffle on event_type with
-    in-partition ordering — per-type volume is the natural partition;
-    for a hot type the frame is still 7 rows per output row, so work
-    is linear.
+    order break on event_id.
+
+    Scale caveat (inherent to the SEMANTICS, not this plan): a rolling
+    metric ordered per event type partitions the window by a
+    low-cardinality key, so each type's history is sequential on one
+    task. Per-row work is constant (7-row frames), but at 100 TB the
+    production formulation buckets time first — rolling within (type,
+    day) partitions, accepting a 6-row warm-up at each day boundary —
+    or keys the window by a high-cardinality column (per user, per
+    entity) the way ``events_sessionize`` does.
     """
     e = table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
@@ -815,21 +821,27 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``med2 = median(c2)``, ``d2 = |c2 - med2|`` and
     ``mad4 = 2*median(d2)`` all stay integral, and the
     k=3.5 outlier rule becomes the pure integer comparison
-    ``4*|2c - med2| > 7*mad4``. Plan: ONE shuffle on event_type — both
-    medians are whole-partition window aggregates over the same
-    partitioning, then one final aggregate."""
+    ``4*|2c - med2| > 7*mad4``.
+
+    Scale shape: both medians are ``percentile`` GROUP-BY aggregates
+    (mergeable buffers, partial aggregation on every core), joined back
+    via tiny broadcast frames — NOT whole-partition windows, which
+    would funnel each event type's entire history through one task
+    (event_type is a ~5-value key; a window partitioned by it cannot
+    parallelize). Three shuffles, every one of them wide."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
     c2 = (F.floor(F.col("value") * 100 + 0.5).cast("bigint") * 2)
     base = e.select("event_type", c2.alias("c2"))
-    med = base.withColumn(
-        "med2", (F.percentile(F.col("c2"), F.lit(0.5)).over(w))
-        .cast("bigint"))
-    dev = med.withColumn("d2", F.abs(F.col("c2") - F.col("med2")))
-    mad = dev.withColumn(
-        "mad4", (F.percentile(F.col("d2"), F.lit(0.5)).over(w) * 2)
-        .cast("bigint"))
-    return (mad.groupBy("event_type")
+    med = (base.groupBy("event_type")
+           .agg(F.percentile(F.col("c2"), F.lit(0.5)).cast("bigint")
+                .alias("med2")))
+    dev = (base.join(F.broadcast(med), "event_type")
+           .withColumn("d2", F.abs(F.col("c2") - F.col("med2"))))
+    mad = (dev.groupBy("event_type")
+           .agg((F.percentile(F.col("d2"), F.lit(0.5)) * 2)
+                .cast("bigint").alias("mad4")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.max("med2").alias("med2_cents"),
                  F.max("mad4").alias("mad4_cents"),
