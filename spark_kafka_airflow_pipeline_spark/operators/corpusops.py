@@ -311,11 +311,15 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str,
     truncated to ``postings_cap`` entries; document/term frequencies
     come from the UNCAPPED aggregate so the statistics stay exact.
 
-    Scale: positions explode linearly; the cap is a row_number window
-    partitioned by term (hash shuffle, no skew beyond natural term
-    skew — stopword partitions cap at ``postings_cap`` retained rows
-    each); the top-k term selection windows over the vocab-sized
-    aggregate only. String/integer output, no floats.
+    Scale: positions explode linearly; the posting cap is a SALTED
+    two-phase top-k — phase 1 takes each (term, salt)'s local smallest
+    ``postings_cap`` rows (16-way parallel even for a stopword term,
+    whose occurrences would otherwise all funnel through ONE window
+    task), phase 2 re-ranks the <= 16*cap survivors per term. Any
+    global top-cap row is necessarily in its salt's local top-cap, so
+    the result is identical to the naive single window. The top-k term
+    selection windows over the vocab-sized aggregate only.
+    String/integer output, no floats.
     """
     d = _tokens(table(spark, sf_dir, "documents"))
     toks = (d.select("doc_id", F.posexplode("toks").alias("pos0", "term"))
@@ -327,9 +331,14 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str,
     w_top = Wn.orderBy(F.desc("doc_freq"), F.desc("term_freq"), "term")
     top = (stats.withColumn("rank", F.row_number().over(w_top).cast("int"))
            .filter(F.col("rank") <= topk_terms))
+    w_local = (Wn.partitionBy("term", "salt").orderBy("doc_id", "pos"))
     w_cap = Wn.partitionBy("term").orderBy("doc_id", "pos")
-    capped = (toks.withColumn("rn", F.row_number().over(w_cap))
-              .filter(F.col("rn") <= postings_cap))
+    capped = (toks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(16)))
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= postings_cap)
+        .withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= postings_cap))
     postings = (capped.groupBy("term").agg(
         F.array_join(
             F.transform(
