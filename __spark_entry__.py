@@ -95,7 +95,7 @@ _R7_EARMARK = (
     # r2-era greens displaced by the round-6 corpusops additions, plus
     # the two new rows-only ops (driver rows still pending for all)
     "ansi_safe_arithmetic", "order_status_mode", "null_safe_join_counts",
-    "mv_join_delta_maintenance",
+    "mv_join_delta_maintenance", "user_value_ewma",
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",
     "latest3_orders_per_customer", "customer_running_total",
     "rollup_lineitem_flags",

@@ -875,7 +875,54 @@ FROM mad GROUP BY event_type
 """
 
 
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated EWMA of event values — the exponentially
+    weighted rolling feature a behavioral model consumes (recent
+    activity dominates, old activity decays). alpha = 1/2 truncated at
+    8 lags makes every weight a power of two, so the smoothed value is
+    EXACT integer arithmetic: ``ewma_x256 = sum_i cents_{t-i} *
+    2^(7-i)`` (weights 128,64,...,1 over lags 0..7), emitted in scaled
+    cents with the divisor left to the consumer.
+
+    Scale: the window partitions by user_id — high-cardinality, so the
+    sequential-per-key cost parallelizes across users (the same reason
+    ``events_sessionize`` scales and a per-TYPE rolling metric does
+    not; see ``events_rolling_median``'s caveat). 8 ``lag`` reads from
+    one window pass, one shuffle total.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    base = e.select("event_id", "user_id", "ts", cents.alias("c"))
+    ewma = sum(
+        (F.coalesce(F.lag("c", i).over(w), F.lit(0)) * (1 << (7 - i))
+         for i in range(1, 8)),
+        F.col("c") * 128)
+    return (base.withColumn("ewma_x256", ewma.cast("bigint"))
+            .select("event_id", "user_id", "ewma_x256"))
+
+
+USER_EWMA_SQL = """
+SELECT event_id, user_id,
+       CAST(
+         c * 128
+         + COALESCE(lag(c, 1) OVER w, 0) * 64
+         + COALESCE(lag(c, 2) OVER w, 0) * 32
+         + COALESCE(lag(c, 3) OVER w, 0) * 16
+         + COALESCE(lag(c, 4) OVER w, 0) * 8
+         + COALESCE(lag(c, 5) OVER w, 0) * 4
+         + COALESCE(lag(c, 6) OVER w, 0) * 2
+         + COALESCE(lag(c, 7) OVER w, 0) * 1
+       AS BIGINT) AS ewma_x256
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "user_value_ewma": user_value_ewma,
     "events_anomaly_mad": events_anomaly_mad,
     "events_rolling_median": events_rolling_median,
     "events_drift_chi2": events_drift_chi2,
@@ -897,6 +944,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "user_value_ewma": USER_EWMA_SQL,
     "events_anomaly_mad": EVENTS_MAD_SQL,
     "events_rolling_median": EVENTS_ROLLING_MEDIAN_SQL,
     "events_drift_chi2": EVENTS_DRIFT_SQL,
