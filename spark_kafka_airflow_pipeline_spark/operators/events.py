@@ -921,7 +921,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per day (audience reach curve) — the
+    op where the naive formulation (`COUNT(DISTINCT user) OVER` an
+    expanding window) re-deduplicates the entire prefix for every day
+    and dies quadratically at scale. The scale-correct identity: a
+    user contributes exactly once, on their FIRST day — so reach(d) is
+    the running SUM of first-appearance counts. One argmin aggregate
+    (user-cardinality shuffle) + one cumulative window over the
+    calendar-sized day frame.
+
+    String days (temporal-output lint), integer counts; the oracle
+    states the same identity."""
+    e = table(spark, sf_dir, "events")
+    first = (e.select("user_id", F.to_date("ts").alias("day"))
+             .groupBy("user_id").agg(F.min("day").alias("first_day")))
+    per_day = (first.groupBy("first_day")
+               .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (per_day
+            .withColumn("cumulative_reach",
+                        F.sum("new_users").over(w).cast("bigint"))
+            .select(F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+                    "new_users", "cumulative_reach"))
+
+
+EVENTS_REACH_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first GROUP BY first_day
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_reach
+FROM per_day
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_cumulative_reach": events_cumulative_reach,
     "user_value_ewma": user_value_ewma,
     "events_anomaly_mad": events_anomaly_mad,
     "events_rolling_median": events_rolling_median,
@@ -944,6 +986,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_cumulative_reach": EVENTS_REACH_SQL,
     "user_value_ewma": USER_EWMA_SQL,
     "events_anomaly_mad": EVENTS_MAD_SQL,
     "events_rolling_median": EVENTS_ROLLING_MEDIAN_SQL,

@@ -1120,7 +1120,46 @@ FROM even a JOIN odd b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-intelligence: month-over-same-month-last-year revenue
+    growth — ``lag(12)`` over the month series, growth in integer ppm
+    (BIGINT division of cents, no float ratio). Months with no
+    prior-year counterpart emit NULL growth (the honest first-year
+    answer). The monthly aggregate is the only data-sized shuffle; the
+    lag window runs over the calendar-sized month frame."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    monthly = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                         .alias("month"))
+               .agg(F.sum(cents).alias("revenue_cents")))
+    w = Window.orderBy("month")
+    # growth can be NEGATIVE: both integer divisions truncate toward
+    # zero (Spark DIV and DuckDB's integer //, verified empirically),
+    # so the plain quotient hash-matches on down months too
+    return (monthly
+            .withColumn("lag_c", F.lag("revenue_cents", 12).over(w))
+            .select("month", "revenue_cents",
+                    F.expr("(revenue_cents - lag_c) * 1000000 DIV lag_c")
+                    .cast("bigint").alias("yoy_growth_ppm")))
+
+
+ORDERS_YOY_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents,
+       CAST((revenue_cents - lag(revenue_cents, 12) OVER (ORDER BY month))
+            * 1000000 // lag(revenue_cents, 12) OVER (ORDER BY month)
+            AS BIGINT) AS yoy_growth_ppm
+FROM monthly
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "orders_yoy_growth": orders_yoy_growth,
     "order_status_mode": order_status_mode,
     "null_safe_join_counts": null_safe_join_counts,
     "ansi_safe_arithmetic": ansi_safe_arithmetic,
@@ -1155,6 +1194,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_yoy_growth": ORDERS_YOY_SQL,
     "order_status_mode": ORDER_STATUS_MODE_SQL,
     "null_safe_join_counts": NULL_SAFE_JOIN_SQL,
     "ansi_safe_arithmetic": ANSI_SAFE_SQL,

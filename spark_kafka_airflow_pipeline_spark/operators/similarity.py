@@ -892,7 +892,57 @@ GROUP BY e.query_id
 """
 
 
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str,
+                                prefix_dim: int = 16) -> DataFrame:
+    """Matryoshka-embedding audit: how much vector energy the first
+    ``prefix_dim`` dimensions retain, per label — the measurement
+    behind MRL-style dimension truncation (serve 16-d prefixes, fall
+    back to full vectors only for close calls). For pure truncation the
+    retained cosine equals ``|v_prefix| / |v|``, so energy ratio
+    ``|v_prefix|^2 / |v|^2`` is the whole story.
+
+    Portability: both sums of squares fold the SAME array left-to-right
+    (the ``cosine_topk`` discipline), the ratio is one double divide on
+    identical operands, converted to integer ppm per row BEFORE the
+    per-label aggregation — only BIGINT sums cross partitions. One
+    scan, one label-cardinality aggregate."""
+    emb = _embeddings(spark, sf_dir)
+    head = F.slice("emb", 1, prefix_dim)
+    e2 = V.dot(F.col("emb"), F.col("emb"))
+    h2 = V.dot(head, head)
+    ppm = F.floor(h2 / e2 * 1000000.0 + 0.5).cast("bigint")
+    per = emb.select("label", ppm.alias("energy_ppm"))
+    return (per.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.expr("CAST(sum(energy_ppm) DIV count(1) AS BIGINT)")
+                 .alias("avg_energy_ppm"),
+                 F.min("energy_ppm").alias("min_energy_ppm")))
+
+
+MATRYOSHKA_SQL = f"""
+WITH e AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), per AS (
+  SELECT label,
+         CAST(floor(
+           list_reduce(list_transform(emb[1:{16}], x -> x * x),
+                       (acc, x) -> acc + x)
+           / list_reduce(list_transform(emb, x -> x * x),
+                         (acc, x) -> acc + x)
+           * 1000000.0 + 0.5) AS BIGINT) AS energy_ppm
+  FROM e
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(energy_ppm) // COUNT(*) AS BIGINT) AS avg_energy_ppm,
+       CAST(MIN(energy_ppm) AS BIGINT) AS min_energy_ppm
+FROM per GROUP BY label
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "matryoshka_truncation_audit": matryoshka_truncation_audit,
     "ann_recall_report": ann_recall_report,
     "embedding_dup_clusters": embedding_dup_clusters,
     "embedding_int8_quant_error": embedding_int8_quant_error,
@@ -909,6 +959,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "matryoshka_truncation_audit": MATRYOSHKA_SQL,
     "ann_recall_report": ANN_RECALL_SQL,
     "embedding_dup_clusters": EMBEDDING_DUP_CLUSTERS_SQL,
     "embedding_int8_quant_error": EMBEDDING_INT8_SQL,
