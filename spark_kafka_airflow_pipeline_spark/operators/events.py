@@ -962,7 +962,56 @@ FROM per_day
 """
 
 
+def event_path_topk(spark: SparkSession, sf_dir: str,
+                    topk: int = 10) -> DataFrame:
+    """Sequence-pattern mining: the most common length-3 event-type
+    paths (user journeys) — the n-gram extension of
+    ``event_transition_matrix`` (first-order chains cannot see that
+    view->click->purchase outranks click->view->purchase). Two ``lead``
+    reads per event over the per-user time order, then a global count
+    and top-k with ties on the path string.
+
+    Scale: the window partitions by user_id (high-cardinality), the
+    path aggregate is an ordinary hash groupBy over a frame bounded by
+    |event types|^3, and the top-k windows over that bounded frame."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (e.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("t2", F.lead("event_type", 1).over(w))
+             .withColumn("t3", F.lead("event_type", 2).over(w))
+             .filter(F.col("t3").isNotNull())
+             .select(F.concat_ws(">", "event_type", "t2", "t3")
+                     .alias("path"))
+             .groupBy("path").agg(F.count(F.lit(1)).alias("n_paths")))
+    w_top = Window.orderBy(F.desc("n_paths"), "path")
+    return (paths.withColumn("rank", F.row_number().over(w_top)
+                             .cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select("rank", "path", "n_paths"))
+
+
+EVENT_PATH_SQL = """
+WITH paths AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS path
+  FROM (SELECT event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE t3 IS NOT NULL
+), counts AS (
+  SELECT path, COUNT(*) AS n_paths FROM paths GROUP BY path
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS INT)
+         AS rank,
+       path, n_paths
+FROM counts
+QUALIFY rank <= 10
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "event_path_topk": event_path_topk,
     "events_cumulative_reach": events_cumulative_reach,
     "user_value_ewma": user_value_ewma,
     "events_anomaly_mad": events_anomaly_mad,
@@ -986,6 +1035,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_path_topk": EVENT_PATH_SQL,
     "events_cumulative_reach": EVENTS_REACH_SQL,
     "user_value_ewma": USER_EWMA_SQL,
     "events_anomaly_mad": EVENTS_MAD_SQL,

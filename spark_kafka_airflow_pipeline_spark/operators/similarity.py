@@ -941,7 +941,58 @@ FROM per GROUP BY label
 """
 
 
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification evaluation over the exact top-k neighbor
+    frame: each probe is labeled by majority vote of its TOP_K cosine
+    neighbors (ties -> lowest label, the deterministic mode rule) and
+    compared to its own label — the standard embedding-quality probe
+    (does the space cluster by label?) as an ORACLED query, beside
+    ``ann_recall_report`` (retriever quality) and
+    ``matryoshka_truncation_audit`` (dimension budget).
+
+    Scale: votes aggregate the bounded N_QUERIES x TOP_K frame; the
+    only data-sized work is the neighbor search it audits."""
+    nb = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lab = _embeddings(spark, sf_dir).select("vec_id", "label")
+    votes = (nb.join(lab, nb.neighbor_id == lab.vec_id)
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), "label")
+    pred = (votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    F.col("v").alias("votes")))
+    truth = lab.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    return (pred.join(truth, "query_id")
+            .select("query_id", "true_label", "predicted_label", "votes",
+                    (F.col("predicted_label") == F.col("true_label"))
+                    .cast("int").alias("correct")))
+
+
+KNN_EVAL_SQL = f"""
+WITH nb AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+), votes AS (
+  SELECT n.query_id, e.label, COUNT(*) AS v
+  FROM nb n JOIN embeddings e ON n.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, label AS predicted_label, v AS votes
+  FROM (SELECT query_id, label, v,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, label) AS r
+        FROM votes)
+  WHERE r = 1
+)
+SELECT p.query_id, e.label AS true_label, p.predicted_label, p.votes,
+       CAST(p.predicted_label = e.label AS INT) AS correct
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "knn_classifier_eval": knn_classifier_eval,
     "matryoshka_truncation_audit": matryoshka_truncation_audit,
     "ann_recall_report": ann_recall_report,
     "embedding_dup_clusters": embedding_dup_clusters,
@@ -959,6 +1010,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "knn_classifier_eval": KNN_EVAL_SQL,
     "matryoshka_truncation_audit": MATRYOSHKA_SQL,
     "ann_recall_report": ANN_RECALL_SQL,
     "embedding_dup_clusters": EMBEDDING_DUP_CLUSTERS_SQL,
