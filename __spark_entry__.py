@@ -98,7 +98,7 @@ _R7_EARMARK = (
     "mv_join_delta_maintenance", "user_value_ewma",
     "events_cumulative_reach", "orders_yoy_growth",
     "matryoshka_truncation_audit", "event_path_topk",
-    "knn_classifier_eval",
+    "knn_classifier_eval", "cluster_balanced_sample",
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",
     "latest3_orders_per_customer", "customer_running_total",
     "rollup_lineitem_flags",

@@ -425,8 +425,8 @@ FROM e GROUP BY label
 """
 
 
-def kmeans_clusters(spark: SparkSession, sf_dir: str,
-                    k: int = 8, iters: int = 2) -> DataFrame:
+def kmeans_assignments(spark: SparkSession, sf_dir: str,
+                       k: int = 8, iters: int = 2) -> DataFrame:
     """Lloyd k-means over the embedding table with DETERMINISTIC
     arithmetic end-to-end — an iterative algorithm held to a full
     value-hash DuckDB oracle (chained CTEs, one pair per iteration),
@@ -469,6 +469,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str,
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
                  .alias("p"))
             .select("cid", F.transform("p", lambda q: q["c"]).alias("cent")))
+    return assigned
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str,
+                    k: int = 8, iters: int = 2) -> DataFrame:
+    """Per-cluster summary over ``kmeans_assignments`` (see there for
+    the algorithm + determinism discipline)."""
+    assigned = kmeans_assignments(spark, sf_dir, k, iters)
     return (assigned.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.sum(F.col("dist").cast("decimal(30,15)"))
@@ -481,7 +489,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str,
 _KM_DIST = ("list_reduce(list_transform(list_zip(e.emb, c.cent), "
             "p -> (p[1]-p[2])*(p[1]-p[2])), (acc, x) -> acc + x)")
 
-KMEANS_SQL = f"""
+KMEANS_CTES = f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
@@ -519,6 +527,9 @@ a2 AS (
                                  ORDER BY dist, cid) AS rn FROM d2)
   WHERE rn = 1
 )
+"""
+
+KMEANS_SQL = KMEANS_CTES + """
 SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
        round(CAST(SUM(CAST(dist AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 6)
          AS mean_sqdist
@@ -991,7 +1002,44 @@ FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
 """
 
 
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str,
+                            per_cluster: int = 2) -> DataFrame:
+    """Diversity-balanced subset selection: exactly ``per_cluster``
+    vectors from every k-means cluster, picked by deterministic md5
+    order — the cluster-balanced sampling step of data-selection
+    pipelines (pick from every semantic region instead of wherever
+    density is): k-means partitions the space, md5 rank picks
+    reproducibly within each cell.
+
+    Fully oracled because the assignment pipeline is the value-hash-
+    verified ``kmeans_assignments`` (its SQL CTE chain is reused
+    verbatim) and the pick is the ``grouped_sample_topk`` md5 rule.
+    Scale: clustering cost is the audit's; the pick is one window over
+    cluster-partitioned data."""
+    assigned = kmeans_assignments(spark, sf_dir)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (assigned
+            .withColumn("pick_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("pick_rank") <= per_cluster)
+            .select(F.col("cid").alias("cluster_id"), "vec_id",
+                    "pick_rank"))
+
+
+CLUSTER_SAMPLE_SQL = KMEANS_CTES + """
+SELECT cid AS cluster_id, vec_id, pick_rank
+FROM (SELECT cid, vec_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT)
+               AS pick_rank
+      FROM a2)
+WHERE pick_rank <= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "cluster_balanced_sample": cluster_balanced_sample,
     "knn_classifier_eval": knn_classifier_eval,
     "matryoshka_truncation_audit": matryoshka_truncation_audit,
     "ann_recall_report": ann_recall_report,
@@ -1010,6 +1058,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cluster_balanced_sample": CLUSTER_SAMPLE_SQL,
     "knn_classifier_eval": KNN_EVAL_SQL,
     "matryoshka_truncation_audit": MATRYOSHKA_SQL,
     "ann_recall_report": ANN_RECALL_SQL,
