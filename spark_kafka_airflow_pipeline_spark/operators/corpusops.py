@@ -846,6 +846,91 @@ FROM cuts
 """
 
 
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table: one row per ingestion source with the
+    numbers a datasheet/data-statement reports — document and token
+    counts, length profile, language mix (count + entropy of the
+    distribution, in integer micro-nats via the 6dp-ln idiom), and
+    vocabulary size. The per-source capstone beside the corpus-level
+    audits (`zipf_fit_by_source`, `vocab_coverage_curve`).
+
+    Scale: one token explode feeding two hash aggregates (doc-level,
+    then source-level) plus a vocab aggregate — all linear; the lang
+    entropy aggregates a source x lang frame (tiny). Integer outputs.
+    """
+    d = _tokens(table(spark, sf_dir, "documents"))
+    per_doc = d.select("source", "lang", F.size("toks").alias("n"))
+    doc_stats = (per_doc.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n").cast("bigint").alias("total_tokens"),
+                      F.min("n").cast("int").alias("min_tokens"),
+                      F.max("n").cast("int").alias("max_tokens")))
+    lang_counts = (per_doc.groupBy("source", "lang")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    w_src = Wn.partitionBy("source")
+    lang_ent = (lang_counts
+                .withColumn("tot", F.sum("c").over(w_src))
+                .select("source",
+                        (F.col("c") * F.floor(
+                            F.round(F.log(F.col("tot").cast("double")
+                                          / F.col("c")), 6)
+                            * 1000000.0 + 0.5).cast("bigint"))
+                        .alias("micros"),
+                        "tot")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("int").alias("n_langs"),
+                     F.expr("CAST(sum(micros) DIV max(tot) AS BIGINT)")
+                     .alias("lang_entropy_micronats")))
+    vocab = (d.select("source", F.explode("toks").alias("w"))
+             .groupBy("source")
+             .agg(F.countDistinct("w").cast("int").alias("vocab_size")))
+    return (doc_stats.join(lang_ent, "source").join(vocab, "source")
+            .select("source", "n_docs", "total_tokens", "min_tokens",
+                    "max_tokens", "n_langs", "lang_entropy_micronats",
+                    "vocab_size"))
+
+
+CORPUS_DATACARD_SQL = r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), doc_stats AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(MIN(n) AS INT) AS min_tokens,
+         CAST(MAX(n) AS INT) AS max_tokens
+  FROM per_doc GROUP BY source
+), lc AS (
+  SELECT source, lang, COUNT(*) AS c FROM per_doc GROUP BY 1, 2
+), lct AS (
+  SELECT source, lang, c,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM lc
+), lang_ent AS (
+  SELECT source, CAST(COUNT(*) AS INT) AS n_langs,
+         CAST(SUM(c * CAST(floor(
+             round(ln(tot * 1.0 / c), 6) * 1000000.0 + 0.5) AS BIGINT))
+           // MAX(tot) AS BIGINT) AS lang_entropy_micronats
+  FROM lct
+  GROUP BY source
+), vocab AS (
+  SELECT source, CAST(COUNT(DISTINCT w) AS INT) AS vocab_size
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY source
+)
+SELECT d.source, n_docs, total_tokens, min_tokens, max_tokens,
+       n_langs, lang_entropy_micronats, vocab_size
+FROM doc_stats d
+JOIN lang_ent e ON d.source = e.source
+JOIN vocab v ON d.source = v.source
+"""
+
+
 def misra_gries_topk(spark: SparkSession, sf_dir: str,
                      k: int = 64, topk: int = 10) -> DataFrame:
     """Mergeable frequent-items sketch (Misra-Gries): per-partition
@@ -986,6 +1071,7 @@ QUERIES: dict[str, QueryFn] = {
     "prefix_edit_near_dups": prefix_edit_near_dups,
     "zipf_fit_by_source": zipf_fit_by_source,
     "source_overlap_matrix": source_overlap_matrix,
+    "corpus_datacard": corpus_datacard,
     "bpe_merge_apply": bpe_merge_apply,
     "cdc_chunking": cdc_chunking,
     "misra_gries_topk": misra_gries_topk,
@@ -995,6 +1081,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "zipf_fit_by_source": ZIPF_FIT_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "corpus_datacard": CORPUS_DATACARD_SQL,
     "bpe_merge_apply": BPE_APPLY_SQL,
     "cdc_chunking": CDC_CHUNKING_SQL,
     "inverted_index_postings": INVERTED_INDEX_SQL,

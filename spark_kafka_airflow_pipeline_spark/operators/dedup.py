@@ -1367,7 +1367,61 @@ JOIN sig b ON b.doc_id = p.doc_b
 """
 
 
+def sketch_family_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the BIT-sketch near-dup family (SimHash
+    Hamming<=3) against the SET-sketch family's verified pairs
+    (MinHash->Jaccard>=0.5) — the family-agreement audit run before
+    swapping one detector for another. On this corpus it QUANTIFIES
+    their disagreement (recall ~12%, precision ~0.2% at sf0.01): the
+    bit sketch scores weighted token-multiset closeness, Jaccard scores
+    distinct-shingle overlap — which is exactly why a dedup pipeline
+    verifies candidates instead of trusting any sketch's notion of
+    "near". Both inputs are oracled md5-portable pipelines, so
+    precision/recall themselves are value-hash verified (one row,
+    integer ppm; divisions NULL out on an empty side via nullif rather
+    than tripping ANSI div-by-zero).
+
+    Scale: composes two bounded pair frames; one full-outer join on the
+    pair key."""
+    truth = (minhash_md5_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b", F.lit(1).alias("t")))
+    sketch = (simhash_md5_pairs(spark, sf_dir)
+              .select("doc_a", "doc_b", F.lit(1).alias("s")))
+    j = truth.join(sketch, ["doc_a", "doc_b"], "full")
+    return (j.agg(F.sum("t").cast("bigint").alias("n_truth"),
+                  F.sum("s").cast("bigint").alias("n_sketch"),
+                  F.sum(F.col("t") * F.col("s")).cast("bigint")
+                  .alias("n_both"))
+            .select("n_truth", "n_sketch", "n_both",
+                    F.expr("n_both * 1000000 DIV nullif(n_sketch, 0)")
+                    .cast("bigint").alias("precision_ppm"),
+                    F.expr("n_both * 1000000 DIV nullif(n_truth, 0)")
+                    .cast("bigint").alias("recall_ppm")))
+
+
+SKETCH_PR_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, 1 AS t FROM ({MINHASH_MD5_SQL})
+), sketch AS (
+  SELECT doc_a, doc_b, 1 AS s FROM ({SIMHASH_MD5_SQL})
+), j AS (
+  SELECT COALESCE(truth.doc_a, sketch.doc_a) AS doc_a, t, s
+  FROM truth FULL JOIN sketch
+    ON truth.doc_a = sketch.doc_a AND truth.doc_b = sketch.doc_b
+)
+SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       CAST(SUM(s) AS BIGINT) AS n_sketch,
+       CAST(SUM(t * s) AS BIGINT) AS n_both,
+       CAST(SUM(t * s) * 1000000 // nullif(SUM(s), 0) AS BIGINT)
+         AS precision_ppm,
+       CAST(SUM(t * s) * 1000000 // nullif(SUM(t), 0) AS BIGINT)
+         AS recall_ppm
+FROM j
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "sketch_family_pr_eval": sketch_family_pr_eval,
     "minhash_estimate_error": minhash_estimate_error,
     "split_leakage_audit": split_leakage_audit,
     "incremental_dedup_md5": incremental_dedup_md5,
@@ -1390,6 +1444,7 @@ QUERIES: dict[str, QueryFn] = {
 # rows-only entries (murmur3 minhash/simhash/ngram) intentionally
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "sketch_family_pr_eval": SKETCH_PR_SQL,
     "minhash_estimate_error": MINHASH_ESTIMATE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_SQL,
     "incremental_dedup_md5": INCREMENTAL_MD5_SQL,
