@@ -99,7 +99,7 @@ _R7_EARMARK = (
     "events_cumulative_reach", "orders_yoy_growth",
     "matryoshka_truncation_audit", "event_path_topk",
     "knn_classifier_eval", "cluster_balanced_sample", "corpus_datacard",
-    "sketch_family_pr_eval",
+    "sketch_family_pr_eval", "integrity_audit", "benford_price_audit",
     # (every name above this line is round-6-new and both-SF green
     # locally; they take r7 window slots 3+ after the usual reds/news)
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",

@@ -379,7 +379,145 @@ GROUP BY c_mktsegment
 """
 
 
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation across the star schema: one row per
+    declared constraint — primary-key uniqueness (distinct vs total)
+    and foreign-key orphan counts (left-anti probe per FK edge) plus a
+    cross-field rule (l_shipdate <= l_receiptdate) — the
+    referential-integrity report a warehouse runs after every load.
+
+    Scale: each FK check is an anti-join on the key (AQE-managed build
+    sides); PK checks are count vs count-distinct single aggregates;
+    the report itself is constraint-cardinality rows. All integers."""
+    def pk(df: DataFrame, key: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).cast("bigint")
+            .alias("n_violations"))
+
+    def fk(child: DataFrame, ck: str, parent: DataFrame, pk_: str,
+           name: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(F.col(pk_).alias(ck)), ck, "left_anti")
+        return child.agg(F.lit(name).alias("constraint"),
+                         F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_violations")))
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    rule = li.agg(
+        F.lit("lineitem.discount_domain").alias("constraint"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+              .cast("int")).cast("bigint").alias("n_violations"))
+    parts = [
+        pk(o, "o_orderkey", "orders.pk"),
+        pk(c, "c_custkey", "customer.pk"),
+        fk(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        fk(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        fk(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+        fk(s, "s_nationkey", n, "n_nationkey", "supplier->nation"),
+        rule,
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+INTEGRITY_AUDIT_SQL = """
+SELECT 'orders.pk' AS constraint, COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+         AS n_violations FROM orders
+UNION ALL
+SELECT 'customer.pk', COUNT(*),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'lineitem->orders', (SELECT COUNT(*) FROM lineitem),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders->customer', (SELECT COUNT(*) FROM orders),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer->nation', (SELECT COUNT(*) FROM customer),
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'supplier->nation', (SELECT COUNT(*) FROM supplier),
+       CAST((SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem.discount_domain', COUNT(*),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+"""
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed first-digit
+    distribution (integer ppm) beside the Benford expectation — the
+    distribution-level anomaly screen auditors run on monetary columns
+    (fabricated or capped values bend the curve). Expected ppm are
+    fixed literals (floor(log10(1+1/d)*1e6)), so no libm call exists in
+    either engine; the first digit comes from the integer part's string
+    form. One scan, one 9-row aggregate."""
+    benford = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (o.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy()
+    expected = F.create_map(
+        *[F.lit(x) for kv in benford.items() for x in kv])
+    return (counts
+            .withColumn("total", F.sum("n").over(w))
+            .select("digit", "n",
+                    F.expr("CAST(n * 1000000 DIV total AS BIGINT)")
+                    .alias("observed_ppm"),
+                    expected[F.col("digit")].cast("bigint")
+                    .alias("benford_ppm")))
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS observed_ppm,
+       CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                       WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                       WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                       WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                       WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+FROM counts
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "integrity_audit": integrity_audit,
+    "benford_price_audit": benford_price_audit,
     "mv_join_delta_maintenance": mv_join_delta_maintenance,
     "scd2_user_tier_history": scd2_user_tier_history,
     "upsert_latest_events": upsert_latest_events,
@@ -389,6 +527,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "integrity_audit": INTEGRITY_AUDIT_SQL,
+    "benford_price_audit": BENFORD_SQL,
     "mv_join_delta_maintenance": MV_DELTA_SQL,
     "scd2_user_tier_history": SCD2_SQL,
     "upsert_latest_events": UPSERT_SQL,
