@@ -100,6 +100,7 @@ _R7_EARMARK = (
     "matryoshka_truncation_audit", "event_path_topk",
     "knn_classifier_eval", "cluster_balanced_sample", "corpus_datacard",
     "sketch_family_pr_eval", "integrity_audit", "benford_price_audit",
+    "bot_rate_flags",
     # (every name above this line is round-6-new and both-SF green
     # locally; they take r7 window slots 3+ after the usual reds/news)
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",

@@ -1010,7 +1010,44 @@ QUALIFY rank <= 10
 """
 
 
+def bot_rate_flags(spark: SparkSession, sf_dir: str,
+                   epm_threshold: int = 5) -> DataFrame:
+    """Rate-based bot/abuse detection: per user, the peak events-per-
+    minute burst and a flag when it exceeds the threshold — the traffic
+    filter web-scale ingestion runs before any content filter (bot
+    sessions poison both dedup statistics and quality percentiles).
+
+    Scale: one (user, minute) hash aggregate (linear, high-cardinality)
+    then one user-level aggregate — no windows, no self-joins. Integer
+    output."""
+    e = table(spark, sf_dir, "events")
+    per_min = (e.select("user_id",
+                        F.date_trunc("minute", F.col("ts")).alias("m"))
+               .groupBy("user_id", "m")
+               .agg(F.count(F.lit(1)).alias("epm")))
+    return (per_min.groupBy("user_id")
+            .agg(F.max("epm").cast("int").alias("peak_epm"),
+                 F.sum("epm").cast("bigint").alias("n_events"),
+                 F.count(F.lit(1)).cast("int").alias("active_minutes"))
+            .withColumn("is_bot",
+                        (F.col("peak_epm") >= epm_threshold).cast("int")))
+
+
+BOT_RATE_SQL = """
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS epm
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(MAX(epm) AS INT) AS peak_epm,
+       CAST(SUM(epm) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS INT) AS active_minutes,
+       CAST(MAX(epm) >= 5 AS INT) AS is_bot
+FROM per_min GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
     "events_cumulative_reach": events_cumulative_reach,
     "user_value_ewma": user_value_ewma,
@@ -1035,6 +1072,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,
     "events_cumulative_reach": EVENTS_REACH_SQL,
     "user_value_ewma": USER_EWMA_SQL,
