@@ -402,8 +402,10 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             parent.select(F.col(pk_).alias(ck)), ck, "left_anti")
         return child.agg(F.lit(name).alias("constraint"),
                          F.count(F.lit(1)).alias("n_rows")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).cast("bigint")
-                        .alias("n_violations")))
+            # broadcast the 1-row aggregate so the plan lint can prove
+            # the cross join bounded (bounded-agg broadcast exemption)
+            F.broadcast(orphans.agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("n_violations"))))
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
