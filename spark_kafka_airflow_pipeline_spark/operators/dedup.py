@@ -1388,10 +1388,14 @@ def sketch_family_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = (simhash_md5_pairs(spark, sf_dir)
               .select("doc_a", "doc_b", F.lit(1).alias("s")))
     j = truth.join(sketch, ["doc_a", "doc_b"], "full")
-    return (j.agg(F.sum("t").cast("bigint").alias("n_truth"),
-                  F.sum("s").cast("bigint").alias("n_sketch"),
-                  F.sum(F.col("t") * F.col("s")).cast("bigint")
-                  .alias("n_both"))
+    # groupBy a constant, NOT a global agg: an empty corpus then yields
+    # ZERO report rows (the module-wide empty-schema invariant) instead
+    # of one all-NULL row
+    return (j.groupBy(F.lit(1).alias("k"))
+            .agg(F.sum("t").cast("bigint").alias("n_truth"),
+                 F.sum("s").cast("bigint").alias("n_sketch"),
+                 F.sum(F.col("t") * F.col("s")).cast("bigint")
+                 .alias("n_both"))
             .select("n_truth", "n_sketch", "n_both",
                     F.expr("n_both * 1000000 DIV nullif(n_sketch, 0)")
                     .cast("bigint").alias("precision_ppm"),
@@ -1409,14 +1413,16 @@ WITH truth AS (
   FROM truth FULL JOIN sketch
     ON truth.doc_a = sketch.doc_a AND truth.doc_b = sketch.doc_b
 )
-SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
-       CAST(SUM(s) AS BIGINT) AS n_sketch,
-       CAST(SUM(t * s) AS BIGINT) AS n_both,
-       CAST(SUM(t * s) * 1000000 // nullif(SUM(s), 0) AS BIGINT)
-         AS precision_ppm,
-       CAST(SUM(t * s) * 1000000 // nullif(SUM(t), 0) AS BIGINT)
-         AS recall_ppm
-FROM j
+SELECT n_truth, n_sketch, n_both, precision_ppm, recall_ppm
+FROM (SELECT 1 AS k,
+             CAST(SUM(t) AS BIGINT) AS n_truth,
+             CAST(SUM(s) AS BIGINT) AS n_sketch,
+             CAST(SUM(t * s) AS BIGINT) AS n_both,
+             CAST(SUM(t * s) * 1000000 // nullif(SUM(s), 0) AS BIGINT)
+               AS precision_ppm,
+             CAST(SUM(t * s) * 1000000 // nullif(SUM(t), 0) AS BIGINT)
+               AS recall_ppm
+      FROM j GROUP BY k)
 """
 
 
