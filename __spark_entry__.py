@@ -100,7 +100,8 @@ _R7_EARMARK = (
     "matryoshka_truncation_audit", "event_path_topk",
     "knn_classifier_eval", "cluster_balanced_sample", "corpus_datacard",
     "sketch_family_pr_eval", "integrity_audit", "benford_price_audit",
-    "bot_rate_flags",
+    "bot_rate_flags", "events_drift_psi", "revenue_percent_of_parent",
+    "customer_rfm_segments", "embedding_dim_variance",
     # (every name above this line is round-6-new and both-SF green
     # locally; they take r7 window slots 3+ after the usual reds/news)
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",

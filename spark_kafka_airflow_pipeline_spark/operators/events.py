@@ -1046,7 +1046,71 @@ FROM per_min GROUP BY user_id
 """
 
 
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the industry-named
+    drift metric beside ``events_drift_chi2``: first-half vs
+    second-half value distributions over the same fixed bins,
+    ``PSI = sum((p-q) * ln(p/q))`` emitted in integer pico-units
+    (shares are integer ppm; each bin's ln is 6dp-rounded micros; the
+    product ppm x micros sums exactly in BIGINT — no float reduction).
+    Empty bins get the standard +1 smoothing so ln never sees zero.
+
+    Scale: one scan into a (type, half, bin) aggregate, then
+    arithmetic over the bins-x-types frame."""
+    e = table(spark, sf_dir, "events")
+    half = (F.col("event_id") % 2 == 0).cast("int").alias("half")
+    bin_ = F.least(F.floor(F.col("value") / 100), F.lit(9)).cast("int")
+    counts = (e.select("event_type", half, bin_.alias("bin"))
+              .groupBy("event_type", "bin")
+              .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                   .alias("a"),
+                   F.sum("half").alias("b")))
+    w = Window.partitionBy("event_type")
+    sm = (counts
+          .withColumn("a1", F.col("a") + 1)
+          .withColumn("b1", F.col("b") + 1)
+          .withColumn("ta", F.sum("a1").over(w))
+          .withColumn("tb", F.sum("b1").over(w)))
+    p_ppm = F.expr("a1 * 1000000 DIV ta")
+    q_ppm = F.expr("b1 * 1000000 DIV tb")
+    term = ((p_ppm - q_ppm)
+            * F.floor(F.round(F.log(p_ppm.cast("double")
+                                    / q_ppm.cast("double")), 6)
+                      * 1000000.0 + 0.5).cast("bigint"))
+    return (sm.select("event_type", term.alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum("t").cast("bigint").alias("psi_pico"),
+                 F.count(F.lit(1)).cast("int").alias("n_bins")))
+
+
+EVENTS_PSI_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(LEAST(floor(value / 100), 9) AS INT) AS bin,
+         SUM(CASE WHEN event_id % 2 != 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1, 2
+), sm AS (
+  SELECT event_type, a + 1 AS a1, b + 1 AS b1,
+         SUM(a + 1) OVER (PARTITION BY event_type) AS ta,
+         SUM(b + 1) OVER (PARTITION BY event_type) AS tb
+  FROM counts
+), terms AS (
+  SELECT event_type,
+         (a1 * 1000000 // ta - b1 * 1000000 // tb)
+         * CAST(floor(round(ln((a1 * 1000000 // ta) * 1.0
+                               / (b1 * 1000000 // tb)), 6)
+                      * 1000000.0 + 0.5) AS BIGINT) AS t
+  FROM sm
+)
+SELECT event_type, CAST(SUM(t) AS BIGINT) AS psi_pico,
+       CAST(COUNT(*) AS INT) AS n_bins
+FROM terms GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
     "events_cumulative_reach": events_cumulative_reach,
@@ -1072,6 +1136,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,
     "events_cumulative_reach": EVENTS_REACH_SQL,

@@ -1158,7 +1158,105 @@ FROM monthly
 """
 
 
+def revenue_percent_of_parent(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy rollup: each nation's customer
+    account-balance mass as an integer-ppm share of its region, with
+    region totals alongside — the drill-down share column every BI
+    hierarchy view carries. Shares divide BIGINT cents, the parent
+    total comes from one window over the nation-cardinality frame."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    per_nation = (c.join(F.broadcast(n),
+                         c.c_nationkey == n.n_nationkey)
+                  .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                  .groupBy("r_name", "n_name")
+                  .agg(F.sum(cents).alias("nation_cents")))
+    w = Window.partitionBy("r_name")
+    return (per_nation
+            .withColumn("region_cents",
+                        F.sum("nation_cents").over(w).cast("bigint"))
+            .select("r_name", "n_name", "nation_cents", "region_cents",
+                    F.expr("CAST(nation_cents * 1000000 "
+                           "DIV region_cents AS BIGINT)")
+                    .alias("share_ppm")))
+
+
+PCT_OF_PARENT_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS nation_cents
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, nation_cents,
+       CAST(SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_cents,
+       CAST(nation_cents * 1000000 //
+            SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_ppm
+FROM per_nation
+"""
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM/customer-value op: per
+    customer, Recency (days since last order), Frequency (order
+    count) and Monetary (total cents) are each quintiled (`ntile(5)`,
+    ties broken on the customer key so the binning is deterministic),
+    and the output reports customers per RFM cell. Scale: one orders
+    aggregate, three ntile windows over the customer-cardinality frame
+    (each a single full-frame ranking — at extreme scale swap ntile
+    for percentile-threshold joins like `quality_percentile_filter`)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("freq"),
+                     F.sum(cents).alias("monetary")))
+    w_r = Window.orderBy(F.desc("last_order"), "o_custkey")
+    w_f = Window.orderBy(F.desc("freq"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = (per_cust
+              .withColumn("r", F.ntile(5).over(w_r))
+              .withColumn("f", F.ntile(5).over(w_f))
+              .withColumn("m", F.ntile(5).over(w_m)))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("monetary").cast("bigint").alias("cell_cents"))
+            .select(F.concat_ws("-", "r", "f", "m").alias("rfm_cell"),
+                    "n_customers", "cell_cents"))
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary,
+         ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT r || '-' || f || '-' || m AS rfm_cell,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS BIGINT) AS cell_cents
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "revenue_percent_of_parent": revenue_percent_of_parent,
+    "customer_rfm_segments": customer_rfm_segments,
     "orders_yoy_growth": orders_yoy_growth,
     "order_status_mode": order_status_mode,
     "null_safe_join_counts": null_safe_join_counts,
@@ -1194,6 +1292,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "revenue_percent_of_parent": PCT_OF_PARENT_SQL,
+    "customer_rfm_segments": RFM_SQL,
     "orders_yoy_growth": ORDERS_YOY_SQL,
     "order_status_mode": ORDER_STATUS_MODE_SQL,
     "null_safe_join_counts": NULL_SAFE_JOIN_SQL,

@@ -1038,7 +1038,59 @@ WHERE pick_rank <= 2
 """
 
 
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance audit of the embedding space: mean and
+    variance of every coordinate from exact decimal moments
+    (accumulation-order-independent, the ``lineitem_moment_stats``
+    discipline), with a dead-dimension flag (variance < 1e-6) — dead
+    or near-constant dims waste index bytes and distort distances, so
+    this is the first check before PCA/quantization decisions
+    (complements ``embedding_principal_component`` /
+    ``embedding_int8_quant_error``).
+
+    Scale: one posexplode into a (dim) aggregate — dims x 1 cells, the
+    same shuffle shape as ``label_centroids``."""
+    emb = _embeddings(spark, sf_dir)
+    by_dim = emb.select(F.posexplode("emb").alias("dim", "v"))
+    agg = (by_dim.groupBy("dim")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(30,15)")).alias("s"),
+                F.sum((F.col("v") * F.col("v")).cast("decimal(30,15)"))
+                .alias("ss")))
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("ss").cast("double") / n - mean * mean
+    return (agg.select(F.col("dim").cast("int").alias("dim"),
+                       F.round(mean, 6).alias("mean"),
+                       F.round(var, 6).alias("variance"),
+                       (var < 1e-6).cast("int").alias("is_dead")))
+
+
+DIM_VARIANCE_SQL = """
+WITH by_dim AS (
+  SELECT generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS v
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings)
+), agg AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(v AS DECIMAL(30,15))) AS s,
+         SUM(CAST(v * v AS DECIMAL(30,15))) AS ss
+  FROM by_dim GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean,
+       round(CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+         AS variance,
+       CAST((CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+            < 0.000001 AS INT) AS is_dead
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "embedding_dim_variance": embedding_dim_variance,
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_classifier_eval": knn_classifier_eval,
     "matryoshka_truncation_audit": matryoshka_truncation_audit,
@@ -1058,6 +1110,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_dim_variance": DIM_VARIANCE_SQL,
     "cluster_balanced_sample": CLUSTER_SAMPLE_SQL,
     "knn_classifier_eval": KNN_EVAL_SQL,
     "matryoshka_truncation_audit": MATRYOSHKA_SQL,
