@@ -92,6 +92,87 @@ def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
     return flags
 
 
+#: grouping keys whose aggregates scale linearly with data — an
+#: un-partitioned window over such an aggregate is still a scale-killer
+_SCALING_KEYS = ("custkey", "orderkey", "suppkey", "partkey", "doc_id",
+                 "vec_id", "user_id", "event_id", "session")
+
+#: query names whose un-partitioned window is semantically irreducible
+#: AND documented as such in the operator docstring (none currently —
+#: the agg-bounded and top-k exemptions below cover every legitimate
+#: shape; add a name here only with a written scale rationale).
+WINDOW_WHITELIST: set[str] = set()
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """r6 failure class (customer_rfm_segments, VERDICT r6 #2): a
+    ``Window`` with an EMPTY partition spec funnels every input row
+    through ONE task — a scale-killer unless the frame is provably
+    bounded. Exempt when (a) every scan path below the window passes
+    through an Aggregate (vocab-/calendar-/partition-count-sized
+    frames), or (b) an ancestor Filter bounds the window's own
+    row_number/rank output by a literal (top-k: Spark 4's
+    WindowGroupLimit pushes the limit into the sort). Everything else
+    is the RFM-class plan and flags."""
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    flags = []
+    for i, line in enumerate(lines):
+        stripped = line.strip(" :+-")
+        if not stripped.startswith("Window ["):
+            continue
+        # `Window [exprs], [part], [order]` — 3 chunks when partitioned;
+        # unpartitioned prints 1 (no order) or 2 with ASC/DESC entries
+        chunks = stripped.split("], [")
+        if len(chunks) >= 3:
+            continue  # partitioned
+        if len(chunks) == 2 and not re.search(r"\b(ASC|DESC)\b", chunks[1]):
+            continue  # single trailing list without sort markers: partition spec
+        base = _indent(line)
+        # (a) agg-bounded: no Relation below without an Aggregate above
+        # it — AND the aggregate nearest the window (which sets the
+        # window frame's cardinality) must not group on a per-entity
+        # scaling key: the r6 RFM plan ntile'd an Aggregate[o_custkey]
+        # frame, which grows linearly with data (an aggregate alone
+        # proves nothing; the GROUPING must be bounded: priorities,
+        # event types, vocab terms, calendar days, partition ids)
+        bounded = True
+        agg_at = None
+        agg_grouping = ""
+        for sub in lines[i + 1:]:
+            ind = _indent(sub)
+            if ind <= base:
+                break
+            if "Aggregate [" in sub and (agg_at is None or ind < agg_at):
+                agg_at = ind
+                agg_grouping = sub.split("Aggregate [", 1)[1].split("]")[0]
+            if "Relation" in sub and "LocalRelation" not in sub:
+                if agg_at is None or agg_at >= ind:
+                    bounded = False
+                    break
+        if bounded and any(k in agg_grouping for k in _SCALING_KEYS):
+            bounded = False
+        if bounded:
+            continue
+        # (b) literal top-k filter on the window's output ids in an
+        # ancestor (walk upward while indent strictly decreases)
+        out_ids = set(re.findall(r"AS \w+#(\d+)", chunks[0]))
+        topk = False
+        cur = base
+        for prev in reversed(lines[:i]):
+            ind = _indent(prev)
+            if ind >= cur:
+                continue
+            cur = ind
+            if "Filter" in prev and any(
+                    re.search(rf"\w+#{oid}L?\s*<=?\s*\d+", prev)
+                    for oid in out_ids):
+                topk = True
+                break
+        if not topk:
+            flags.append("!! un-partitioned window over unbounded input")
+    return flags
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -112,6 +193,8 @@ def main() -> None:
         # hard broadcast hints on SF-scaling tables OOM at 100 TB; only
         # fixed-size region/nation earn unconditional hints (PLANS.md)
         flags.extend(hard_broadcast_hints_on_scaling_tables(df))
+        if name not in WINDOW_WHITELIST:
+            flags.extend(unpartitioned_windows(df))
         # a nested-loop join whose only broadcasts are bounded
         # aggregates is the repo's 1-row-scalar cross-join idiom, not a
         # data-sized cartesian — downgrade the flag

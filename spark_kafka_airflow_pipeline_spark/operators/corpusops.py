@@ -351,14 +351,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str,
 
 INVERTED_INDEX_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, term, CAST(i AS INT) AS pos
+  SELECT doc_id, unnest(ftoks) AS term,
+         CAST(generate_subscripts(ftoks, 1) AS INT) AS pos
   FROM (SELECT doc_id,
-               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
-                 AS term,
-               generate_subscripts(
-                 regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+               list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> t <> '') AS ftoks
         FROM documents)
-  WHERE term <> ''
 ), stats AS (
   SELECT term, CAST(COUNT(DISTINCT doc_id) AS INT) AS doc_freq,
          CAST(COUNT(*) AS BIGINT) AS term_freq
@@ -385,9 +384,10 @@ SELECT rank, t.term, doc_freq, term_freq, postings
 FROM top t JOIN postings p ON t.term = p.term
 """
 
-# (positions above come from the SAME split in both engines: Spark
-# posexplode vs DuckDB generate_subscripts — empty leading tokens are
-# impossible after trim, so ordinals align)
+# (positions above index the SAME empty-filtered token list in both
+# engines: Spark posexplode over the filtered array vs DuckDB
+# generate_subscripts over list_filter'd tokens — trim strips only
+# spaces, so a leading tab/newline would desync an unfiltered ordinal)
 
 
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,8 +1039,11 @@ def embedding_principal_component(spark: SparkSession,
         yield pd.DataFrame({"n": [n], "s": [s.tobytes()],
                             "g": [tot.tobytes()]})
 
+    schema = "dim int, loading double, eigval double, var_share double"
     parts = e.repartition(8, "vec_id").mapInPandas(
         partial_gram, "n long, s binary, g binary").collect()
+    if not parts:  # empty embeddings table: keep the schema, zero rows
+        return spark.createDataFrame([], schema)
     import numpy as np  # noqa: F811 (driver scope)
     n = sum(r["n"] for r in parts)
     s = sum(np.frombuffer(r["s"], dtype=np.float64) for r in parts)
@@ -1057,8 +1060,7 @@ def embedding_principal_component(spark: SparkSession,
     share = eigval / float(np.trace(cov))
     rows = [(int(i), float(round(v[i], 6)), float(round(eigval, 6)),
              float(round(share, 6))) for i in range(d)]
-    return spark.createDataFrame(
-        rows, "dim int, loading double, eigval double, var_share double")
+    return spark.createDataFrame(rows, schema)
 
 
 QUERIES: dict[str, QueryFn] = {

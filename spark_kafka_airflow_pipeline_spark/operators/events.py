@@ -1053,7 +1053,12 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PSI = sum((p-q) * ln(p/q))`` emitted in integer pico-units
     (shares are integer ppm; each bin's ln is 6dp-rounded micros; the
     product ppm x micros sums exactly in BIGINT — no float reduction).
-    Empty bins get the standard +1 smoothing so ln never sees zero.
+    Empty bins get the standard +1 smoothing, and the ppm shares inside
+    the ln are clamped to >= 1: smoothing alone guarantees a count of
+    >= 1, but once a half exceeds 1M rows a rare bin's integer-ppm
+    share still truncates to 0, and ln(0)/division-by-zero would drop
+    the term (Spark NULL) or diverge between engines (DuckDB -inf) —
+    the clamp caps a sub-ppm share's ln at ln(1/ppm) on both sides.
 
     Scale: one scan into a (type, half, bin) aggregate, then
     arithmetic over the bins-x-types frame."""
@@ -1073,9 +1078,10 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("tb", F.sum("b1").over(w)))
     p_ppm = F.expr("a1 * 1000000 DIV ta")
     q_ppm = F.expr("b1 * 1000000 DIV tb")
+    p_ln = F.greatest(p_ppm, F.lit(1)).cast("double")
+    q_ln = F.greatest(q_ppm, F.lit(1)).cast("double")
     term = ((p_ppm - q_ppm)
-            * F.floor(F.round(F.log(p_ppm.cast("double")
-                                    / q_ppm.cast("double")), 6)
+            * F.floor(F.round(F.log(p_ln / q_ln), 6)
                       * 1000000.0 + 0.5).cast("bigint"))
     return (sm.select("event_type", term.alias("t"))
             .groupBy("event_type")
@@ -1098,8 +1104,8 @@ WITH counts AS (
 ), terms AS (
   SELECT event_type,
          (a1 * 1000000 // ta - b1 * 1000000 // tb)
-         * CAST(floor(round(ln((a1 * 1000000 // ta) * 1.0
-                               / (b1 * 1000000 // tb)), 6)
+         * CAST(floor(round(ln(GREATEST(a1 * 1000000 // ta, 1) * 1.0
+                               / GREATEST(b1 * 1000000 // tb, 1)), 6)
                       * 1000000.0 + 0.5) AS BIGINT) AS t
   FROM sm
 )

@@ -570,21 +570,58 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_price_quantiles(spark: SparkSession, sf_dir: str,
                            accuracy: int = 10000) -> DataFrame:
     """Approximate percentiles (Spark's Greenwald-Khanna / KLL-family
-    ``percentile_approx`` sketch) beside the exact interpolated ones —
-    the mergeable single-pass form that at 100 TB replaces the exact
-    sort-based percentile (whose per-group state is unbounded). The
-    sketch guarantees rank error <= n/accuracy and is mergeable across
-    partitions, so the aggregation stays one shuffle with bounded
-    state. Rows-only check: DuckDB has no twin sketch; the test
-    asserts every approximate value sits within the guaranteed rank
-    window of the exact order statistics."""
+    ``percentile_approx`` sketch) validated against the exact
+    interpolated ones — the mergeable single-pass form that at 100 TB
+    replaces the exact sort-based percentile (whose per-group state is
+    unbounded). The sketch guarantees rank error <= n/accuracy and is
+    mergeable across partitions, so the aggregation stays one shuffle
+    with bounded state.
+
+    DuckDB has no twin sketch, so the sketch values themselves are not
+    output columns (scalar columns only — ARRAY output crashed the r6
+    driver canonicalizer); instead a second scan counts each group's
+    rows below/at the sketch value and emits ``ok_p*`` flags proving
+    the value sits inside the guaranteed rank window (+1 row slack for
+    interpolation). The oracle pins the flags to 1 and recomputes the
+    exact percentiles, so a sketch regression IS a hash mismatch."""
     orders = table(spark, sf_dir, "orders")
-    ps = "array(0.5D, 0.9D, 0.99D)"
-    return (orders.groupBy("o_orderpriority")
-            .agg(F.expr(f"percentile_approx(o_totalprice, {ps}, {accuracy})")
-                 .alias("approx_q"),
-                 F.expr(f"percentile(o_totalprice, {ps})").alias("exact_q"),
-                 F.count(F.lit(1)).alias("n_orders")))
+    qs = {"50": 0.5, "90": 0.9, "99": 0.99}
+    agg = (orders.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                *[F.round(F.expr(f"percentile(o_totalprice, {p}D)"), 6)
+                  .alias(f"exact_p{k}") for k, p in qs.items()],
+                *[F.expr(f"percentile_approx(o_totalprice, {p}D, "
+                         f"{accuracy})").alias(f"a{k}")
+                  for k, p in qs.items()]))
+    # 5-row priority aggregate: bounded broadcast back onto the fact
+    joined = (orders.select("o_orderpriority", "o_totalprice")
+              .join(F.broadcast(agg), "o_orderpriority"))
+    ranked = joined.groupBy("o_orderpriority").agg(
+        F.min("n_orders").alias("n_orders"),
+        *[F.min(f"exact_p{k}").alias(f"exact_p{k}") for k in qs],
+        *[F.sum((F.col("o_totalprice") < F.col(f"a{k}")).cast("bigint"))
+          .alias(f"lt{k}") for k in qs],
+        *[F.sum((F.col("o_totalprice") <= F.col(f"a{k}")).cast("bigint"))
+          .alias(f"le{k}") for k in qs])
+    flags = [
+        ((F.col(f"lt{k}") * accuracy
+          <= (int(p * accuracy) + 1) * F.col("n_orders") + accuracy)
+         & (F.col(f"le{k}") * accuracy
+            >= (int(p * accuracy) - 1) * F.col("n_orders") - accuracy))
+        .cast("int").alias(f"ok_p{k}") for k, p in qs.items()]
+    return ranked.select("o_orderpriority", "n_orders",
+                         *[f"exact_p{k}" for k in qs], *flags)
+
+
+APPROX_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS exact_p50,
+       round(quantile_cont(o_totalprice, 0.90), 6) AS exact_p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS exact_p99,
+       1 AS ok_p50, 1 AS ok_p90, 1 AS ok_p99
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 # ----------------------------------------------------------------------
@@ -615,6 +652,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "approx_price_quantiles": APPROX_QUANTILES_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "lineitem_moment_stats": MOMENT_STATS_SQL,
     "q1_pricing_summary": Q1_SQL,

@@ -15,7 +15,7 @@ Reference provenance: the reference has none of these operators
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
@@ -1207,25 +1207,51 @@ FROM per_nation
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic CRM/customer-value op: per
     customer, Recency (days since last order), Frequency (order
-    count) and Monetary (total cents) are each quintiled (`ntile(5)`,
-    ties broken on the customer key so the binning is deterministic),
-    and the output reports customers per RFM cell. Scale: one orders
-    aggregate, three ntile windows over the customer-cardinality frame
-    (each a single full-frame ranking — at extreme scale swap ntile
-    for percentile-threshold joins like `quality_percentile_filter`)."""
+    count) and Monetary (total cents) are each quintiled (``ntile(5)``
+    semantics, ties broken on the customer key so the binning is
+    deterministic), and the output reports customers per RFM cell.
+
+    Scale: one orders aggregate, then each dimension gets an EXACT
+    global rank from ``scaleops.global_row_number`` (range-repartition
+    + partition offsets — fully parallel) and the ntile bucket is pure
+    arithmetic on (rank, n): with q = n DIV 5, r = n MOD 5, the first
+    r tiles hold q+1 rows, so tile = ceil(rank/(q+1)) in the first
+    r*(q+1) ranks and r + ceil((rank - r*(q+1))/q) after. This is
+    bit-identical to the oracle's ``ntile(5)`` window but replaces the
+    r6-VERDICT-flagged single-task un-partitioned ``ntile`` x3 plan —
+    no global window touches the customer-cardinality frame."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_row_number,
+    )
+
     o = table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     per_cust = (o.groupBy("o_custkey")
                 .agg(F.max("o_orderdate").alias("last_order"),
                      F.count(F.lit(1)).alias("freq"),
                      F.sum(cents).alias("monetary")))
-    w_r = Window.orderBy(F.desc("last_order"), "o_custkey")
-    w_f = Window.orderBy(F.desc("freq"), "o_custkey")
-    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = (per_cust
-              .withColumn("r", F.ntile(5).over(w_r))
-              .withColumn("f", F.ntile(5).over(w_f))
-              .withColumn("m", F.ntile(5).over(w_m)))
+    ranked = global_row_number(
+        per_cust, F.col("last_order").desc(), F.col("o_custkey"),
+        out="rn_r")
+    ranked = global_row_number(
+        ranked, F.col("freq").desc(), F.col("o_custkey"), out="rn_f")
+    ranked = global_row_number(
+        ranked, F.col("monetary").desc(), F.col("o_custkey"), out="rn_m")
+    n_total = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    with_n = ranked.crossJoin(F.broadcast(n_total))
+
+    def tile(rn: str) -> Column:
+        # exact ntile(5) arithmetic over (global rank, total n)
+        return F.expr(
+            f"CAST(CASE WHEN {rn} <= (n % 5) * (n DIV 5 + 1) "
+            f"THEN ({rn} + n DIV 5) DIV (n DIV 5 + 1) "
+            f"ELSE n % 5 + ({rn} - (n % 5) * (n DIV 5 + 1) "
+            f"+ n DIV 5 - 1) DIV (n DIV 5) END AS INT)")
+
+    scored = (with_n
+              .withColumn("r", tile("rn_r"))
+              .withColumn("f", tile("rn_f"))
+              .withColumn("m", tile("rn_m")))
     return (scored.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("monetary").cast("bigint").alias("cell_cents"))

@@ -79,14 +79,44 @@ def test_oracle_output_types_hugeint_free(sf_dir, con):
     # paths. Temporal outputs must be pre-rendered as strings
     # (date_format / strftime) on both sides.
     bad_prefixes = ("date", "timestamp", "time")
+    # r6 failure class: approx_price_quantiles output ARRAY columns and
+    # crashed the driver canonicalizer (pandas sort_values on unhashable
+    # lists) — complex types are banned from every oracle output
+    bad_complex = ("struct", "map(")
     offenders = []
     for name, sql in sorted(ORACLES.items()):
         rel = con.sql(sql)
         hits = [(c, str(t).lower()) for c, t in zip(rel.columns, rel.types)
                 if str(t).lower() in bad
-                or str(t).lower().startswith(bad_prefixes)]
+                or str(t).lower().startswith(bad_prefixes)
+                or str(t).lower().startswith(bad_complex)
+                or "[]" in str(t).lower()]
         if hits:
             offenders.append((name, hits))
+    assert not offenders, offenders
+
+
+def test_window_slotted_spark_outputs_are_scalar(spark, sf_dir):
+    """r6 failure class, Spark side: the driver canonicalizes the SPARK
+    result of every window-slotted query (even rows-only ones) with a
+    pandas sort over all columns — ARRAY/MAP/STRUCT cells are
+    unhashable and crash it, burning the slot with a null row
+    (approx_price_quantiles, CORRECTNESS_r06). No first-50 query may
+    output a complex-typed column. Streaming queries are exempt from
+    construction here only because building them executes a full drain;
+    their outputs are scalar by construction (asserted in their own
+    tests)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in list(QUERIES)[:50]:
+        if name.startswith(("streaming_", "kafka_wire")):
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        if bad:
+            offenders.append((name, bad))
     assert not offenders, offenders
 
 

@@ -51,6 +51,66 @@ def test_literal_sliced_broadcast_is_exempt(spark, sf_dir):
     assert not any(f.startswith("!!") for f in flags), flags
 
 
+def test_global_ntile_over_raw_data_flags(spark, sf_dir):
+    """The r6 RFM scale-killer shape: un-partitioned ntile over a
+    data-sized frame must flag."""
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("monetary"))
+    # aggregate keyed on a data-sized key is NOT bounded: the Aggregate
+    # exemption must not fire just because an Aggregate exists — the
+    # frame still scales with customers
+    bad = per_cust.withColumn(
+        "m", F.ntile(5).over(Wn.orderBy(F.desc("monetary"), "o_custkey")))
+    flags = ep.unpartitioned_windows(bad)
+    assert flags, "global ntile over per-customer frame must flag"
+
+
+def test_global_window_over_raw_scan_flags(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = o.withColumn("rn", F.row_number().over(Wn.orderBy("o_orderkey")))
+    assert ep.unpartitioned_windows(bad)
+
+
+def test_partitioned_window_is_exempt(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = o.withColumn("rn", F.row_number().over(
+        Wn.partitionBy("o_custkey").orderBy("o_orderkey")))
+    assert not ep.unpartitioned_windows(ok)
+
+
+def test_topk_filtered_global_window_is_exempt(spark, sf_dir):
+    """row_number()<=k above an un-partitioned window is bounded by
+    Spark 4's WindowGroupLimit pushdown — top-k, not a full ranking."""
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    topk = (o.withColumn("rn", F.row_number().over(
+        Wn.orderBy(F.desc("o_totalprice"), "o_orderkey")))
+        .filter(F.col("rn") <= 10))
+    assert not ep.unpartitioned_windows(topk)
+
+
+def test_rfm_after_rework_is_lint_clean(spark, sf_dir):
+    """The r7 rework (global_row_number + ntile arithmetic) must leave
+    NO un-partitioned window over unbounded input: the only global
+    window left ranks the <= num_partitions-row pid-offset aggregate."""
+    from spark_kafka_airflow_pipeline_spark.operators import relational_extra
+
+    df = relational_extra.customer_rfm_segments(spark, sf_dir)
+    assert not ep.unpartitioned_windows(df)
+
+
 def test_filtered_but_unbounded_broadcast_still_flags(spark, sf_dir):
     """A non-literal filter (selectivity unknown, scales with data)
     earns no exemption."""
