@@ -26,6 +26,8 @@ from spark_kafka_airflow_pipeline_spark.operators import (
     dedup,
     events,
     graphops,
+    relational_extra,
+    scaleops,
     similarity,
     textops,
     warehouse,
@@ -93,6 +95,25 @@ def build_relational(spark, n: int, out: Path) -> None:
         .parquet(str(out / "orders.parquet"))
 
 
+def build_dims(spark, n: int, out: Path) -> None:
+    """Customer replicated with shifted keys (replica 0 = originals, so
+    orders' foreign keys stay resolvable); nation/region/supplier
+    copied verbatim — fixed-size dims by design, the realistic growth
+    mode (more customers and facts, same reference data)."""
+    c = spark.read.parquet(f"{BASE}/customer.parquet")
+    cmax = c.agg(F.max("c_custkey")).collect()[0][0] + 1
+    copies = [c.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * cmax))
+              for i in range(n)]
+    allc = copies[0]
+    for cc in copies[1:]:
+        allc = allc.unionByName(cc)
+    allc.repartition(8).write.mode("overwrite") \
+        .parquet(str(out / "customer.parquet"))
+    for tname in ("nation", "region", "supplier"):
+        (spark.read.parquet(f"{BASE}/{tname}.parquet")
+         .write.mode("overwrite").parquet(str(out / f"{tname}.parquet")))
+
+
 OPS = {
     "dedup_exact": dedup.dedup_exact,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -134,6 +155,13 @@ OPS = {
     "bpe_merge_apply": corpusops.bpe_merge_apply,
     "cdc_chunking": corpusops.cdc_chunking,
     "minhash_estimate_error": dedup.minhash_estimate_error,
+    # round-6-final cohort (VERDICT r6 ask #5) + round-7 ranking helper
+    "embedding_dim_variance": similarity.embedding_dim_variance,
+    "integrity_audit": warehouse.integrity_audit,
+    "benford_price_audit": warehouse.benford_price_audit,
+    "customer_rfm_segments": relational_extra.customer_rfm_segments,
+    "revenue_percent_of_parent": relational_extra.revenue_percent_of_parent,
+    "customer_global_rank": scaleops.customer_global_rank,
 }
 
 
@@ -157,6 +185,9 @@ EVENT_OPS = {
     "event_transition_matrix": events.event_transition_matrix,
     "events_anomaly_mad": events.events_anomaly_mad,
     "events_rolling_median": events.events_rolling_median,
+    # round-6-final cohort (VERDICT r6 ask #5)
+    "events_drift_psi": events.events_drift_psi,
+    "bot_rate_flags": events.bot_rate_flags,
 }
 
 
@@ -170,6 +201,8 @@ def main() -> None:
         build_relational(spark, n, out)
     if not (out / "events.parquet").exists():
         build_events(spark, n, out)
+    if not (out / "customer.parquet").exists():
+        build_dims(spark, n, out)
 
     result: dict[str, dict[str, float]] = {}
     for name, fn in {**OPS, **EVENT_OPS}.items():

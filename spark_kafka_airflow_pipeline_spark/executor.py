@@ -226,7 +226,20 @@ class PipelineExecutor:
                     for a in t.params.aggregates]
             if not aggs:
                 raise ValueError(f"aggregate {t.name!r} declares no aggregates")
-            nodes[t.name] = df.groupBy(*t.params.groupBy).agg(*aggs)
+            # groupBy entries are full expression strings ("x AS alias"
+            # allowed), so configs can group on computed keys — e.g. the
+            # streaming time bucket window(ts, '1 hour') AS w. Plain
+            # column names parse unchanged.
+            keys = [F.expr(g) for g in t.params.groupBy]
+            nodes[t.name] = df.groupBy(*keys).agg(*aggs)
+        elif kind == "watermark":
+            # event-time watermark: the declarative knob that bounds
+            # streaming state (and admits append-mode window aggs).
+            # Harmless no-op semantics on batch frames, same as Spark.
+            if not t.params.column or not t.params.delay:
+                raise ValueError(
+                    f"watermark {t.name!r} needs 'column' and 'delay'")
+            nodes[t.name] = df.withWatermark(t.params.column, t.params.delay)
         elif kind == "union":
             names = t.params.inputs
             missing = [n for n in names if n not in nodes]

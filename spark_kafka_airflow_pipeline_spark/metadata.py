@@ -97,6 +97,8 @@ class TransformationParams:
     hashFamily: str = "fast"
     # type="intersect"/"except": keep duplicate multiplicity (SQL ALL)
     all: bool = False                 # noqa: A003 - mirrors SQL keyword
+    column: str | None = None         # type="watermark": event-time column
+    delay: str | None = None          # type="watermark": e.g. "1 hour"
 
 
 @dataclass(frozen=True)
@@ -108,7 +110,7 @@ class Transformation:
     The engine's registry adds: ``sql``, ``filter``, ``select``,
     ``drop``, ``dedup``, ``join``, ``aggregate``, ``union``, ``sort``,
     ``limit``, ``rename``, ``window``, ``dedup_near``, ``topk``,
-    ``intersect``, ``except``.
+    ``intersect``, ``except``, ``watermark``.
     """
 
     name: str
@@ -176,6 +178,8 @@ def _parse_params(raw: dict[str, Any]) -> TransformationParams:
         threshold=float(raw.get("threshold", 0.5)),
         hashFamily=raw.get("hashFamily", "fast"),
         all=bool(raw.get("all", False)),
+        column=raw.get("column"),
+        delay=raw.get("delay"),
     )
 
 

@@ -1063,7 +1063,47 @@ def embedding_principal_component(spark: SparkSession,
     return spark.createDataFrame(rows, schema)
 
 
+def cross_lang_fingerprint_spread(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cross-language duplicate audit: exact-duplicate clusters
+    (canonical-whitespace md5 fingerprint, the refinery's rule) are
+    profiled by how many LANGUAGES each spans — a cluster spanning
+    several langs is boilerplate or mislabeled/translated content, the
+    class a per-language dedup pass silently misses. Output is the
+    spread histogram: for each language-span count, how many multi-doc
+    clusters and how many documents sit in them.
+
+    Scale: one fingerprint hash aggregate (linear), then an aggregate
+    over the cluster frame; the histogram is bounded by the language
+    count. All-integer output."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    clusters = (d.groupBy(fp.alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.countDistinct("lang").alias("n_langs"))
+                .filter(F.col("n_docs") >= 2))
+    return (clusters.groupBy(F.col("n_langs").cast("int").alias("n_langs"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs")))
+
+
+CROSS_LANG_SPREAD_SQL = r"""
+WITH m AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         lang
+  FROM documents
+), cl AS (
+  SELECT fp, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+  FROM m GROUP BY fp HAVING COUNT(*) >= 2
+)
+SELECT CAST(n_langs AS INT) AS n_langs, COUNT(*) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM cl GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "cross_lang_fingerprint_spread": cross_lang_fingerprint_spread,
     "span_dedup_removal": span_dedup_removal,
     "vocab_coverage_curve": vocab_coverage_curve,
     "bpe_merge_candidates": bpe_merge_candidates,
@@ -1081,6 +1121,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cross_lang_fingerprint_spread": CROSS_LANG_SPREAD_SQL,
     "zipf_fit_by_source": ZIPF_FIT_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "corpus_datacard": CORPUS_DATACARD_SQL,

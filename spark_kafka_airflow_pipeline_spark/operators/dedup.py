@@ -1426,7 +1426,50 @@ FROM (SELECT 1 AS k,
 """
 
 
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH capacity planning as a query: the analytic MinHash-LSH
+    S-curve ``P(candidate) = 1 - (1 - s^r)^b`` for every (bands b,
+    rows-per-band r) factorization of the module's 16-hash signature,
+    across Jaccard similarities 0.10..0.90 — the table an operator
+    reads to pick banding for a target threshold (the module's
+    b=16, r=1 keeps recall ~1 at s>=0.5; b=4, r=4 trades recall for
+    candidate volume). Probabilities in integer micros via the 6dp
+    rounding idiom so the value hash is engine-portable.
+
+    Scale: a 45-row literal frame of pure arithmetic — the planner is
+    free regardless of corpus size (that is the point: plan BEFORE the
+    scan). ``sf_dir`` is unused; the curve depends only on (b, r, s).
+    """
+    cfgs = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    rows = [(b, r, k * 10) for (b, r) in cfgs for k in range(1, 10)]
+    base = spark.createDataFrame(
+        rows, "bands int, rows_per_band int, jaccard_pct int")
+    p = ("1 - power(1 - power(jaccard_pct / 100.0, rows_per_band), "
+         "bands)")
+    return base.select(
+        "bands", "rows_per_band", "jaccard_pct",
+        F.expr(f"CAST(floor(round({p}, 6) * 1000000 + 0.5) AS BIGINT)")
+        .alias("p_candidate_micros"))
+
+
+LSH_PLANNER_SQL = """
+WITH cfg AS (
+  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+           t(bands, rows_per_band)
+), s AS (
+  SELECT CAST(k * 10 AS INT) AS jaccard_pct
+  FROM (SELECT unnest(range(1, 10)) AS k)
+)
+SELECT bands, rows_per_band, jaccard_pct,
+       CAST(floor(round(
+         1 - power(1 - power(jaccard_pct / 100.0, rows_per_band), bands),
+         6) * 1000000 + 0.5) AS BIGINT) AS p_candidate_micros
+FROM cfg, s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "lsh_parameter_planner": lsh_parameter_planner,
     "sketch_family_pr_eval": sketch_family_pr_eval,
     "minhash_estimate_error": minhash_estimate_error,
     "split_leakage_audit": split_leakage_audit,
@@ -1450,6 +1493,7 @@ QUERIES: dict[str, QueryFn] = {
 # rows-only entries (murmur3 minhash/simhash/ngram) intentionally
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "lsh_parameter_planner": LSH_PLANNER_SQL,
     "sketch_family_pr_eval": SKETCH_PR_SQL,
     "minhash_estimate_error": MINHASH_ESTIMATE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_SQL,

@@ -1115,7 +1115,58 @@ FROM terms GROUP BY event_type
 """
 
 
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the product-analytics engagement ratio:
+    per day, the count of distinct active users (DAU) over the count
+    of users active in the trailing 7 days (WAU), in integer ppm.
+
+    Scale: the naive WAU is an expanding/sliding COUNT(DISTINCT)
+    window (quadratic state); instead each (user, day) activity row
+    fans out to the <= 7 future days whose trailing window contains it
+    (a bounded explode), and WAU is one plain distinct aggregate per
+    target day — linear with a 7x constant, the same rewrite family as
+    ``events_cumulative_reach``'s first-seen identity."""
+    e = table(spark, sf_dir, "events")
+    du = (e.groupBy(F.to_date("ts").alias("day"), "user_id")
+          .agg(F.count(F.lit(1)).alias("_c")).drop("_c"))
+    bounds = e.agg(F.max(F.to_date("ts")).alias("dmax"))
+    fan = (du.select("user_id", "day",
+                     F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"))
+           .select("user_id", F.expr("date_add(day, o)").alias("tday"))
+           .crossJoin(F.broadcast(bounds))
+           .filter(F.col("tday") <= F.col("dmax")))
+    wau = (fan.groupBy("tday")
+           .agg(F.countDistinct("user_id").alias("n_wau")))
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_dau"))
+    return (dau.join(wau, dau.day == wau.tday)
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_dau", "n_wau",
+                    F.expr("n_dau * 1000000 DIV n_wau")
+                    .alias("stickiness_ppm")))
+
+
+DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), bounds AS (
+  SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+), fan AS (
+  SELECT du.day + CAST(o AS INT) AS tday, du.user_id
+  FROM du, (SELECT unnest(range(0, 7)) AS o) offs
+), wau AS (
+  SELECT tday, COUNT(DISTINCT user_id) AS n_wau
+  FROM fan, bounds WHERE tday <= dmax GROUP BY tday
+), dau AS (
+  SELECT day, COUNT(*) AS n_dau FROM du GROUP BY day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, n_dau, n_wau,
+       CAST(n_dau * 1000000 // n_wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON dau.day = wau.tday
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "dau_wau_stickiness": dau_wau_stickiness,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1142,6 +1193,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dau_wau_stickiness": DAU_WAU_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

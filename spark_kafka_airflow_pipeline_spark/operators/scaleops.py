@@ -430,41 +430,63 @@ def global_row_number(df: DataFrame, *sort_cols, out: str = "rn",
     global sort; at 100 TB the only global structure is the
     partition-count-sized offset table (the r6 VERDICT flagged the
     un-partitioned ``ntile`` window this replaces as the repo's one
-    scale-killer plan).
+    scale-killer plan)."""
+    return _global_two_phase(df, sort_cols, F.lit(1), out, num_partitions)
 
-    The locally-ranked frame is persisted and the offsets are derived
-    FROM it (max local rank per pid): range-bound sampling seeds by
-    RDD id, so computing offsets and ranks from two separate
+
+def global_running_sum(df: DataFrame, val, *sort_cols,
+                       out: str = "running",
+                       num_partitions: int = 32) -> DataFrame:
+    """Exact global prefix sum (``SUM(val) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` including the current row) with the same
+    two-phase range-partition plan as ``global_row_number`` — local
+    cumulative sums in parallel, plus a broadcast of the per-partition
+    totals' prefix sums. The classic distributed scan primitive."""
+    return _global_two_phase(df, sort_cols, F.col(val) if isinstance(
+        val, str) else val, out, num_partitions)
+
+
+def _global_two_phase(df: DataFrame, sort_cols, val, out: str,
+                      num_partitions: int) -> DataFrame:
+    """Shared core of ``global_row_number`` / ``global_running_sum``:
+    prefix-aggregate ``val`` over the total order given by
+    ``sort_cols`` (which must include a unique tiebreaker).
+
+    The locally-scanned frame is persisted and the offsets are derived
+    FROM it (per-partition totals): range-bound sampling seeds by RDD
+    id, so computing offsets and local ranks from two separate
     executions of the exchange can range-partition the two branches
-    DIFFERENTLY and misalign every offset (caught at sf0.1 — sf0.001/
-    sf0.01 samples covered all rows, masking it). One materialization
-    is the same correctness-required persist as the bloom-join build
-    (``build_bloom`` below); partition loss recomputes with the same
-    RDD id, so a recovered partition re-ranks identically."""
+    DIFFERENTLY and misalign every offset (caught at sf0.1 —
+    sf0.001/sf0.01 samples covered all rows, masking it). One
+    materialization is the same correctness-required persist as the
+    bloom-join build; partition loss recomputes from the SAME shuffle
+    output, so a recovered partition re-ranks identically."""
     from pyspark.sql import Window as Wn
     from pyspark.storagelevel import StorageLevel
 
     local = (df.repartitionByRange(num_partitions, *sort_cols)
              .withColumn("_pid", F.spark_partition_id())
+             .withColumn("_val", val.cast("bigint"))
              .withColumn(
-                 "_lrn",
-                 F.row_number().over(
-                     Wn.partitionBy("_pid").orderBy(*sort_cols)))
+                 "_lrs",
+                 F.sum("_val").over(
+                     Wn.partitionBy("_pid").orderBy(*sort_cols)
+                     .rowsBetween(Wn.unboundedPreceding, 0)))
              .persist(StorageLevel.MEMORY_AND_DISK))
     # running-sum window over the <= num_partitions-row pid aggregate:
     # bounded, NOT a data-sized global window
-    offsets = (local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    offsets = (local.groupBy("_pid").agg(F.sum("_val").alias("_tot"))
                .withColumn(
                    "_off",
                    F.coalesce(
-                       F.sum("_cnt").over(
+                       F.sum("_tot").over(
                            Wn.orderBy("_pid")
                            .rowsBetween(Wn.unboundedPreceding, -1)),
                        F.lit(0)))
                .select("_pid", "_off"))
     return (local.join(F.broadcast(offsets), "_pid")
-            .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("bigint"))
-            .drop("_pid", "_lrn", "_off"))
+            .withColumn(out, (F.col("_off") + F.col("_lrs")).cast("bigint"))
+            .drop("_pid", "_lrs", "_val", "_off"))
 
 
 def customer_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +510,122 @@ SELECT c_custkey,
        ) AS BIGINT) AS rank
 FROM customer
 """
+
+
+def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — the classic revenue-concentration
+    analysis: customers sorted by lifetime revenue descending, the
+    EXACT global running revenue share assigns class A (first 80% of
+    revenue), B (to 95%) and C (tail); output is the per-class roll-up
+    (customer count, revenue cents, revenue share ppm).
+
+    Scale: the running share is a cumulative ``SUM OVER (ORDER BY)``
+    — a single-task global window naively — computed here with
+    ``global_running_sum`` (range repartition + per-partition totals'
+    prefix broadcast), so the scan is fully parallel; the classifier
+    is arithmetic on (running, total)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    per_cust = (o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")))
+    run = global_running_sum(
+        per_cust, "cents", F.col("cents").desc(), F.col("o_custkey"),
+        out="running")
+    total = per_cust.agg(F.sum("cents").cast("bigint").alias("total"))
+    classed = (run.crossJoin(F.broadcast(total))
+               .withColumn("share_ppm",
+                           F.expr("running * 1000000 DIV total"))
+               .withColumn("abc",
+                           F.when(F.col("share_ppm") <= 800000, "A")
+                           .when(F.col("share_ppm") <= 950000, "B")
+                           .otherwise("C")))
+    return (classed.groupBy("abc")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").cast("bigint").alias("class_cents"))
+            .join(F.broadcast(total), how="cross")
+            .select("abc", "n_customers", "class_cents",
+                    F.expr("class_cents * 1000000 DIV total")
+                    .alias("class_share_ppm")))
+
+
+PARETO_ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), run AS (
+  SELECT cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total
+  FROM per_cust
+), classed AS (
+  SELECT cents, total,
+         CASE WHEN running * 1000000 // total <= 800000 THEN 'A'
+              WHEN running * 1000000 // total <= 950000 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM run
+)
+SELECT abc, COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS class_cents,
+       CAST(SUM(cents) * 1000000 // MIN(total) AS BIGINT)
+         AS class_share_ppm
+FROM classed GROUP BY abc
+"""
+
+
+def orders_equidepth_bins(spark: SparkSession, sf_dir: str,
+                          n_bins: int = 10) -> DataFrame:
+    """Equi-depth (equal-frequency) binning of order values — the
+    feature-engineering / histogram primitive: 9 interior cut values
+    from exact interpolated percentiles over integer cents, each row
+    assigned ``bin = #{cuts < cents}`` by comparing against the
+    broadcast 1-row cut vector; output is per-bin count, bounds and
+    total.
+
+    Scale: the cut aggregate is one mergeable percentile pass (at
+    extreme cardinality swap in percentile_approx — the sketch's rank
+    bound is the bin-boundary error); assignment is a broadcast of 9
+    scalars, codegen arithmetic, one final shuffle on the 10-bin
+    domain. The ``quality_percentile_filter`` cut+join-back idiom on
+    the relational table."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    w = o.select(cents.alias("cents"))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = w.agg(*[F.expr(f"percentile(cents, {q}D)").alias(f"c{i}")
+                   for i, q in enumerate(qs, 1)])
+    bin_ = sum((F.col("cents") > F.col(f"c{i}")).cast("int")
+               for i in range(1, n_bins))
+    return (w.crossJoin(F.broadcast(cuts))
+            .select(bin_.alias("bin"), "cents")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("cents").alias("min_cents"),
+                 F.max("cents").alias("max_cents"),
+                 F.sum("cents").cast("bigint").alias("sum_cents")))
+
+
+EQUIDEPTH_SQL = """
+WITH w AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), cuts AS (
+  SELECT {cut_list}
+  FROM w
+)
+SELECT ({bin_expr}) AS bin,
+       COUNT(*) AS n_orders,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w, cuts GROUP BY 1
+""".format(
+    cut_list=", ".join(f"quantile_cont(cents, {i / 10}) AS c{i}"
+                       for i in range(1, 10)),
+    bin_expr=" + ".join(f"CAST(cents > c{i} AS INT)"
+                        for i in range(1, 10)))
 
 
 def join_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +702,8 @@ FROM unioned
 
 QUERIES: dict[str, QueryFn] = {
     "customer_global_rank": customer_global_rank,
+    "customer_pareto_abc": customer_pareto_abc,
+    "orders_equidepth_bins": orders_equidepth_bins,
     "join_key_skew_histogram": join_key_skew_histogram,
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
@@ -577,6 +717,8 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "customer_global_rank": CUSTOMER_RANK_SQL,
+    "customer_pareto_abc": PARETO_ABC_SQL,
+    "orders_equidepth_bins": EQUIDEPTH_SQL,
     "join_key_skew_histogram": JOIN_SKEW_SQL,
     "events_monthly_from_rollup": MONTHLY_ROLLUP_SQL,
     "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,

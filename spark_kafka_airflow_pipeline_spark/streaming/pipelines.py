@@ -791,7 +791,111 @@ GROUP BY 1, 2
 """
 
 
+def metadata_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A WATERMARKED STREAMING topology compiled purely from metadata
+    JSON — the reference's config-driven Dataflow thesis
+    (``Dataflow.scala:3-32``) carried onto the [EXT] streaming leg:
+    ``streaming: true`` file source -> ``watermark`` node -> windowed
+    ``aggregate`` (expression groupBy ``window(ts, '1 hour')``) ->
+    ``add_fields`` rendering -> ``select`` -> file sink, executed by
+    the SAME ``PipelineExecutor.run_dataflow`` path as batch configs
+    (it detects the streaming frame and drains via foreachBatch +
+    availableNow into the batch sink writer, checkpoint beside the
+    sink). The query then reads the sink parquet back as a batch frame.
+
+    Append-mode semantics are part of the contract: only windows SEALED
+    by the final watermark (``max(ts) - 1 hour``) are emitted — the
+    tail windows stay in state awaiting later data, exactly what a
+    production run would hand the next micro-batch. The DuckDB oracle
+    applies the same cutoff, so the emission rule itself is
+    value-hash-pinned. Scale: state is bounded by (window x type)
+    cardinality; the sink write is the batch writer per micro-batch."""
+    import hashlib
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_root = f"/tmp/spark_graft_meta_stream/{token}"
+    shutil.rmtree(out_root, ignore_errors=True)  # fresh drain per run
+    # the config generator adapts the event-time cast to the source's
+    # physical type, same branching as _events_stream (nanos-long under
+    # the nanosAsLong conf vs plain/NTZ timestamp, varies by SF dir)
+    raw_ts = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_expr = ("timestamp_micros(ts div 1000)" if raw_ts == "bigint"
+               else "CAST(ts AS TIMESTAMP)")
+    meta = parse_metadata({"dataflows": [{
+        "name": "stream_agg",
+        "sources": [
+            # file-stream sources take a DIRECTORY; the glob option
+            # narrows it to the events table (same as _events_stream)
+            {"name": "events", "path": sf_dir, "format": "parquet",
+             "streaming": True,
+             "options": {"pathGlobFilter": "events.parquet"}},
+        ],
+        "transformations": [
+            {"name": "typed", "type": "add_fields", "params": {
+                "input": "events", "addFields": [
+                    # raw source type -> timestamp (integer division
+                    # for nanos-long: the engine's exact-epoch
+                    # discipline)
+                    {"name": "ts_t", "function": ts_expr}]}},
+            {"name": "marked", "type": "watermark", "params": {
+                "input": "typed", "column": "ts_t", "delay": "1 hour"}},
+            {"name": "windowed", "type": "aggregate", "params": {
+                "input": "marked",
+                "groupBy": ["window(ts_t, '1 hour') AS w", "event_type"],
+                "aggregates": [
+                    {"name": "n_events", "function": "COUNT(*)"},
+                    {"name": "sum_cents", "function":
+                        "CAST(SUM(CAST(floor(value * 100 + 0.5) "
+                        "AS BIGINT)) AS BIGINT)"}]}},
+            {"name": "fmt", "type": "add_fields", "params": {
+                "input": "windowed", "addFields": [{
+                    "name": "window_start",
+                    "function":
+                        "date_format(w.start, 'yyyy-MM-dd HH:mm:ss')"}]}},
+            {"name": "out", "type": "select", "params": {
+                "input": "fmt", "columns": [
+                    "window_start", "event_type", "n_events",
+                    "sum_cents"]}},
+        ],
+        "sinks": [{"input": "out", "name": "agg", "paths": [out_root],
+                   "format": "parquet", "saveMode": "append"}],
+    }]})
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(8, spark.sparkContext.defaultParallelism)))
+    try:
+        PipelineExecutor(spark).run_dataflow(meta.dataflows[0])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(f"{out_root}/agg")
+
+
+METADATA_STREAMING_SQL = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff FROM events
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.cutoff
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "metadata_streaming_tumbling": metadata_streaming_tumbling,
     "streaming_window_median": streaming_window_median,
     "streaming_python_source": streaming_python_source,
     "streaming_tumbling_window": streaming_tumbling_window,
@@ -817,6 +921,7 @@ def _py_datasource_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "metadata_streaming_tumbling": METADATA_STREAMING_SQL,
     "streaming_python_source": _py_datasource_sql(),
     "streaming_window_median": STREAMING_WINDOW_MEDIAN_SQL,
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,

@@ -108,6 +108,39 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
         compact_parquet(spark, src, src)
 
 
+def test_percentile_approx_merge_rank_exactness(spark):
+    """percentile_approx's merge path, pinned the way the HLL rollup's
+    union is: per-partition Greenwald-Khanna partials merged to one
+    summary must preserve the rank guarantee under EVERY merge topology
+    (1 partition = no merging, 5 and 32 = different merge trees). At
+    100 TB only the merged path exists, so the sketch is safe exactly
+    when merging cannot degrade the n/accuracy rank bound. Also pins
+    determinism: the same topology twice yields the identical value
+    (round-robin repartition sorts within partitions, so the merge
+    input — hence the summary — is reproducible)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+
+    sf = "/root/testdata/sf0.01"
+    o = table(spark, sf, "orders").select("o_totalprice")
+    vals = sorted(r[0] for r in o.collect())
+    n, acc = len(vals), 10000
+    expr = F.expr(
+        f"percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), {acc})")
+    for parts in (1, 5, 32):
+        got = o.repartition(parts).agg(expr).first()[0]
+        again = o.repartition(parts).agg(expr).first()[0]
+        assert got == again, f"nondeterministic at {parts} partitions"
+        for p, av in zip((0.5, 0.9, 0.99), got):
+            lo = bisect.bisect_left(vals, av)
+            hi = bisect.bisect_right(vals, av) - 1
+            target, slack = p * (n - 1), n / acc + 1
+            assert lo - slack <= target <= hi + slack, (parts, p, av)
+
+
 def test_hll_rollup_merge_exactness_and_accuracy(spark):
     """The HLL rollup's two load-bearing claims:
 
