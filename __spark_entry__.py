@@ -43,77 +43,59 @@ _MODULES = (corpusops, graphops, streaming, dedup, similarity, multimodal, texto
             tpch_extra, relational_extra, relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
-# (the driver records only the first 50 queries() entries). Round-6
-# selection rule (VERDICT.md r4 asks #1/#2/#5, r5 ask #2):
-#   1. RED-UNTIL-GREEN — any query whose LAST driver row was
-#      hash_match:false keeps its slot until a driver row says green
-#      (kafka_wire_roundtrip + snapshot_diff_cdc, both reworked this
-#      round to bigint-cents/string outputs).
-#   2. Reworked or new this round — must be (re-)verified.
-#   3. Never driver-checked (9 oracles had no row in r1-r5).
-#   4. Oldest driver row first (r1, then r2) — everything else in the
-#      r5 window has an r3/r4/r5 green row and rotates out.
+# (the driver records only the first 50 queries() entries). Round-7
+# selection rule (the r4-r6 protocol):
+#   1. Non-green last driver row — approx_price_quantiles CRASHED the
+#      r6 canonicalizer (ARRAY outputs; reworked to scalar columns +
+#      full oracle this round) — plus every query whose impl or oracle
+#      changed in round 7 (RFM de-scale-kill, PSI ln clamp, skew
+#      histogram true weights, postings whitespace-safe oracle).
+#   2. New in round 7 — first driver verification.
+#   3. Never driver-checked (the 20 round-6-new oracled queries +
+#      2 rows-only, all pre-listed in r6's _R7_EARMARK).
+#   4. Core-parity anchors (q1 + pipeline_add_fields stay pinned).
+#   5. Oldest green rows first — the r5-cohort whose last row is two
+#      rounds old; the remainder continues in _R8_EARMARK.
 # Module order above ranks everything not listed.
 _WINDOW_PRIORITY = (
-    # -- 1. red in their last driver row (r4/r5; reworked this round) --
-    "kafka_wire_roundtrip", "snapshot_diff_cdc",
-    # -- 2. new in round 6 ------------------------------------------
-    "metadata_compiled_q3", "metadata_corpus_refinery",
-    "winnow_fingerprints", "winnow_overlap",
-    "mixture_temperature_weights", "embedding_dup_clusters",
-    "longest_shared_spans", "approx_price_quantiles",
-    "python_datasource_pushdown", "sql_api_scripting",
-    "sql_api_pipe_syntax", "pandas_api_status_profile", "bm25_topk",
-    "ngram_jaccard_md5_pairs", "streaming_stream_stream_full_join",
-    "streaming_session_window_dynamic", "sql_registered_pandas_udf",
-    "pandas_udaf_cents",
-    "span_dedup_removal", "vocab_coverage_curve", "bpe_merge_candidates",
-    "unigram_entropy_scores", "inverted_index_postings",
-    "events_gap_fill", "prefix_edit_near_dups", "ann_recall_report",
-    "join_key_skew_histogram", "events_rolling_median",
-    "zipf_fit_by_source", "events_anomaly_mad", "source_overlap_matrix",
-    "minhash_estimate_error", "bpe_merge_apply", "cdc_chunking",
-    "streaming_window_median", "collated_type_counts",
-    "region_nation_listagg",
-    # -- 3. never driver-checked ------------------------------------
-    "q21_sole_late_suppliers", "q20_heavy_promo_suppliers",
-    "q16_part_supplier_variety", "q11_top_balance_nations",
-    "q9_promo_profit", "q8_nation_market_share", "q2_min_cost_supplier",
-    "events_hourly_range_sum", "asof_cogroup_pandas",
-    # -- 4. displaced from the r5 window (r1/r2-green era) ----------
-    "q1_pricing_summary", "pipeline_add_fields",
-)
-
-# ROUND-7 WINDOW PLAN: the r2-era tail rolled out of the r6 window by
-# round-6 additions (new queries displace the deepest slot-4 names
-# into this list as they land), then the r5-window cohort (greens
-# whose rows will be 2 rounds old by r7). Reds, as always, jump the
-# queue.
-_R7_EARMARK = (
-    # round-6-new queries that no longer fit the 50-slot window (the
-    # two core anchors q1/pipeline_add_fields are kept instead), then
-    # r2-era greens displaced by the round-6 corpusops additions, plus
-    # the two new rows-only ops (driver rows still pending for all)
+    # -- 1. crashed r6 row / reworked this round --------------------
+    "approx_price_quantiles", "customer_rfm_segments",
+    "events_drift_psi", "join_key_skew_histogram",
+    "inverted_index_postings",
+    # -- 2. new in round 7 ------------------------------------------
+    "metadata_streaming_tumbling", "customer_global_rank",
+    "customer_pareto_abc", "orders_equidepth_bins",
+    "dau_wau_stickiness", "lsh_parameter_planner",
+    "cross_lang_fingerprint_spread", "order_fulfillment_backlog",
+    # -- 3. never driver-checked (round-6-new cohort) ---------------
     "ansi_safe_arithmetic", "order_status_mode", "null_safe_join_counts",
     "mv_join_delta_maintenance", "user_value_ewma",
     "events_cumulative_reach", "orders_yoy_growth",
     "matryoshka_truncation_audit", "event_path_topk",
     "knn_classifier_eval", "cluster_balanced_sample", "corpus_datacard",
     "sketch_family_pr_eval", "integrity_audit", "benford_price_audit",
-    "bot_rate_flags", "events_drift_psi", "revenue_percent_of_parent",
-    "customer_rfm_segments", "embedding_dim_variance",
-    # (every name above this line is round-6-new and both-SF green
-    # locally; they take r7 window slots 3+ after the usual reds/news)
+    "bot_rate_flags", "revenue_percent_of_parent",
+    "embedding_dim_variance", "misra_gries_topk",
+    "embedding_principal_component",
+    # -- 4. core-parity anchors -------------------------------------
+    "q1_pricing_summary", "pipeline_add_fields",
+    # -- 5. oldest-green rotation (r5-cohort) -----------------------
     "q5_revenue_by_nation", "q3_shipping_priority", "q6_forecast_revenue",
     "latest3_orders_per_customer", "customer_running_total",
-    "rollup_lineitem_flags",
-    "customers_with_urgent_orders", "top10_customers_by_revenue",
-    "cube_order_status_priority", "approx_distinct_customers",
-    "asof_last_click_before_purchase", "customer_first_last_orders",
-    "customer_status_profile", "events_json_extract", "events_range_join",
-    "events_running_value", "events_sessionize", "events_sliding_window",
-    "events_tumbling_window", "misra_gries_topk",
-    "embedding_principal_component",
+    "rollup_lineitem_flags", "customers_with_urgent_orders",
+    "top10_customers_by_revenue", "cube_order_status_priority",
+    "approx_distinct_customers", "asof_last_click_before_purchase",
+    "customer_first_last_orders", "customer_status_profile",
+    "events_json_extract", "events_range_join",
+)
+
+# ROUND-8 WINDOW PLAN: the r5-cohort remainder first (greens 3 rounds
+# old by r8), then the r6-window cohort (greens 2 rounds old by r8) in
+# its r6 order. Reds and round-8 reworks, as always, jump the queue.
+_R8_EARMARK = (
+    # r5-cohort tail displaced by round-7 additions
+    "events_running_value",
+    "events_sessionize", "events_sliding_window", "events_tumbling_window",
     "except_all_nation_bags", "full_outer_nation_roles",
     "grouping_sets_revenue", "intersect_all_order_counts",
     "lineitem_moment_stats", "nations_supplier_outer",
@@ -126,6 +108,26 @@ _R7_EARMARK = (
     "q19_disjunctive_predicate", "q22_idle_rich_customers",
     "q4_late_shipment_orders", "q7_nation_trade_volume",
     "unpivot_part_measures",
+    # r6-window cohort (r6-green; rotate as slots allow)
+    "kafka_wire_roundtrip", "snapshot_diff_cdc", "metadata_compiled_q3",
+    "metadata_corpus_refinery", "winnow_fingerprints", "winnow_overlap",
+    "mixture_temperature_weights", "embedding_dup_clusters",
+    "longest_shared_spans", "python_datasource_pushdown",
+    "sql_api_scripting", "sql_api_pipe_syntax",
+    "pandas_api_status_profile", "bm25_topk", "ngram_jaccard_md5_pairs",
+    "streaming_stream_stream_full_join",
+    "streaming_session_window_dynamic", "sql_registered_pandas_udf",
+    "pandas_udaf_cents", "span_dedup_removal", "vocab_coverage_curve",
+    "bpe_merge_candidates", "unigram_entropy_scores", "events_gap_fill",
+    "prefix_edit_near_dups", "ann_recall_report", "events_rolling_median",
+    "zipf_fit_by_source", "events_anomaly_mad", "source_overlap_matrix",
+    "minhash_estimate_error", "bpe_merge_apply", "cdc_chunking",
+    "streaming_window_median", "collated_type_counts",
+    "region_nation_listagg", "q21_sole_late_suppliers",
+    "q20_heavy_promo_suppliers", "q16_part_supplier_variety",
+    "q11_top_balance_nations", "q9_promo_profit",
+    "q8_nation_market_share", "q2_min_cost_supplier",
+    "events_hourly_range_sum", "asof_cogroup_pandas",
 )
 
 

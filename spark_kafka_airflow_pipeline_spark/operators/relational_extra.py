@@ -1280,7 +1280,67 @@ FROM scored GROUP BY 1
 """
 
 
+def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing as delta events — how many lineitems are OPEN
+    (between their two lifecycle dates) on each calendar day. The
+    naive form is a per-day range join (`day BETWEEN start AND end`,
+    quadratic); instead each lineitem emits +1 at its interval start
+    and -1 at its end, daily net changes aggregate linearly, and the
+    running backlog is one cumulative window over the
+    CALENDAR-bounded daily frame — the temporal state reconstruction
+    pattern (same family as SCD2 validity). The interval is
+    ``[least(order, ship), greatest(order, ship))`` because the
+    synthetic dates are uncorrelated (47% ship "before" ordering);
+    on real data least/greatest is the identity.
+
+    Scale: one orderkey equi-join (bucketable), one explode to 2 rows
+    per lineitem, a (day)-grain aggregate, and a window whose frame is
+    bounded by the date range regardless of data volume."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_shipdate"))
+    lo = F.least(F.to_date("o_orderdate"), F.to_date("l_shipdate"))
+    hi = F.greatest(F.to_date("o_orderdate"), F.to_date("l_shipdate"))
+    deltas = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .select(F.explode(F.array(
+                  F.struct(lo.alias("day"), F.lit(1).alias("d")),
+                  F.struct(hi.alias("day"),
+                           F.lit(-1).alias("d")))).alias("e"))
+              .select("e.day", "e.d"))
+    daily = (deltas.groupBy("day")
+             .agg(F.sum("d").cast("bigint").alias("net_change")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (daily
+            .withColumn("open_lineitems",
+                        F.sum("net_change").over(w).cast("bigint"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "net_change", "open_lineitems"))
+
+
+FULFILLMENT_BACKLOG_SQL = """
+WITH deltas AS (
+  SELECT LEAST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS day, 1 AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT GREATEST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS day, -1 AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), daily AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS net_change
+  FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, net_change,
+       CAST(SUM(net_change) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_lineitems
+FROM daily
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "order_fulfillment_backlog": order_fulfillment_backlog,
     "revenue_percent_of_parent": revenue_percent_of_parent,
     "customer_rfm_segments": customer_rfm_segments,
     "orders_yoy_growth": orders_yoy_growth,
@@ -1318,6 +1378,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "order_fulfillment_backlog": FULFILLMENT_BACKLOG_SQL,
     "revenue_percent_of_parent": PCT_OF_PARENT_SQL,
     "customer_rfm_segments": RFM_SQL,
     "orders_yoy_growth": ORDERS_YOY_SQL,

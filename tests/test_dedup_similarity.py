@@ -252,6 +252,11 @@ def test_empty_corpus_schema_stability(spark, tmp_path):
     for name, fn in dedup.QUERIES.items():
         df = fn(spark, str(d))
         assert df.columns, name
+        if name == "lsh_parameter_planner":
+            # data-independent analytic table: 45 rows regardless of
+            # corpus (that is its point — plan BEFORE the scan)
+            assert len(df.collect()) == 45, name
+            continue
         assert df.collect() == [], name
 
 

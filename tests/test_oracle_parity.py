@@ -140,7 +140,7 @@ def test_window_priority_holds_last_driver_reds():
     hash_match:false must sit inside the first 50 queries() entries."""
     import json
     last: dict[str, bool] = {}
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         p = Path(__file__).resolve().parent.parent / f"CORRECTNESS_r0{r}.json"
         if p.exists():
             for k, v in json.loads(p.read_text()).items():

@@ -19,15 +19,16 @@ from spark_kafka_airflow_pipeline_spark.operators import (
 
 
 def test_window_priority_bookkeeping():
-    """Window priority is exactly the driver's 50-slot window; the r7
-    earmark names are real queries and disjoint from the window."""
+    """Window priority is exactly the driver's 50-slot window; the
+    next-round earmark names are real queries and disjoint from the
+    window."""
     qs = entry_mod.queries()
     names = list(qs)
     assert len(entry_mod._WINDOW_PRIORITY) == 50
     assert set(entry_mod._WINDOW_PRIORITY) == set(names[:50])
-    unknown = [n for n in entry_mod._R7_EARMARK if n not in qs]
+    unknown = [n for n in entry_mod._R8_EARMARK if n not in qs]
     assert not unknown, unknown
-    overlap = set(entry_mod._R7_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
+    overlap = set(entry_mod._R8_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
     assert not overlap, overlap
 
 

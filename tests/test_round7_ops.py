@@ -1,0 +1,217 @@
+"""Round-7 operator tests: distributed ranking/prefix-sum primitives,
+ntile arithmetic, declarative streaming, and the new analytics ops."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
+    events,
+    relational_extra,
+    scaleops,
+)
+
+
+def test_global_row_number_equals_window(spark, sf_dir):
+    """The two-phase distributed rank must equal the single-window
+    ROW_NUMBER for every row, including under heavy value ties (the
+    unique tiebreaker carries the total order)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority")  # priority: ~5 distinct, all ties
+    got = scaleops.global_row_number(
+        o, F.col("o_orderpriority"), F.col("o_orderkey"), out="rn")
+    want = o.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy("o_orderpriority", "o_orderkey")))
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
+def test_global_row_number_empty_and_single(spark):
+    empty = spark.createDataFrame([], "k long")
+    assert scaleops.global_row_number(empty, F.col("k")).collect() == []
+    one = spark.createDataFrame([(7,)], "k long")
+    rows = scaleops.global_row_number(one, F.col("k"), out="rn").collect()
+    assert [(r["k"], r["rn"]) for r in rows] == [(7, 1)]
+
+
+def test_global_running_sum_equals_window(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("v"))
+    got = scaleops.global_running_sum(
+        c, "v", F.col("v").desc(), F.col("c_custkey"), out="run")
+    want = c.withColumn(
+        "run",
+        F.sum("v").over(Window.orderBy(F.col("v").desc(), "c_custkey")
+                        .rowsBetween(Window.unboundedPreceding, 0)))
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
+def test_rfm_tile_arithmetic_equals_ntile(spark):
+    """The closed-form ntile(5) arithmetic must match Spark's ntile for
+    frame sizes around the divisibility corners (n < 5, n % 5 == 0,
+    n % 5 != 0)."""
+    for n in (1, 3, 5, 7, 10, 23, 100):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        want = df.withColumn("t", F.ntile(5).over(Window.orderBy("k")))
+        ranked = scaleops.global_row_number(df, F.col("k"), out="rn")
+        total = df.agg(F.count(F.lit(1)).alias("n"))
+        got = (ranked.crossJoin(F.broadcast(total))
+               .withColumn("t", F.expr(
+                   "CAST(CASE WHEN rn <= (n % 5) * (n DIV 5 + 1) "
+                   "THEN (rn + n DIV 5) DIV (n DIV 5 + 1) "
+                   "ELSE n % 5 + (rn - (n % 5) * (n DIV 5 + 1) "
+                   "+ n DIV 5 - 1) DIV (n DIV 5) END AS INT)"))
+               .select("k", "t"))
+        assert got.subtract(want).count() == 0, n
+        assert want.subtract(got).count() == 0, n
+
+
+def test_dau_wau_brute_force(spark, sf_dir):
+    """WAU from the bounded fan-out must equal the brute-force trailing
+    7-day distinct count per day."""
+    rows = events.dau_wau_stickiness(spark, sf_dir).collect()
+    assert rows
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id").collect()
+    import datetime as dt
+
+    by_day: dict[str, set] = {}
+    for r in raw:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    for r in rows:
+        d = dt.date.fromisoformat(r["day"])
+        week = set()
+        for off in range(7):
+            week |= by_day.get(str(d - dt.timedelta(days=off)), set())
+        assert r["n_dau"] == len(by_day[r["day"]]), r
+        assert r["n_wau"] == len(week), r
+        assert r["stickiness_ppm"] == r["n_dau"] * 1_000_000 // r["n_wau"]
+
+
+def test_fulfillment_backlog_stabbing(spark, sf_dir):
+    """The delta-event backlog must equal brute-force interval stabbing
+    (count of lineitems with order date <= day < ship date) on sampled
+    days."""
+    out = {r["day"]: r["open_lineitems"]
+           for r in relational_extra.order_fulfillment_backlog(
+               spark, sf_dir).collect()}
+    assert out
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("ordered"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select(F.least("ordered", "ship").alias("lo"),
+                 F.greatest("ordered", "ship").alias("hi")))
+    days = sorted(out)
+    for day in {days[0], days[len(days) // 2], days[len(days) // 4],
+                days[-1]}:
+        stab = j.filter(
+            (F.col("lo") <= F.lit(day).cast("date"))
+            & (F.col("hi") > F.lit(day).cast("date"))).count()
+        assert out[day] == stab, (day, out[day], stab)
+
+
+def test_equidepth_bins_partition_evenly(spark, sf_dir):
+    rows = scaleops.orders_equidepth_bins(spark, sf_dir).collect()
+    assert {r["bin"] for r in rows} == set(range(10))
+    total = sum(r["n_orders"] for r in rows)
+    for r in rows:
+        # equal frequency within ties + interpolation slack
+        assert abs(r["n_orders"] - total / 10) <= max(2, total * 0.02), r
+    ordered = sorted(rows, key=lambda r: r["bin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_cents"] <= b["min_cents"]  # ranges don't overlap
+
+
+def test_pareto_abc_invariants(spark, sf_dir):
+    rows = {r["abc"]: r for r in
+            scaleops.customer_pareto_abc(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total = sum(r["class_cents"] for r in rows.values())
+    # A holds at most 80% of revenue + one boundary customer's worth
+    assert rows["A"]["class_share_ppm"] <= 810_000
+    assert sum(r["class_share_ppm"] for r in rows.values()) <= 1_000_000
+    assert total > 0
+
+
+def test_executor_watermark_and_expr_groupby_batch(spark, sf_dir):
+    """The new metadata surface on a BATCH frame: watermark is a no-op,
+    expression groupBy buckets by the computed key."""
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "b",
+        "sources": [{"name": "orders",
+                     "path": f"{sf_dir}/orders.parquet",
+                     "format": "parquet"}],
+        "transformations": [
+            {"name": "wm", "type": "watermark", "params": {
+                "input": "orders", "column": "o_orderdate",
+                "delay": "1 hour"}},
+            {"name": "agg", "type": "aggregate", "params": {
+                "input": "wm",
+                "groupBy": ["substring(o_orderpriority, 1, 1) AS pri"],
+                "aggregates": [{"name": "n", "function": "COUNT(*)"}]}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    got = {r["pri"]: r["n"] for r in nodes["agg"].collect()}
+    want = {r[0]: r[1] for r in
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy(F.expr("substring(o_orderpriority, 1, 1)"))
+            .count().collect()}
+    assert got == want
+
+
+def test_watermark_node_validates_params(spark, sf_dir):
+    import pytest
+
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    meta = parse_metadata({"dataflows": [{
+        "name": "bad",
+        "sources": [{"name": "orders",
+                     "path": f"{sf_dir}/orders.parquet",
+                     "format": "parquet"}],
+        "transformations": [
+            {"name": "wm", "type": "watermark", "params": {
+                "input": "orders", "column": "o_orderdate"}},
+        ],
+        "sinks": [],
+    }]})
+    with pytest.raises(ValueError, match="watermark"):
+        PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+
+
+def test_lsh_planner_monotone(spark, sf_dir):
+    """More bands (fewer rows per band) => higher candidate probability
+    at every similarity; probability rises with similarity."""
+    from spark_kafka_airflow_pipeline_spark.operators import dedup
+
+    rows = dedup.lsh_parameter_planner(spark, sf_dir).collect()
+    assert len(rows) == 45
+    by_cfg: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        by_cfg.setdefault((r["bands"], r["rows_per_band"]), {})[
+            r["jaccard_pct"]] = r["p_candidate_micros"]
+    for curve in by_cfg.values():
+        pts = [curve[p] for p in sorted(curve)]
+        assert pts == sorted(pts)  # monotone in s
+    for s in range(10, 100, 10):
+        ordered = [by_cfg[c][s] for c in
+                   [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]]
+        assert ordered == sorted(ordered, reverse=True), s
