@@ -1063,6 +1063,68 @@ def embedding_principal_component(spark: SparkSession,
     return spark.createDataFrame(rows, schema)
 
 
+def rendezvous_shard_plan(spark: SparkSession, sf_dir: str,
+                          n_shards: int = 8) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the
+    consistent-assignment algorithm a distributed ingestion tier uses
+    so that adding/removing a shard only remaps that shard's share of
+    keys (vs mod-N remapping nearly everything): every doc scores each
+    shard by ``md5(doc_id:shard)`` and lands on the argmax. Output is
+    the shard load table (docs, token sum, balance vs ideal in ppm).
+
+    Scale: the score fan-out is n_shards per doc (bounded constant),
+    reduced by one ``max_by`` aggregate — no window, no sort; md5 is
+    bit-identical in both engines so assignment is exactly oracled.
+    The stability property (drop shard 3: only its docs move) is
+    pinned in tests/test_round7_ops.py."""
+    d = _tokens(table(spark, sf_dir, "documents"))
+    docs = d.select("doc_id", F.size("toks").alias("n_tokens"))
+    scored = docs.select(
+        "doc_id", "n_tokens",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("shard"),
+                     F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(i)))
+                     .alias("score"))
+            for i in range(n_shards)])).alias("s"))
+    assigned = (scored.groupBy("doc_id")
+                .agg(F.expr("max_by(s.shard, s.score)").alias("shard"),
+                     F.min("n_tokens").alias("n_tokens")))
+    loads = (assigned.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").cast("bigint").alias("n_tokens")))
+    total = loads.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return (loads.crossJoin(F.broadcast(total))
+            .select("shard", "n_docs", "n_tokens",
+                    F.expr(f"n_docs * {n_shards} * 1000000 DIV total")
+                    .alias("load_vs_ideal_ppm")))
+
+
+RENDEZVOUS_SHARD_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens, shard, md5(doc_id || ':' || shard) AS score
+  FROM docs, (SELECT unnest(range(0, 8)) AS shard)
+), assigned AS (
+  SELECT doc_id, MIN(n_tokens) AS n_tokens,
+         max_by(shard, score) AS shard
+  FROM scored GROUP BY doc_id
+), loads AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY shard
+)
+SELECT CAST(shard AS INT) AS shard, n_docs, n_tokens,
+       CAST(n_docs * 8 * 1000000 //
+            (SELECT SUM(n_docs) FROM loads) AS BIGINT)
+         AS load_vs_ideal_ppm
+FROM loads
+"""
+
+
 def cross_lang_fingerprint_spread(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Cross-language duplicate audit: exact-duplicate clusters
@@ -1103,6 +1165,7 @@ FROM cl GROUP BY 1
 
 
 QUERIES: dict[str, QueryFn] = {
+    "rendezvous_shard_plan": rendezvous_shard_plan,
     "cross_lang_fingerprint_spread": cross_lang_fingerprint_spread,
     "span_dedup_removal": span_dedup_removal,
     "vocab_coverage_curve": vocab_coverage_curve,
@@ -1121,6 +1184,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rendezvous_shard_plan": RENDEZVOUS_SHARD_SQL,
     "cross_lang_fingerprint_spread": CROSS_LANG_SPREAD_SQL,
     "zipf_fit_by_source": ZIPF_FIT_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,

@@ -1280,6 +1280,43 @@ FROM scored GROUP BY 1
 """
 
 
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index — the time-intelligence companion
+    of ``orders_yoy_growth``: revenue cents per calendar month
+    (aggregated across all years) expressed against the uniform
+    1/12th share in integer ppm (1,000,000 = exactly average month).
+
+    Scale: one scan into a 12-row aggregate; the index is arithmetic
+    against the broadcast 1-row total."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    monthly = (o.groupBy(F.month("o_orderdate").alias("month"))
+               .agg(F.sum(cents).alias("month_cents"),
+                    F.count(F.lit(1)).alias("n_orders")))
+    total = monthly.agg(F.sum("month_cents").cast("bigint").alias("total"))
+    return (monthly.crossJoin(F.broadcast(total))
+            .select("month", "n_orders",
+                    F.col("month_cents").cast("bigint").alias("month_cents"),
+                    F.expr("month_cents * 12 * 1000000 DIV total")
+                    .alias("season_index_ppm")))
+
+
+SEASONALITY_SQL = """
+WITH monthly AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS month_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, month_cents,
+       CAST(month_cents * 12 * 1000000 //
+            (SELECT CAST(SUM(month_cents) AS BIGINT) FROM monthly)
+         AS BIGINT) AS season_index_ppm
+FROM monthly
+"""
+
+
 def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-stabbing as delta events — how many lineitems are OPEN
     (between their two lifecycle dates) on each calendar day. The
@@ -1340,6 +1377,7 @@ FROM daily
 
 
 QUERIES: dict[str, QueryFn] = {
+    "orders_seasonality_index": orders_seasonality_index,
     "order_fulfillment_backlog": order_fulfillment_backlog,
     "revenue_percent_of_parent": revenue_percent_of_parent,
     "customer_rfm_segments": customer_rfm_segments,
@@ -1378,6 +1416,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_seasonality_index": SEASONALITY_SQL,
     "order_fulfillment_backlog": FULFILLMENT_BACKLOG_SQL,
     "revenue_percent_of_parent": PCT_OF_PARENT_SQL,
     "customer_rfm_segments": RFM_SQL,

@@ -197,6 +197,45 @@ def test_watermark_node_validates_params(spark, sf_dir):
         PipelineExecutor(spark).build_nodes(meta.dataflows[0])
 
 
+def test_rendezvous_stability(spark, sf_dir):
+    """The HRW property that justifies the algorithm: dropping one
+    shard reassigns ONLY the docs that were on it — every other doc
+    keeps its shard (mod-N hashing would remap ~(N-1)/N of all keys)."""
+    from spark_kafka_airflow_pipeline_spark.operators.corpusops import (
+        _tokens,
+    )
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+
+    d = _tokens(table(spark, sf_dir, "documents")).select("doc_id")
+
+    def assign(shards: list[int]) -> dict[int, int]:
+        scored = d.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("shard"),
+                         F.md5(F.concat_ws(":", F.col("doc_id"),
+                                           F.lit(i))).alias("score"))
+                for i in shards])).alias("s"))
+        return {r["doc_id"]: r["shard"] for r in
+                scored.groupBy("doc_id")
+                .agg(F.expr("max_by(s.shard, s.score)").alias("shard"))
+                .collect()}
+
+    full = assign(list(range(8)))
+    without3 = assign([i for i in range(8) if i != 3])
+    moved = {k for k in full if full[k] != without3[k]}
+    assert moved == {k for k, v in full.items() if v == 3}
+
+
+def test_seasonality_index_sums(spark, sf_dir):
+    rows = relational_extra.orders_seasonality_index(spark, sf_dir).collect()
+    assert {r["month"] for r in rows} <= set(range(1, 13))
+    # indices average to ~1.0 (ppm) over the months present
+    if len(rows) == 12:
+        avg = sum(r["season_index_ppm"] for r in rows) / 12
+        assert abs(avg - 1_000_000) < 1_000
+
+
 def test_lsh_planner_monotone(spark, sf_dir):
     """More bands (fewer rows per band) => higher candidate probability
     at every similarity; probability rises with similarity."""
