@@ -28,6 +28,8 @@ DEFAULT = [
     "q6_forecast_revenue", "top10_customers_by_revenue",
     "latest3_orders_per_customer", "dedup_exact", "minhash_lsh_pairs",
     "cosine_topk", "events_sessionize",
+    # r7 de-scale-killed plans: the two-phase distributed rankings
+    "customer_rfm_segments", "customer_pareto_abc",
 ]
 
 
