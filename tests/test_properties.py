@@ -147,3 +147,31 @@ def test_mixture_threshold_is_pure_row_function(spark, ids, thr):
     expected = {i for i in ids
                 if hashlib.md5(f"{i}:mix".encode()).hexdigest()[:4] < thr}
     assert kept == expected
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60),
+       parts=st.sampled_from([1, 3, 7, 32]))
+@_SLOW
+def test_global_two_phase_matches_sequential(spark, vals, parts):
+    """The distributed two-phase rank/prefix-sum must equal the
+    sequential definition for ANY value multiset (heavy ties,
+    negatives, empty) and ANY partition count — the invariant behind
+    every query built on scaleops.global_row_number/global_running_sum."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    ranked = {r["k"]: (r["rn"], r["run"]) for r in global_running_sum(
+        global_row_number(df, F.col("v"), F.col("k"), out="rn",
+                          num_partitions=parts),
+        "v", F.col("v"), F.col("k"), out="run",
+        num_partitions=parts).collect()}
+    seq = sorted(rows, key=lambda t: (t[1], t[0]))
+    acc = 0
+    for rank, (k, v) in enumerate(seq, 1):
+        acc += v
+        assert ranked[k] == (rank, acc), (k, v)
+    assert len(ranked) == len(vals)
