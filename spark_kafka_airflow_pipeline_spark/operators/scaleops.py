@@ -628,6 +628,118 @@ FROM w, cuts GROUP BY 1
                         for i in range(1, 10)))
 
 
+def kmv_distinct_rollup(spark: SparkSession, sf_dir: str,
+                        k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch — the
+    mergeable approximate-distinct with a twist the HLL rollup cannot
+    offer: the sketch is DETERMINISTIC (bottom-k of md5 priorities),
+    so the approximate estimate itself is value-hash ORACLED, not just
+    accuracy-tested. Per event type, keep the k smallest md5(user_id)
+    values; estimate distinct as ``(k-1) / U_k`` with ``U_k`` = the
+    kth value's normalized 6-hex-digit prefix (integer arithmetic).
+    The ``__all__`` row re-sketches the UNION of the per-type bottom-k
+    sets — valid because every global minimum is a minimum of its own
+    type (bottom-k union-merge, the same no-rescan rollup property as
+    ``hll_distinct_rollup``, pinned exactly by the oracle recomputing
+    the union sketch from scratch).
+
+    Scale: distinct (type, hash) is one hash aggregate; bottom-k is
+    the SALTED two-phase top-k (local rank per (type, salt), global
+    re-rank over <= 16k survivors) so a hot type never funnels its
+    distinct-hash frame through one task. Groups with < k members are
+    exact by definition (m < k branch)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.md5(F.col("user_id").cast("string"))
+    hashes = (ev.select("event_type", h.alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("_c")).drop("_c"))
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as Wn
+
+        w_local = Wn.partitionBy("event_type", "salt").orderBy("h")
+        w_glob = Wn.partitionBy("event_type").orderBy("h")
+        return (df.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(16)))
+                .withColumn("lrn", F.row_number().over(w_local))
+                .filter(F.col("lrn") <= k)
+                .withColumn("rn", F.row_number().over(w_glob))
+                .filter(F.col("rn") <= k)
+                .drop("salt", "lrn", "rn"))
+
+    per_type = bottom_k(hashes)
+    merged = (per_type.select(F.lit("__all__").alias("event_type"), "h")
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("_c")).drop("_c"))
+    sketch = per_type.unionByName(bottom_k(merged))
+    # estimate from the kth (max) hash's 6-hex prefix; exact when m < k
+    space = 16 ** 6
+    est = (sketch.groupBy("event_type")
+           .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("m"))
+           .select(
+               "event_type", "m",
+               F.when(F.col("m") < k, F.col("m"))
+               .otherwise(F.expr(
+                   f"(CAST({k} AS BIGINT) - 1) * {space} DIV "
+                   f"GREATEST(CAST(conv(substring(kth, 1, 6), 16, 10) "
+                   f"AS BIGINT), 1)"))
+               .cast("bigint").alias("kmv_estimate")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct"))
+             .unionByName(
+                 ev.select(F.lit("__all__").alias("event_type"), "user_id")
+                 .groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("exact_distinct"))))
+    return (est.join(exact, "event_type")
+            .select("event_type", "m", "kmv_estimate", "exact_distinct"))
+
+
+def _hex6_to_int_sql(col: str) -> str:
+    """DuckDB has no base-16 conv(); parse 6 hex chars by digit."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (5 - i)}"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+), per_type AS (
+  SELECT event_type, h FROM ranked WHERE rn <= 256
+), merged AS (
+  SELECT '__all__' AS event_type, h
+  FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM per_type))
+  WHERE rn <= 256
+), sketch AS (
+  SELECT * FROM per_type UNION ALL SELECT * FROM merged
+), est AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+         MAX(h) AS kth
+  FROM sketch GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+)
+SELECT est.event_type, m,
+       CAST(CASE WHEN m < 256 THEN m
+            ELSE CAST(255 AS BIGINT) * {16 ** 6} //
+                 GREATEST({_hex6_to_int_sql('kth')}, 1)
+            END AS BIGINT) AS kmv_estimate,
+       exact_distinct
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+
 def join_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics as a query: the distribution of per-key row
     counts on the workload's hottest join/aggregation keys — the table
@@ -704,6 +816,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_global_rank": customer_global_rank,
     "customer_pareto_abc": customer_pareto_abc,
     "orders_equidepth_bins": orders_equidepth_bins,
+    "kmv_distinct_rollup": kmv_distinct_rollup,
     "join_key_skew_histogram": join_key_skew_histogram,
     "bucketed_orders_lineitem_join": bucketed_orders_lineitem_join,
     "salted_group_agg": salted_group_agg,
@@ -719,6 +832,7 @@ ORACLES: dict[str, str] = {
     "customer_global_rank": CUSTOMER_RANK_SQL,
     "customer_pareto_abc": PARETO_ABC_SQL,
     "orders_equidepth_bins": EQUIDEPTH_SQL,
+    "kmv_distinct_rollup": KMV_SQL,
     "join_key_skew_histogram": JOIN_SKEW_SQL,
     "events_monthly_from_rollup": MONTHLY_ROLLUP_SQL,
     "bucketed_orders_lineitem_join": BUCKETED_JOIN_SQL,

@@ -236,6 +236,36 @@ def test_seasonality_index_sums(spark, sf_dir):
         assert abs(avg - 1_000_000) < 1_000
 
 
+def test_kmv_union_merge_identity(spark, sf_dir):
+    """The rollup property that justifies KMV: the __all__ sketch
+    (bottom-k of the UNION of per-type bottom-k sets) must be
+    IDENTICAL to a bottom-k computed directly over all distinct
+    hashes — every global minimum is a minimum of its own type, so
+    pre-aggregated sketches merge losslessly without rescanning."""
+    from pyspark.sql import Window
+
+    rows = scaleops.kmv_distinct_rollup(spark, sf_dir).collect()
+    all_row = next(r for r in rows if r["event_type"] == "__all__")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = (ev.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+              .distinct()
+              .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+              .filter(F.col("rn") <= 256))
+    kth = direct.agg(F.max("h"), F.count(F.lit(1))).first()
+    m = kth[1]
+    assert all_row["m"] == m
+    if m >= 256:
+        est = (256 - 1) * 16 ** 6 // max(
+            int(kth[0][:6], 16), 1)
+        assert all_row["kmv_estimate"] == est
+    # sanity: estimate within a generous 4-sigma KMV envelope
+    exact = all_row["exact_distinct"]
+    if m >= 256:
+        assert abs(all_row["kmv_estimate"] - exact) / exact < 4 / (254 ** 0.5)
+    else:
+        assert all_row["kmv_estimate"] == exact
+
+
 def test_lsh_planner_monotone(spark, sf_dir):
     """More bands (fewer rows per band) => higher candidate probability
     at every similarity; probability rises with similarity."""
