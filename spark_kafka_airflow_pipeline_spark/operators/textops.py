@@ -1298,6 +1298,75 @@ def grouped_sample_topk(spark: SparkSession, sf_dir: str,
             .filter(F.col("draw_rank") <= k))
 
 
+def weighted_sample_aes(spark: SparkSession, sf_dir: str,
+                        k: int = 5) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``k`` per source
+    (Efraimidis-Spirakis A-ES) — the missing cell of the sampling
+    matrix beside rate-based Bernoulli (``weighted_mixture_sample``)
+    and uniform exactly-k (``grouped_sample_topk``): each doc draws a
+    deterministic md5 uniform ``u`` and is ranked by ``u^(1/w)`` with
+    weight ``w`` = token count, so long documents win proportionally
+    more often — the standard one-pass distributed weighted reservoir.
+
+    Engine-portable ranking: ``u^(1/w)`` is maximized exactly when
+    ``ln(u)/w`` is (monotone transform), and ``ln(u)`` goes through
+    the repo's 6dp-ln integer-micros idiom; the sort key is then the
+    IEEE-exact division of two integers (identical doubles in both
+    engines), ties broken by doc_id. Zero-weight (empty) docs are
+    excluded up front — A-ES gives them key 0, i.e. never sampled.
+
+    Scale: one rank window per source with ``row_number <= k`` (Spark
+    4's WindowGroupLimit pushes the per-key limit below the shuffle,
+    so a hot source never funnels its full frame through one task)."""
+    d = table(spark, sf_dir, "documents")
+    w_tok = T.token_count("text")
+    # u from the first 6 hex digits of md5 (uniform on (0, 1], the
+    # +1 keeps ln off zero); ln in integer micros, key = micros / w
+    val6 = F.expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), "
+                  "':aes')), 1, 6), 16, 10) AS BIGINT) + 1")
+    ln_micros = F.floor(
+        F.round(F.log(val6.cast("double") / F.lit(16 ** 6)), 6)
+        * 1000000.0 + 0.5).cast("bigint")
+    base = (d.select("source", "doc_id", w_tok.alias("n_tokens"),
+                     ln_micros.alias("lnm"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("key", F.col("lnm").cast("double")
+                        / F.col("n_tokens")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(F.desc("key"), "doc_id")
+    return (base.withColumn("draw_rank",
+                            F.row_number().over(w).cast("int"))
+            .filter(F.col("draw_rank") <= k)
+            .select("source", "doc_id", "n_tokens", "draw_rank"))
+
+
+WEIGHTED_AES_SQL = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens,
+         CAST(floor(round(ln(
+           ({hex6} + 1) * 1.0 / 16777216), 6) * 1000000.0 + 0.5)
+           AS BIGINT) AS lnm
+  FROM documents
+), keyed AS (
+  SELECT source, doc_id, n_tokens, lnm * 1.0 / n_tokens AS key
+  FROM base WHERE n_tokens > 0
+)
+SELECT source, doc_id, n_tokens, draw_rank FROM (
+  SELECT source, doc_id, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY key DESC, doc_id) AS INT)
+           AS draw_rank
+  FROM keyed)
+WHERE draw_rank <= 5
+""".format(hex6="(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) "
+    f"|| ':aes'), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6)) + ")")
+
+
 GROUPED_SAMPLE_SQL = """
 SELECT source, doc_id, n_tokens, draw_rank FROM (
   SELECT source, doc_id,
@@ -1853,6 +1922,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_source_arrow_stats": doc_source_arrow_stats,
     "token_lift_pairs": token_lift_pairs,
+    "weighted_sample_aes": weighted_sample_aes,
     "grouped_sample_topk": grouped_sample_topk,
     "gopher_quality_rules": gopher_quality_rules,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
@@ -1891,6 +1961,7 @@ ORACLES: dict[str, str] = {
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_source_arrow_stats": ARROW_STATS_SQL,
     "token_lift_pairs": TOKEN_LIFT_SQL,
+    "weighted_sample_aes": WEIGHTED_AES_SQL,
     "grouped_sample_topk": GROUPED_SAMPLE_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "tokenizer_vocab_coverage": VOCAB_COVERAGE_SQL,

@@ -236,6 +236,40 @@ def test_seasonality_index_sums(spark, sf_dir):
         assert abs(avg - 1_000_000) < 1_000
 
 
+def test_weighted_aes_matches_python_recomputation(spark, sf_dir):
+    """A-ES selection is a pure function of the data: a driver-side
+    recomputation (same md5 -> 6-hex u, 6dp-ln micros, key = micros/w,
+    ties by doc_id) must pick the identical winners."""
+    import hashlib
+    import math
+
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    got = {(r["source"], r["doc_id"]): r["draw_rank"] for r in
+           textops.weighted_sample_aes(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "text").collect()
+    by_source: dict[str, list] = {}
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        # token_count counts whitespace tokens of the raw (not lowered)
+        # text; lowering does not change token boundaries
+        w = len(toks)
+        if w == 0:
+            continue
+        val6 = int(hashlib.md5(
+            f"{r['doc_id']}:aes".encode()).hexdigest()[:6], 16) + 1
+        lnm = math.floor(round(math.log(val6 / 16 ** 6), 6) * 1e6 + 0.5)
+        by_source.setdefault(r["source"], []).append(
+            (lnm / w, -r["doc_id"], r["doc_id"]))
+    want = {}
+    for src, lst in by_source.items():
+        for rank, (_, _, doc) in enumerate(
+                sorted(lst, key=lambda t: (-t[0], t[2]))[:5], 1):
+            want[(src, doc)] = rank
+    assert got == want
+
+
 def test_kmv_union_merge_identity(spark, sf_dir):
     """The rollup property that justifies KMV: the __all__ sketch
     (bottom-k of the UNION of per-type bottom-k sets) must be
