@@ -1063,6 +1063,155 @@ def embedding_principal_component(spark: SparkSession,
     return spark.createDataFrame(rows, schema)
 
 
+def kmv_source_overlap(spark: SparkSession, sf_dir: str,
+                       k: int = 128) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the capability that makes bottom-k
+    sketches an infrastructure primitive rather than a counter: from
+    one k-minimum-values sketch per source (over word-8-gram md5
+    priorities), estimate every source pair's Jaccard similarity and
+    union size WITHOUT touching the gram data again, and report the
+    exact values beside them as the in-query error audit. The
+    estimator is the standard one (Beyer et al.): with ``tau`` = the
+    kth smallest hash of the merged pair sketch, ``J ~= |{h <= tau
+    present in BOTH sketches}| / k``; deterministic md5 priorities
+    make even the approximation value-hash ORACLED.
+
+    Scale: one distinct (source, gram-hash) aggregate (linear — the
+    same first stage as ``source_overlap_matrix``), a salted bottom-k
+    per source, and then ONLY sketch-sized frames (pairs x k rows);
+    the exact audit columns reuse the bounded-fan-out pair join and
+    drop out of the plan when not selected."""
+    from pyspark.sql import Window as Wn
+
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        bottom_k_per_group,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    grams = (d.select("source", F.explode(T.shingles("text", 8)).alias("g"))
+             .groupBy("source", F.md5("g").alias("h"))
+             .agg(F.count(F.lit(1)).alias("_c")).drop("_c"))
+    sk = bottom_k_per_group(grams, ["source"], "h", k)
+    srcs = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    pairs = (srcs.select(F.col("source").alias("sa"),
+                         F.col("n_exact").alias("na"))
+             .crossJoin(F.broadcast(
+                 srcs.select(F.col("source").alias("sb"),
+                             F.col("n_exact").alias("nb"))))
+             .filter(F.col("sa") < F.col("sb")))
+    psk = (pairs.select("sa", "sb")
+           .join(sk, sk.source == F.col("sa")).select("sa", "sb", "h")
+           .unionByName(
+               pairs.select("sa", "sb")
+               .join(sk, sk.source == F.col("sb"))
+               .select("sa", "sb", "h"))
+           .groupBy("sa", "sb", "h")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    ranked = psk.withColumn(
+        "rn", F.row_number().over(Wn.partitionBy("sa", "sb").orderBy("h")))
+    space = 16 ** 6
+    est = (ranked.groupBy("sa", "sb")
+           .agg(F.least(F.count(F.lit(1)), F.lit(k)).alias("m_u"),
+                F.sum(((F.col("cnt") == 2) & (F.col("rn") <= k))
+                      .cast("bigint")).alias("common"),
+                F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("tau"))
+           .withColumn(
+               "union_est",
+               F.when(F.col("m_u") < k, F.col("m_u"))
+               .otherwise(F.expr(
+                   f"(CAST({k} AS BIGINT) - 1) * {space} DIV "
+                   f"GREATEST(CAST(conv(substring(tau, 1, 6), 16, 10) "
+                   f"AS BIGINT), 1)")).cast("bigint"))
+           .withColumn("jaccard_est_ppm",
+                       F.expr("common * 1000000 DIV m_u").cast("bigint")))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (a.join(b, [F.col("a.h") == F.col("b.h"),
+                        F.col("a.source") < F.col("b.source")])
+             .groupBy(F.col("a.source").alias("sa"),
+                      F.col("b.source").alias("sb"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (est.join(pairs, ["sa", "sb"])
+            .join(inter, ["sa", "sb"], "left")
+            .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+            .select(
+                F.col("sa").alias("source_a"),
+                F.col("sb").alias("source_b"),
+                F.col("m_u").cast("int").alias("m_u"),
+                "jaccard_est_ppm", "union_est",
+                F.expr("n_inter * 1000000 DIV (na + nb - n_inter)")
+                .cast("bigint").alias("jaccard_exact_ppm"),
+                F.expr("na + nb - n_inter").cast("bigint")
+                .alias("union_exact")))
+
+
+def _kmv_overlap_sql() -> str:
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        _hex6_to_int_sql,
+    )
+
+    return r"""
+WITH grams AS (
+  SELECT DISTINCT source, md5(g) AS h FROM (
+    SELECT source,
+           unnest(list_distinct(
+             CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+             END)) AS g
+    FROM (SELECT source,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents))
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM grams) WHERE rn <= 128
+), srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM grams GROUP BY source
+), pairs AS (
+  SELECT a.source AS sa, a.n_exact AS na, b.source AS sb,
+         b.n_exact AS nb
+  FROM srcs a, srcs b WHERE a.source < b.source
+), psk AS (
+  SELECT sa, sb, h, COUNT(*) AS cnt FROM (
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb
+  ) GROUP BY sa, sb, h
+), ranked AS (
+  SELECT sa, sb, h, cnt,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM psk
+), est AS (
+  SELECT sa, sb, LEAST(COUNT(*), 128) AS m_u,
+         CAST(SUM(CASE WHEN cnt = 2 AND rn <= 128 THEN 1 ELSE 0 END)
+              AS BIGINT) AS common,
+         MAX(CASE WHEN rn <= 128 THEN h END) AS tau
+  FROM ranked GROUP BY sa, sb
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.sa AS source_a, e.sb AS source_b,
+       CAST(m_u AS INT) AS m_u,
+       CAST(common * 1000000 // m_u AS BIGINT) AS jaccard_est_ppm,
+       CAST(CASE WHEN m_u < 128 THEN m_u
+            ELSE CAST(127 AS BIGINT) * 16777216 //
+                 GREATEST({hex6}, 1) END AS BIGINT) AS union_est,
+       CAST(COALESCE(n_inter, 0) * 1000000 //
+            (na + nb - COALESCE(n_inter, 0)) AS BIGINT)
+         AS jaccard_exact_ppm,
+       CAST(na + nb - COALESCE(n_inter, 0) AS BIGINT) AS union_exact
+FROM est e
+JOIN pairs p ON e.sa = p.sa AND e.sb = p.sb
+LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
+""".format(hex6=_hex6_to_int_sql("tau"))
+
+
 def rendezvous_shard_plan(spark: SparkSession, sf_dir: str,
                           n_shards: int = 8) -> DataFrame:
     """Rendezvous (highest-random-weight) sharding — the
@@ -1165,6 +1314,7 @@ FROM cl GROUP BY 1
 
 
 QUERIES: dict[str, QueryFn] = {
+    "kmv_source_overlap": kmv_source_overlap,
     "rendezvous_shard_plan": rendezvous_shard_plan,
     "cross_lang_fingerprint_spread": cross_lang_fingerprint_spread,
     "span_dedup_removal": span_dedup_removal,
@@ -1184,6 +1334,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kmv_source_overlap": _kmv_overlap_sql(),
     "rendezvous_shard_plan": RENDEZVOUS_SHARD_SQL,
     "cross_lang_fingerprint_spread": CROSS_LANG_SPREAD_SQL,
     "zipf_fit_by_source": ZIPF_FIT_SQL,

@@ -628,6 +628,26 @@ FROM w, cuts GROUP BY 1
                         for i in range(1, 10)))
 
 
+def bottom_k_per_group(df: DataFrame, group_cols: list[str],
+                       h_col: str, k: int) -> DataFrame:
+    """Bottom-k values of ``h_col`` per group via the SALTED two-phase
+    top-k (local rank per (group, salt), global re-rank over the
+    <= 16k survivors) — a hot group never funnels its full frame
+    through one window task; provably identical to the naive single
+    window (any global bottom-k row is in its salt's local
+    bottom-k). Shared by the KMV sketch family."""
+    from pyspark.sql import Window as Wn
+
+    w_local = Wn.partitionBy(*group_cols, "salt").orderBy(h_col)
+    w_glob = Wn.partitionBy(*group_cols).orderBy(h_col)
+    return (df.withColumn("salt", F.pmod(F.xxhash64(h_col), F.lit(16)))
+            .withColumn("lrn", F.row_number().over(w_local))
+            .filter(F.col("lrn") <= k)
+            .withColumn("rn", F.row_number().over(w_glob))
+            .filter(F.col("rn") <= k)
+            .drop("salt", "lrn", "rn"))
+
+
 def kmv_distinct_rollup(spark: SparkSession, sf_dir: str,
                         k: int = 256) -> DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct sketch — the
@@ -655,16 +675,7 @@ def kmv_distinct_rollup(spark: SparkSession, sf_dir: str,
               .agg(F.count(F.lit(1)).alias("_c")).drop("_c"))
 
     def bottom_k(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window as Wn
-
-        w_local = Wn.partitionBy("event_type", "salt").orderBy("h")
-        w_glob = Wn.partitionBy("event_type").orderBy("h")
-        return (df.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(16)))
-                .withColumn("lrn", F.row_number().over(w_local))
-                .filter(F.col("lrn") <= k)
-                .withColumn("rn", F.row_number().over(w_glob))
-                .filter(F.col("rn") <= k)
-                .drop("salt", "lrn", "rn"))
+        return bottom_k_per_group(df, ["event_type"], "h", k)
 
     per_type = bottom_k(hashes)
     merged = (per_type.select(F.lit("__all__").alias("event_type"), "h")
