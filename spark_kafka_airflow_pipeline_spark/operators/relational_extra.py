@@ -1280,6 +1280,96 @@ FROM scored GROUP BY 1
 """
 
 
+#: Poisson(1) inverse-CDF thresholds in 16^6 units (floor(CDF(k) *
+#: 16^6) for k = 0..5; draws above the last threshold clamp to 6) —
+#: fixed literals so both engines draw the identical bootstrap weights
+_POISSON1_CDF_16_6 = (6171992, 12343985, 15429982, 16458647,
+                      16715813, 16767247)
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str,
+                      n_reps: int = 32) -> DataFrame:
+    """Poisson bootstrap — THE distributed bootstrap (per-row
+    independent Poisson(1) resample weights, no global n needed): 32
+    replicate means of the order value, reported as a point estimate
+    with an empirical [2nd, 31st]-order-statistic interval. The
+    uncertainty attachment a mean in a 100 TB report needs.
+
+    Deterministic, hence fully ORACLED: each (row, replicate) draws
+    its weight by inverting the Poisson(1) CDF at a 6-hex md5 uniform
+    against fixed integer thresholds — both engines produce the
+    identical resample, so even the "random" interval is value-hash
+    pinned. Scale: one 32x fan-out explode into a 32-row aggregate;
+    the order-statistic pass ranks a 32-row frame."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    u = ("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), "
+         "':bs:', CAST(r AS STRING))), 1, 6), 16, 10) AS BIGINT)")
+    w = "CASE " + " ".join(
+        f"WHEN {u} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_16_6)) + " ELSE 6 END"
+    reps = (o.select(cents.alias("cents"),
+                     F.col("o_orderkey"),
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(n_reps - 1))).alias("r"))
+            .select("cents", "r", F.expr(w).cast("bigint").alias("w")))
+    boot = (reps.groupBy("r")
+            .agg(F.sum("w").alias("sw"),
+                 F.sum(F.col("w") * F.col("cents")).alias("swc"))
+            .select("r", F.expr("swc DIV sw").alias("mean_cents")))
+    ranked = boot.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy("mean_cents", "r")))  # 32-row frame
+    summary = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_cents")))
+        .alias("boot_lo_cents"),
+        F.max(F.when(F.col("rk") == n_reps - 1, F.col("mean_cents")))
+        .alias("boot_hi_cents"))
+    point = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS "
+               "BIGINT)) DIV COUNT(*) AS BIGINT)")
+        .alias("point_mean_cents"))
+    return (point.crossJoin(F.broadcast(summary))
+            .select("n_orders", "point_mean_cents",
+                    "boot_lo_cents", "boot_hi_cents"))
+
+
+def _bootstrap_sql() -> str:
+    u = ("(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS "
+        f"VARCHAR) || ':bs:' || CAST(r AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}" for i in range(6)) + ")")
+    w = "CASE " + " ".join(
+        f"WHEN {u} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_16_6)) + " ELSE 6 END"
+    return f"""
+WITH reps AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(r AS INT) AS r, CAST({w} AS BIGINT) AS w
+  FROM orders, (SELECT unnest(range(0, 32)) AS r)
+), boot AS (
+  SELECT r, CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
+  FROM reps GROUP BY r
+), ranked AS (
+  SELECT mean_cents,
+         ROW_NUMBER() OVER (ORDER BY mean_cents, r) AS rk
+  FROM boot
+), summary AS (
+  SELECT MAX(CASE WHEN rk = 2 THEN mean_cents END) AS boot_lo_cents,
+         MAX(CASE WHEN rk = 31 THEN mean_cents END) AS boot_hi_cents
+  FROM ranked
+), point AS (
+  SELECT COUNT(*) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS point_mean_cents
+  FROM orders
+)
+SELECT n_orders, point_mean_cents, boot_lo_cents, boot_hi_cents
+FROM point, summary
+"""
+
+
 def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-of-year seasonal index — the time-intelligence companion
     of ``orders_yoy_growth``: revenue cents per calendar month
@@ -1377,6 +1467,7 @@ FROM daily
 
 
 QUERIES: dict[str, QueryFn] = {
+    "bootstrap_mean_ci": bootstrap_mean_ci,
     "orders_seasonality_index": orders_seasonality_index,
     "order_fulfillment_backlog": order_fulfillment_backlog,
     "revenue_percent_of_parent": revenue_percent_of_parent,
@@ -1416,6 +1507,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bootstrap_mean_ci": _bootstrap_sql(),
     "orders_seasonality_index": SEASONALITY_SQL,
     "order_fulfillment_backlog": FULFILLMENT_BACKLOG_SQL,
     "revenue_percent_of_parent": PCT_OF_PARENT_SQL,
