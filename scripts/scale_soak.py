@@ -162,6 +162,17 @@ OPS = {
     "customer_rfm_segments": relational_extra.customer_rfm_segments,
     "revenue_percent_of_parent": relational_extra.revenue_percent_of_parent,
     "customer_global_rank": scaleops.customer_global_rank,
+    # round-7 additions
+    "customer_pareto_abc": scaleops.customer_pareto_abc,
+    "orders_equidepth_bins": scaleops.orders_equidepth_bins,
+    "kmv_distinct_rollup": scaleops.kmv_distinct_rollup,
+    "kmv_source_overlap": corpusops.kmv_source_overlap,
+    "rendezvous_shard_plan": corpusops.rendezvous_shard_plan,
+    "cross_lang_fingerprint_spread": corpusops.cross_lang_fingerprint_spread,
+    "weighted_sample_aes": textops.weighted_sample_aes,
+    "bootstrap_mean_ci": relational_extra.bootstrap_mean_ci,
+    "order_fulfillment_backlog": relational_extra.order_fulfillment_backlog,
+    "orders_seasonality_index": relational_extra.orders_seasonality_index,
 }
 
 
@@ -188,6 +199,8 @@ EVENT_OPS = {
     # round-6-final cohort (VERDICT r6 ask #5)
     "events_drift_psi": events.events_drift_psi,
     "bot_rate_flags": events.bot_rate_flags,
+    # round-7 additions
+    "dau_wau_stickiness": events.dau_wau_stickiness,
 }
 
 

@@ -56,6 +56,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_ntz(df)
 
 
+def ppm(numer: str, denom: str, mult: int = 1_000_000) -> str:
+    """Overflow-safe integral parts-per-million share expression:
+    ``floor(numer * mult / denom)`` computed through DECIMAL(38,0) so a
+    data-sized numerator (cents/rows at 100 TB) times 10^6 cannot
+    overflow BIGINT — the 10x scale soak caught exactly that in the
+    plain ``numer * 1000000 DIV denom`` form (customer_pareto_abc).
+    Bit-identical to the plain form wherever the plain form doesn't
+    overflow, so DuckDB oracles keep the simple `// ` expression."""
+    return (f"CAST(CAST({numer} AS DECIMAL(38,0)) * {mult} "
+            f"DIV ({denom}) AS BIGINT)")
+
+
 def normalize_ntz(df: DataFrame) -> DataFrame:
     """Cast any TIMESTAMP_NTZ column to TIMESTAMP (belt-and-braces for
     sessions where the inference conf above was captured before this

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as Wn
 from pyspark.sql import functions as F
 
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
 
 SPAN_W = 10  # tokens per dedup span
 
@@ -1244,7 +1244,7 @@ def rendezvous_shard_plan(spark: SparkSession, sf_dir: str,
     total = loads.agg(F.sum("n_docs").cast("bigint").alias("total"))
     return (loads.crossJoin(F.broadcast(total))
             .select("shard", "n_docs", "n_tokens",
-                    F.expr(f"n_docs * {n_shards} * 1000000 DIV total")
+                    F.expr(ppm("n_docs", "total", n_shards * 1_000_000))
                     .alias("load_vs_ideal_ppm")))
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
 from spark_kafka_airflow_pipeline_spark.operators.relational import dsum, SQL_DSUM
 
 
@@ -1141,7 +1141,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dau.join(wau, dau.day == wau.tday)
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "n_dau", "n_wau",
-                    F.expr("n_dau * 1000000 DIV n_wau")
+                    F.expr(ppm("n_dau", "n_wau"))
                     .alias("stickiness_ppm")))
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
 from spark_kafka_airflow_pipeline_spark.operators.relational import (
     SQL_DSUM,
     dsum,
@@ -1179,8 +1179,7 @@ def revenue_percent_of_parent(spark: SparkSession,
             .withColumn("region_cents",
                         F.sum("nation_cents").over(w).cast("bigint"))
             .select("r_name", "n_name", "nation_cents", "region_cents",
-                    F.expr("CAST(nation_cents * 1000000 "
-                           "DIV region_cents AS BIGINT)")
+                    F.expr(ppm("nation_cents", "region_cents"))
                     .alias("share_ppm")))
 
 
@@ -1387,7 +1386,7 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (monthly.crossJoin(F.broadcast(total))
             .select("month", "n_orders",
                     F.col("month_cents").cast("bigint").alias("month_cents"),
-                    F.expr("month_cents * 12 * 1000000 DIV total")
+                    F.expr(ppm("month_cents", "total", 12_000_000))
                     .alias("season_index_ppm")))
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.io.bucketing import write_bucketed
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
 from spark_kafka_airflow_pipeline_spark.operators.relational import SQL_DSUM, dsum
 
 #: bucket count for the orders/lineitem pair. Test-scale value; on a
@@ -532,8 +532,7 @@ def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="running")
     total = per_cust.agg(F.sum("cents").cast("bigint").alias("total"))
     classed = (run.crossJoin(F.broadcast(total))
-               .withColumn("share_ppm",
-                           F.expr("running * 1000000 DIV total"))
+               .withColumn("share_ppm", F.expr(ppm("running", "total")))
                .withColumn("abc",
                            F.when(F.col("share_ppm") <= 800000, "A")
                            .when(F.col("share_ppm") <= 950000, "B")
@@ -543,7 +542,7 @@ def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cents").cast("bigint").alias("class_cents"))
             .join(F.broadcast(total), how="cross")
             .select("abc", "n_customers", "class_cents",
-                    F.expr("class_cents * 1000000 DIV total")
+                    F.expr(ppm("class_cents", "total"))
                     .alias("class_share_ppm")))
 
 
@@ -784,8 +783,8 @@ def join_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.sum("rows_in_bucket").over(w))
                 .select(F.lit(label).alias("key_col"), "group_size",
                         "n_groups",
-                        F.expr("CAST(rows_in_bucket * 1000000 DIV total "
-                               "AS BIGINT)").alias("row_share_ppm")))
+                        F.expr(ppm("rows_in_bucket", "total"))
+                        .alias("row_share_ppm")))
 
     li = table(spark, sf_dir, "lineitem")
     ev = table(spark, sf_dir, "events")
