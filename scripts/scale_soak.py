@@ -173,6 +173,7 @@ OPS = {
     "bootstrap_mean_ci": relational_extra.bootstrap_mean_ci,
     "order_fulfillment_backlog": relational_extra.order_fulfillment_backlog,
     "orders_seasonality_index": relational_extra.orders_seasonality_index,
+    "supplier_bfs_hops": graphops.supplier_bfs_hops,
 }
 
 

@@ -268,12 +268,89 @@ FROM stats CROSS JOIN tri
 """
 
 
+BFS_MAX_HOPS = 4
+
+
+def supplier_bfs_hops(spark: SparkSession, sf_dir: str,
+                      max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """Multi-hop reachability [EXT]: breadth-first search from the
+    lowest-keyed supplier over the top-k co-occurrence graph, returning
+    every supplier reachable within ``max_hops`` hops with its MINIMUM
+    hop distance — the "supply-network blast radius" question (which
+    partners are ≤ n relationships away?).
+
+    Spark-first shape: FRONTIER ITERATION, the way Pregel/GraphX lowers
+    BFS. Each hop is one hash join of the (static, O(N*k)) edge
+    relation to the current frontier on ``src`` plus one left-anti join
+    against the visited set on the supplier key — both partition on the
+    supplier key, and the frontier/visited frames are bounded by the
+    NODE count (every node appears at most once), never by path count.
+    The DuckDB recursive-CTE oracle, by contrast, enumerates every
+    path of length ≤ max_hops (up to k^max_hops rows): correct as a
+    small-scale oracle, exponentially wrong as a plan — the point of
+    the frontier formulation. Each frontier is localCheckpoint-ed
+    (the ``pagerank_supplier_rank`` discipline) so lineage stays flat
+    across iterations and the co-count self-join behind ``edges`` runs
+    once, not once per hop.
+
+    Determinism: hop counts are integers; the visited set is a set —
+    no floats, no ordering sensitivity. Output (s_suppkey, hop) is
+    value-hash oracled.
+    """
+    edges = (_supplier_topk_edges(spark, sf_dir).select("src", "dst")
+             .localCheckpoint(eager=True))
+    return (bfs_hops_over_edges(edges, max_hops=max_hops)
+            .select(F.col("sk").alias("s_suppkey"), "hop"))
+
+
+def bfs_hops_over_edges(edges: DataFrame,
+                        max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """The frontier-BFS loop over an arbitrary (src, dst) edge frame,
+    seeded at the minimum ``src`` — factored out so property tests can
+    drive it with random graphs against an independent Python BFS.
+    Returns (sk, hop). The caller is responsible for materializing
+    ``edges`` (localCheckpoint) — the loop references it every hop."""
+    # hop-0 seed: the lowest node key that has any out-edge (a 1-row
+    # aggregate, broadcast by construction)
+    frontier = (edges.agg(F.min("src").alias("sk"))
+                .withColumn("hop", F.lit(0).cast("bigint")))
+    dist = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(edges, frontier.sk == edges.src)
+               .select(F.col("dst").alias("sk"))
+               .distinct()
+               .join(dist, "sk", "left_anti")
+               .withColumn("hop", F.lit(h).cast("bigint"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+BFS_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL},
+walk(sk, d) AS (
+  SELECT MIN(src), 0 FROM edges
+  UNION ALL
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.sk
+  WHERE w.d < {BFS_MAX_HOPS}
+)
+SELECT sk AS s_suppkey, CAST(MIN(d) AS BIGINT) AS hop
+FROM walk GROUP BY sk
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pagerank_supplier_rank": pagerank_supplier_rank,
     "triangle_count_suppliers": triangle_count_suppliers,
+    "supplier_bfs_hops": supplier_bfs_hops,
 }
 
 ORACLES: dict[str, str] = {
     "pagerank_supplier_rank": PAGERANK_SQL,
     "triangle_count_suppliers": TRIANGLE_SQL,
+    "supplier_bfs_hops": BFS_SQL,
 }

@@ -107,3 +107,52 @@ def test_topk_edges_degree_cap(spark, sf_dir):
     edges = graphops._supplier_topk_edges(spark, sf_dir)
     mx = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     assert mx <= graphops.TOPK_NEIGHBORS
+
+
+def test_bfs_hops_invariants(spark, sf_dir):
+    rows = graphops.supplier_bfs_hops(spark, sf_dir).collect()
+    assert rows, "empty reachability frame"
+    hops = [r.hop for r in rows]
+    assert hops.count(0) == 1, "exactly one hop-0 seed"
+    assert all(0 <= h <= graphops.BFS_MAX_HOPS for h in hops)
+    # min-distance semantics: every supplier appears at most once
+    keys = [r.s_suppkey for r in rows]
+    assert len(keys) == len(set(keys))
+    # a non-seed hop level can only exist if the previous level does
+    present = set(hops)
+    assert all(h - 1 in present for h in present if h > 0)
+
+
+def test_bfs_kernel_matches_python_reference(spark):
+    """Frontier BFS on random directed graphs must match an
+    independent Python queue BFS (same seed rule: min src node; same
+    hop cap) — seeds cover disconnected, cyclic and chain shapes."""
+    import random
+    from collections import deque
+
+    for seed in (3, 17, 58):
+        rng = random.Random(seed)
+        n = rng.randint(4, 10)
+        edges = [(s, d) for s in range(n) for d in range(n)
+                 if s != d and rng.random() < 0.3]
+        if not edges:
+            continue
+        adj: dict[int, list[int]] = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        src0 = min(s for s, _ in edges)
+        want = {src0: 0}
+        q = deque([src0])
+        while q:
+            u = q.popleft()
+            if want[u] >= graphops.BFS_MAX_HOPS:
+                continue
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    q.append(v)
+        df = spark.createDataFrame(edges, "src long, dst long") \
+            .localCheckpoint(eager=True)
+        got = {r.sk: r.hop for r in
+               graphops.bfs_hops_over_edges(df).collect()}
+        assert got == want, (seed, got, want)
