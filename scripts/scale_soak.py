@@ -174,6 +174,7 @@ OPS = {
     "order_fulfillment_backlog": relational_extra.order_fulfillment_backlog,
     "orders_seasonality_index": relational_extra.orders_seasonality_index,
     "supplier_bfs_hops": graphops.supplier_bfs_hops,
+    "frequent_part_pairs": relational_extra.frequent_part_pairs,
 }
 
 

@@ -1465,8 +1465,90 @@ FROM daily
 """
 
 
+PAIR_MINSUP = 2
+
+
+def frequent_part_pairs(spark: SparkSession, sf_dir: str,
+                        minsup: int = PAIR_MINSUP) -> DataFrame:
+    """Market-basket mining [EXT]: part pairs that co-occur in at least
+    ``minsup`` orders, with their association LIFT — the level-2
+    Apriori pass (frequent itemsets of size 2) every recommender /
+    cross-sell analysis starts from.
+
+    Spark-first shape with the two classic scale guards:
+
+    * **Apriori candidate pruning**: the basket relation is filtered to
+      FREQUENT items (item support >= minsup) *before* the pair
+      self-join — the anti-monotone property says an infrequent item
+      cannot appear in a frequent pair, so the join input shrinks to
+      exactly the items that can matter (at a production minsup of
+      0.01% of baskets this is the difference between joining 20k hot
+      items and 10M tail items).
+    * **Bounded pair fan-out**: pairs are generated per basket by a
+      self-join on the order key with ``p1 < p2`` — per-order work is
+      C(lines_per_order, 2) <= ~21 (TPC-H baskets cap at 7 lines), so
+      pair volume grows LINEARLY with lineitem volume, never
+      quadratically with catalog size. Both the pair count and the
+      item-count join-back shuffle on part keys (no broadcast: the
+      part dimension scales with SF — PLANS.md posture).
+
+    Lift is exact integral ppm through DECIMAL(38,0) (``base.ppm``
+    overflow discipline): lift = support * n_baskets / (n1 * n2), so
+    lift_ppm > 1_000_000 means the pair co-occurs MORE than independent
+    purchase would predict. Columns: part1 < part2, support, n1, n2,
+    lift_ppm.
+    """
+    op = (table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+          .distinct())
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    frequent = item.filter(F.col("n") >= minsup)
+    fop = op.join(frequent, "pk").select("ok", "pk")
+    a, b = fop.alias("a"), fop.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.pk") < F.col("b.pk")))
+             .groupBy(F.col("a.pk").alias("part1"),
+                      F.col("b.pk").alias("part2"))
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= minsup))
+    tot = op.agg(F.countDistinct("ok").alias("n_baskets"))
+    n1 = frequent.select(F.col("pk").alias("part1"), F.col("n").alias("n1"))
+    n2 = frequent.select(F.col("pk").alias("part2"), F.col("n").alias("n2"))
+    return (pairs.join(n1, "part1").join(n2, "part2")
+            .crossJoin(F.broadcast(tot))
+            .select("part1", "part2", "support", "n1", "n2",
+                    F.expr(ppm("CAST(support AS DECIMAL(38,0)) * n_baskets",
+                               "n1 * n2")).alias("lift_ppm")))
+
+
+FREQUENT_PAIRS_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+item AS (SELECT pk, COUNT(*) AS n FROM op GROUP BY pk),
+frequent AS (SELECT pk, n FROM item WHERE n >= {PAIR_MINSUP}),
+fop AS (SELECT op.ok, op.pk FROM op JOIN frequent USING (pk)),
+pairs AS (
+  SELECT a.pk AS part1, b.pk AS part2, COUNT(*) AS support
+  FROM fop a JOIN fop b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PAIR_MINSUP}
+),
+tot AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM op)
+SELECT part1, part2, CAST(support AS BIGINT) AS support,
+       CAST(f1.n AS BIGINT) AS n1, CAST(f2.n AS BIGINT) AS n2,
+       CAST(support * n_baskets * 1000000 // (f1.n * f2.n) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN frequent f1 ON f1.pk = part1
+JOIN frequent f2 ON f2.pk = part2
+CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "bootstrap_mean_ci": bootstrap_mean_ci,
+    "frequent_part_pairs": frequent_part_pairs,
     "orders_seasonality_index": orders_seasonality_index,
     "order_fulfillment_backlog": order_fulfillment_backlog,
     "revenue_percent_of_parent": revenue_percent_of_parent,
@@ -1507,6 +1589,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "bootstrap_mean_ci": _bootstrap_sql(),
+    "frequent_part_pairs": FREQUENT_PAIRS_SQL,
     "orders_seasonality_index": SEASONALITY_SQL,
     "order_fulfillment_backlog": FULFILLMENT_BACKLOG_SQL,
     "revenue_percent_of_parent": PCT_OF_PARENT_SQL,

@@ -318,3 +318,29 @@ def test_lsh_planner_monotone(spark, sf_dir):
         ordered = [by_cfg[c][s] for c in
                    [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]]
         assert ordered == sorted(ordered, reverse=True), s
+
+
+def test_frequent_part_pairs_brute_force(spark, sf_dir):
+    """Pair supports and lift must match a brute-force Python
+    recomputation from the raw baskets (itertools pairs, no Apriori
+    prune) — proving the prune drops nothing frequent."""
+    from collections import Counter
+    from itertools import combinations
+
+    rows = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_partkey").distinct().collect())
+    baskets: dict[int, set[int]] = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    item = Counter(p for parts in baskets.values() for p in parts)
+    pair = Counter(p for parts in baskets.values()
+                   for p in combinations(sorted(parts), 2))
+    nb = len(baskets)
+    want = {p: c for p, c in pair.items()
+            if c >= relational_extra.PAIR_MINSUP}
+    got = relational_extra.frequent_part_pairs(spark, sf_dir).collect()
+    assert {(r.part1, r.part2): r.support for r in got} == want
+    for r in got:
+        assert r.part1 < r.part2
+        assert r.n1 == item[r.part1] and r.n2 == item[r.part2]
+        assert r.lift_ppm == r.support * nb * 1_000_000 // (r.n1 * r.n2)
