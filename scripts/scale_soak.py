@@ -175,6 +175,7 @@ OPS = {
     "orders_seasonality_index": relational_extra.orders_seasonality_index,
     "supplier_bfs_hops": graphops.supplier_bfs_hops,
     "frequent_part_pairs": relational_extra.frequent_part_pairs,
+    "cms_heavy_hitters": corpusops.cms_heavy_hitters,
 }
 
 

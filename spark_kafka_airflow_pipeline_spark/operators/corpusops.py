@@ -1313,8 +1313,111 @@ FROM cl GROUP BY 1
 """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+def _cms_cell_spark(tok_col: str) -> str:
+    """Row-``j`` CMS bucket (Spark dialect): 60 exact md5 bits of
+    ``tok#j`` (the repo's md5-twin idiom) mod the sketch width, where
+    ``j`` is the exploded hash-row column — each row is an independent
+    hash function."""
+    return (f"CAST(conv(substring(md5(concat({tok_col}, '#', "
+            f"CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {CMS_WIDTH}")
+
+
+def _cms_cell_duck(tok_col: str, j: int) -> str:
+    """The DuckDB twin of ``_cms_cell_spark`` with ``j`` spliced as a
+    literal (DuckDB parses the 15 hex chars via the '0x' cast)."""
+    return (f"(('0x' || substr(md5(concat({tok_col}, '#', '{j}')), 1, 15))"
+            f"::BIGINT % {CMS_WIDTH})")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit [EXT]: estimate the corpus
+    head-token counts from a ``CMS_DEPTH x CMS_WIDTH`` count-min sketch
+    and report each estimate BESIDE the exact count — the
+    one-sided-error contract (est >= exact, est <= exact + N/width with
+    high probability) made visible per token, the same
+    estimate-with-its-own-audit design as ``kmv_source_overlap``.
+
+    Spark-first shape: token counts aggregate once (map-side combine on
+    the token), then the VOCAB-sized count frame fans out ``CMS_DEPTH``
+    rows each to (row, cell) cells — the sketch build costs one
+    token-keyed shuffle plus one vocab-sized one, never a second pass
+    over the corpus. The sketch itself is ``CMS_DEPTH * CMS_WIDTH``
+    cells — trivially broadcastable, which is what makes the probe join
+    shuffle-free. Cell-wise ADDITION is the merge operator (per-source
+    sketches sum to the corpus sketch — pinned exactly in
+    tests/test_round7_ops.py, the ``hll_distinct_rollup`` mergeability
+    discipline), so a 1000-executor build is embarrassingly parallel.
+
+    Unlike ``misra_gries_topk`` (partition-order-dependent, rows-only),
+    every CMS cell is a pure md5 function of the token — the whole
+    sketch, and therefore the estimates, value-hash against the DuckDB
+    oracle.
+    """
+    d = _tokens(table(spark, sf_dir, "documents"))
+    tc = (d.select(F.explode("toks").alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    rows_ = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    cells = (tc.select("w", "c", F.explode(rows_).alias("j"))
+             .withColumn("cell", F.expr(_cms_cell_spark("w")))
+             .groupBy("j", "cell")
+             .agg(F.sum("c").alias("cell_c")))
+    probes = (tc.orderBy(F.col("c").desc(), "w").limit(CMS_TOPK)
+              .select(F.col("w").alias("term"), F.col("c").alias("exact")))
+    probe_cells = (probes.select(
+        "term", "exact", F.explode(rows_).alias("j"))
+        .withColumn("cell", F.expr(_cms_cell_spark("term"))))
+    est = (probe_cells.join(F.broadcast(cells), ["j", "cell"])
+           .groupBy("term", "exact")
+           .agg(F.min("cell_c").alias("cms_est")))
+    return est.select("term", "exact", "cms_est",
+                      (F.col("cms_est") - F.col("exact")).alias("overest"))
+
+
+def _cms_sql() -> str:
+    cell_w = " ".join(
+        f"WHEN j = {j} THEN {_cms_cell_duck('w', j)}"
+        for j in range(CMS_DEPTH))
+    cell_t = " ".join(
+        f"WHEN j = {j} THEN {_cms_cell_duck('term', j)}"
+        for j in range(CMS_DEPTH))
+    js = ", ".join(str(j) for j in range(CMS_DEPTH))
+    return f"""
+WITH tc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+                  lower(trim(text)), '\\s+'), x -> x != '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+cells AS (
+  SELECT j, CASE {cell_w} END AS cell, CAST(SUM(c) AS BIGINT) AS cell_c
+  FROM tc CROSS JOIN (SELECT unnest([{js}]) AS j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT w AS term, c AS exact FROM tc
+  ORDER BY c DESC, w LIMIT {CMS_TOPK}
+),
+est AS (
+  SELECT term, exact, MIN(cell_c) AS cms_est
+  FROM (SELECT term, exact, j, CASE {cell_t} END AS cell
+        FROM probes CROSS JOIN (SELECT unnest([{js}]) AS j)) p
+  JOIN cells USING (j, cell)
+  GROUP BY term, exact
+)
+SELECT term, exact, cms_est, cms_est - exact AS overest FROM est
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "kmv_source_overlap": kmv_source_overlap,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "rendezvous_shard_plan": rendezvous_shard_plan,
     "cross_lang_fingerprint_spread": cross_lang_fingerprint_spread,
     "span_dedup_removal": span_dedup_removal,
@@ -1335,6 +1438,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "kmv_source_overlap": _kmv_overlap_sql(),
+    "cms_heavy_hitters": _cms_sql(),
     "rendezvous_shard_plan": RENDEZVOUS_SHARD_SQL,
     "cross_lang_fingerprint_spread": CROSS_LANG_SPREAD_SQL,
     "zipf_fit_by_source": ZIPF_FIT_SQL,

@@ -344,3 +344,65 @@ def test_frequent_part_pairs_brute_force(spark, sf_dir):
         assert r.part1 < r.part2
         assert r.n1 == item[r.part1] and r.n2 == item[r.part2]
         assert r.lift_ppm == r.support * nb * 1_000_000 // (r.n1 * r.n2)
+
+
+def test_cms_matches_python_recomputation(spark, sf_dir):
+    """The CMS estimates must equal a pure-Python count-min sketch
+    built with the same md5 hash family — pinning that every cell is a
+    deterministic function of the token, not of partitioning."""
+    import hashlib
+    from collections import Counter
+
+    from spark_kafka_airflow_pipeline_spark.operators import corpusops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tc = Counter(w for r in docs for w in r.text.strip().lower().split()
+                 if w)
+
+    def cell(tok: str, j: int) -> int:
+        h = hashlib.md5(f"{tok}#{j}".encode()).hexdigest()[:15]
+        return int(h, 16) % corpusops.CMS_WIDTH
+
+    sketch = Counter()
+    for w, c in tc.items():
+        for j in range(corpusops.CMS_DEPTH):
+            sketch[(j, cell(w, j))] += c
+
+    got = corpusops.cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(got) == min(corpusops.CMS_TOPK, len(tc))
+    for r in got:
+        assert r.exact == tc[r.term]
+        want_est = min(sketch[(j, cell(r.term, j))]
+                       for j in range(corpusops.CMS_DEPTH))
+        assert r.cms_est == want_est
+        assert r.overest >= 0  # one-sided error, the CMS contract
+
+
+def test_cms_sketch_merges_by_cell_addition(spark, sf_dir):
+    """Per-source sketches summed cell-wise must equal the whole-corpus
+    sketch — the mergeability contract that makes the build
+    embarrassingly parallel (the hll_distinct_rollup discipline)."""
+    from spark_kafka_airflow_pipeline_spark.operators import corpusops
+    from spark_kafka_airflow_pipeline_spark.operators.base import table
+    from spark_kafka_airflow_pipeline_spark.operators.corpusops import (
+        _cms_cell_spark,
+        _tokens,
+    )
+
+    d = _tokens(table(spark, sf_dir, "documents"))
+    rows_ = F.array(*[F.lit(j) for j in range(corpusops.CMS_DEPTH)])
+    per_src = (d.select("source", F.explode("toks").alias("w"))
+               .groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+               .select("source", "w", "c", F.explode(rows_).alias("j"))
+               .withColumn("cell", F.expr(_cms_cell_spark("w")))
+               .groupBy("source", "j", "cell")
+               .agg(F.sum("c").alias("cell_c")))
+    merged = {(r.j, r.cell): r.cell_c
+              for r in per_src.groupBy("j", "cell")
+              .agg(F.sum("cell_c").alias("cell_c")).collect()}
+    whole = (d.select(F.explode("toks").alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .select("w", "c", F.explode(rows_).alias("j"))
+             .withColumn("cell", F.expr(_cms_cell_spark("w")))
+             .groupBy("j", "cell").agg(F.sum("c").alias("cell_c")))
+    assert merged == {(r.j, r.cell): r.cell_c for r in whole.collect()}
