@@ -204,6 +204,7 @@ EVENT_OPS = {
     "bot_rate_flags": events.bot_rate_flags,
     # round-7 additions
     "dau_wau_stickiness": events.dau_wau_stickiness,
+    "attribution_last_touch": events.attribution_last_touch,
 }
 
 

@@ -1165,8 +1165,80 @@ FROM dau JOIN wau ON dau.day = wau.tday
 """
 
 
+ATTRIB_LOOKBACK_S = 7 * 86400
+_TOUCH_TYPES = ("click", "signup", "view")
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution [EXT]: every purchase's revenue is
+    credited to the LAST TOUCH — the same user's most recent
+    non-purchase event within a 7-day lookback; purchases with no
+    in-window touch credit the 'direct' channel. Output is the
+    channel-level report (purchases attributed, revenue in cents) a
+    spend dashboard consumes.
+
+    Spark-first shape: the as-of lookup is NOT an inequality join (a
+    range join on [ts-7d, ts) would re-shuffle both sides and blow up
+    on hot users) but the repo's union + ordered-window idiom
+    (``asof_last_click_before_purchase``): one shuffle on user_id, two
+    ``last(..., ignorenulls=True)`` carries over the same window (one
+    exchange — same-spec windows collapse), then the channel decision
+    and the final channel aggregate (5-row frame). Timestamps compare
+    as fractional epoch seconds (``events_sessionize`` discipline);
+    revenue is integer cents; ties at identical ts break on event_id
+    (the later event wins, stated by the window order both sides).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    carried = e.withColumns({
+        "touch_type": F.last(F.when(is_touch, F.col("event_type")),
+                             ignorenulls=True).over(w),
+        "touch_ts": F.last(F.when(is_touch, F.col("ts").cast("double")),
+                           ignorenulls=True).over(w)})
+    attributed = (carried.filter(F.col("event_type") == "purchase")
+                  .select(
+                      F.when(F.col("touch_ts").isNotNull()
+                             & (F.col("ts").cast("double")
+                                - F.col("touch_ts") <= ATTRIB_LOOKBACK_S),
+                             F.col("touch_type"))
+                      .otherwise(F.lit("direct")).alias("channel"),
+                      F.floor(F.col("value") * 100 + 0.5)
+                      .cast("bigint").alias("cents")))
+    return (attributed.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("cents").alias("revenue_cents")))
+
+
+ATTRIBUTION_SQL = f"""
+WITH carried AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN {_TOUCH_TYPES!r}
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type IN {_TOUCH_TYPES!r}
+                         THEN epoch(ts) END IGNORE NULLS)
+           OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND epoch(ts) - touch_ts <= {ATTRIB_LOOKBACK_S}
+            THEN touch_type ELSE 'direct' END AS channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM carried WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "dau_wau_stickiness": dau_wau_stickiness,
+    "attribution_last_touch": attribution_last_touch,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1194,6 +1266,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "dau_wau_stickiness": DAU_WAU_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

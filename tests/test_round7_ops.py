@@ -406,3 +406,34 @@ def test_cms_sketch_merges_by_cell_addition(spark, sf_dir):
              .withColumn("cell", F.expr(_cms_cell_spark("w")))
              .groupBy("j", "cell").agg(F.sum("c").alias("cell_c")))
     assert merged == {(r.j, r.cell): r.cell_c for r in whole.collect()}
+
+
+def test_attribution_last_touch_brute_force(spark, sf_dir):
+    """Channel totals must match a per-user Python replay of the
+    last-touch rule (7-day lookback, later-event-wins tie rule)."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .collect())
+    by_user: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        touch = None
+        for r in evs:
+            if r.event_type == "purchase":
+                ch = "direct"
+                if touch is not None and (
+                        r.ts.timestamp() - touch[1]
+                        <= events.ATTRIB_LOOKBACK_S):
+                    ch = touch[0]
+                want[ch][0] += 1
+                want[ch][1] += int(r.value * 100 + 0.5)
+            if r.event_type in events._TOUCH_TYPES:
+                touch = (r.event_type, r.ts.timestamp())
+    got = {r.channel: [r.n_purchases, r.revenue_cents]
+           for r in events.attribution_last_touch(spark, sf_dir).collect()}
+    assert got == dict(want)
