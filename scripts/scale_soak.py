@@ -205,6 +205,7 @@ EVENT_OPS = {
     # round-7 additions
     "dau_wau_stickiness": events.dau_wau_stickiness,
     "attribution_last_touch": events.attribution_last_touch,
+    "theil_sen_trend": events.theil_sen_trend,
 }
 
 

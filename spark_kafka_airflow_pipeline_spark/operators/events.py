@@ -719,6 +719,73 @@ FROM agg
 """
 
 
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend per event type [EXT] — the median of all
+    pairwise day-to-day slopes of daily revenue, the estimator that
+    shrugs off the outlier days that drag ``value_trend_by_type``'s
+    least-squares slope around (up to ~29% contamination).
+
+    Scale shape: the corpus first collapses to (type, day, cents) —
+    one map-side-combining aggregation — so the all-pairs step runs on
+    a CALENDAR-bounded frame: C(days, 2) pairs per type grows with the
+    observation window squared, NOT with event volume (10 years is
+    ~6.6M pairs/type; 100 TB of events in those years is still ~6.6M
+    pairs). This collapse-then-pair shape is the standard way Theil-Sen
+    is kept tractable; the pair join shuffles the tiny daily frame on
+    the 5-value type key, which is fine BECAUSE it is post-aggregate.
+
+    Determinism: daily revenue is exact integer cents; each pairwise
+    slope is quantized to integer MICRO-cents/day through DECIMAL(38,0)
+    (``base.ppm`` overflow discipline; DIV truncates toward zero
+    identically in both engines, including negative slopes); the median
+    runs over DOUBLED slopes so the even-count midpoint stays integral
+    (the rolling-median x2 trick). Output slope_x2_micro is therefore
+    2 x median slope in micro-cents/day, exactly.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+             .alias("c")))
+    a, b = daily.alias("a"), daily.alias("b")
+    slope_u = F.expr(
+        "CAST(CAST(b.c - a.c AS DECIMAL(38,0)) * 1000000"
+        " DIV (b.d - a.d) AS BIGINT)")
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.d") < F.col("b.d")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     slope_u.alias("s")))
+    return (pairs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.expr("CAST(median(2 * s) AS BIGINT)")
+                 .alias("slope_x2_micro")))
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  -- plain BIGINT // (truncating, like Spark DIV): the DECIMAL cast is
+  -- Spark-side overflow armor only — DuckDB's // on a DECIMAL operand
+  -- degrades to float division (base.ppm convention: oracles keep the
+  -- simple form)
+  SELECT a.event_type,
+         CAST((b.c - a.c) * 1000000 // (b.d - a.d) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type, COUNT(*) AS n_pairs,
+       CAST(median(2 * s) AS BIGINT) AS slope_x2_micro
+FROM pairs GROUP BY event_type
+"""
+
+
 # ----------------------------------------------------------------------
 # behavior model: event-type Markov transition matrix
 # ----------------------------------------------------------------------
@@ -1239,6 +1306,7 @@ GROUP BY 1
 QUERIES: dict[str, QueryFn] = {
     "dau_wau_stickiness": dau_wau_stickiness,
     "attribution_last_touch": attribution_last_touch,
+    "theil_sen_trend": theil_sen_trend,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1267,6 +1335,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "dau_wau_stickiness": DAU_WAU_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
+    "theil_sen_trend": THEIL_SEN_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

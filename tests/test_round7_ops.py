@@ -437,3 +437,37 @@ def test_attribution_last_touch_brute_force(spark, sf_dir):
     got = {r.channel: [r.n_purchases, r.revenue_cents]
            for r in events.attribution_last_touch(spark, sf_dir).collect()}
     assert got == dict(want)
+
+
+def test_theil_sen_brute_force(spark, sf_dir):
+    """Median pairwise slope must match a pure-Python recomputation
+    from the daily cents frame (same micro-quantization, same x2
+    integral-median trick)."""
+    from collections import defaultdict
+    from statistics import median
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type", "ts", "value").collect())
+    daily: dict[tuple, int] = defaultdict(int)
+    base = __import__("datetime").date(2024, 1, 1)
+    for r in rows:
+        daily[(r.event_type, (r.ts.date() - base).days)] += int(
+            r.value * 100 + 0.5)
+    by_type: dict[str, list] = defaultdict(list)
+    for (t, d), c in daily.items():
+        by_type[t].append((d, c))
+    want = {}
+    for t, pts in by_type.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                num = (pts[j][1] - pts[i][1]) * 1_000_000
+                den = pts[j][0] - pts[i][0]
+                q = abs(num) // den
+                slopes.append(q if num >= 0 else -q)  # trunc toward 0
+        if slopes:
+            want[t] = (len(slopes), int(median(2 * s for s in slopes)))
+    got = {r.event_type: (r.n_pairs, r.slope_x2_micro)
+           for r in events.theil_sen_trend(spark, sf_dir).collect()}
+    assert got == want
