@@ -176,6 +176,7 @@ OPS = {
     "supplier_bfs_hops": graphops.supplier_bfs_hops,
     "frequent_part_pairs": relational_extra.frequent_part_pairs,
     "cms_heavy_hitters": corpusops.cms_heavy_hitters,
+    "stratified_sample_neyman": textops.stratified_sample_neyman,
 }
 
 

@@ -1381,6 +1381,111 @@ WHERE draw_rank <= 5
 """
 
 
+NEYMAN_BUDGET = 64
+
+
+def stratified_sample_neyman(spark: SparkSession, sf_dir: str,
+                             budget: int = NEYMAN_BUDGET) -> DataFrame:
+    """Stratified sampling with NEYMAN ALLOCATION [EXT] — the
+    survey-sampling optimum that completes the sampling matrix: the
+    ``budget`` is split across strata (sources) proportionally to
+    ``N_h * S_h`` (stratum size x stratum stddev of document token
+    count), so volatile strata get more draws and uniform strata
+    fewer — minimizing the variance of the corpus-level estimate at
+    fixed sample size.
+
+    Determinism end-to-end: ``N_h * S_h`` equals ``sqrt(N_h * ss_h -
+    s_h^2)`` with EXACT integer moments (the ``embedding_dim_variance``
+    decimal-moments discipline), and IEEE-754 sqrt of an identical
+    double is bit-identical in both engines, so the allocation weight
+    ``a_h = floor(sqrt(D_h))`` is integral and portable. Allocation
+    ``n_h = max(1, budget * a_h DIV sum(a_h))`` is pure integer
+    arithmetic (DECIMAL(38,0) armor Spark-side only — ``base.ppm``
+    convention); the floor leaves a handful of budget slots unspent
+    rather than introducing a nondeterministic largest-remainder race.
+    Draws are the repo's deterministic md5 order per stratum.
+
+    Scale: moments aggregate in one map-side-combining pass; the
+    per-stratum rank is ``row_number <= budget`` (WindowGroupLimit
+    pushes the cap below the shuffle — the ``weighted_sample_aes``
+    justification); the allocation table is strata-sized, joined back
+    with an explicit broadcast (a source CATALOG is bounded by
+    definition, unlike customers/docs).
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id",
+                    T.token_count("text").alias("n_tokens"))
+    stats = (base.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_stratum"),
+                  F.sum(F.col("n_tokens").cast("decimal(38,0)")).alias("s"),
+                  F.sum((F.col("n_tokens") * F.col("n_tokens"))
+                        .cast("decimal(38,0)")).alias("ss")))
+    weights = stats.withColumn(
+        "a",
+        F.expr("CAST(floor(sqrt(CAST(n_stratum * ss - s * s AS DOUBLE)))"
+               " AS BIGINT)"))
+    tot = weights.agg(F.sum("a").alias("a_total"))
+    alloc = (weights.crossJoin(F.broadcast(tot))
+             .withColumn(
+                 "n_alloc",
+                 F.expr(f"GREATEST(CAST(1 AS BIGINT), "
+                        f"CAST(CAST(a AS DECIMAL(38,0)) * {budget}"
+                        f" DIV a_total AS BIGINT))"))
+             .select("source", "n_stratum", "a", "n_alloc"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ney"))),
+        "doc_id")
+    ranked = (base.withColumn("draw_rank",
+                              F.row_number().over(w).cast("int"))
+              .filter(F.col("draw_rank") <= budget))
+    return (ranked.join(F.broadcast(alloc), "source")
+            .filter(F.col("draw_rank") <= F.col("n_alloc"))
+            .select("source", "doc_id", "draw_rank",
+                    "n_stratum", "n_alloc"))
+
+
+NEYMAN_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT source, COUNT(*) AS n_stratum,
+         CAST(SUM(n_tokens) AS BIGINT) AS s,
+         CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS ss
+  FROM base GROUP BY source
+),
+alloc AS (
+  SELECT source, n_stratum,
+         CAST(floor(sqrt(CAST(n_stratum * ss - s * s AS DOUBLE)))
+              AS BIGINT) AS a
+  FROM stats
+),
+alloc2 AS (
+  SELECT source, n_stratum, a,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(a * {NEYMAN_BUDGET}
+                       // (SELECT SUM(a) FROM alloc) AS BIGINT)) AS n_alloc
+  FROM alloc
+),
+ranked AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ney'), doc_id)
+           AS INT) AS draw_rank
+  FROM base
+)
+SELECT r.source, r.doc_id, r.draw_rank, al.n_stratum, al.n_alloc
+FROM ranked r JOIN alloc2 al ON r.source = al.source
+WHERE r.draw_rank <= al.n_alloc
+"""
+
+
 # ----------------------------------------------------------------------
 # Gopher-style quality rules — the published heuristic document filter
 # ----------------------------------------------------------------------
@@ -1923,6 +2028,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_source_arrow_stats": doc_source_arrow_stats,
     "token_lift_pairs": token_lift_pairs,
     "weighted_sample_aes": weighted_sample_aes,
+    "stratified_sample_neyman": stratified_sample_neyman,
     "grouped_sample_topk": grouped_sample_topk,
     "gopher_quality_rules": gopher_quality_rules,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
@@ -1962,6 +2068,7 @@ ORACLES: dict[str, str] = {
     "doc_source_arrow_stats": ARROW_STATS_SQL,
     "token_lift_pairs": TOKEN_LIFT_SQL,
     "weighted_sample_aes": WEIGHTED_AES_SQL,
+    "stratified_sample_neyman": NEYMAN_SQL,
     "grouped_sample_topk": GROUPED_SAMPLE_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "tokenizer_vocab_coverage": VOCAB_COVERAGE_SQL,

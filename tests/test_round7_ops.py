@@ -471,3 +471,41 @@ def test_theil_sen_brute_force(spark, sf_dir):
     got = {r.event_type: (r.n_pairs, r.slope_x2_micro)
            for r in events.theil_sen_trend(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_neyman_allocation_matches_python(spark, sf_dir):
+    """Per-stratum draw counts must equal the Python Neyman allocation
+    floor(budget * sqrt(N*ss - s^2) / total) clamped to >= 1, and each
+    stratum's draws are the md5-first docs of that stratum."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source", "doc_id", "text").collect())
+    stats = defaultdict(lambda: [0, 0, 0])  # n, s, ss
+    for r in docs:
+        nt = len(r.text.strip().split()) if r.text.strip() else 0
+        st = stats[r.source]
+        st[0] += 1
+        st[1] += nt
+        st[2] += nt * nt
+    a = {src: int(math.floor(math.sqrt(n * ss - s * s)))
+         for src, (n, s, ss) in stats.items()}
+    atot = sum(a.values())
+    want_alloc = {src: max(1, textops.NEYMAN_BUDGET * av // atot)
+                  for src, av in a.items()}
+    got = textops.stratified_sample_neyman(spark, sf_dir).collect()
+    got_by_src = defaultdict(list)
+    for r in got:
+        assert r.n_alloc == want_alloc[r.source]
+        got_by_src[r.source].append(r.doc_id)
+    for src, ids in got_by_src.items():
+        assert len(ids) == min(want_alloc[src], stats[src][0])
+        all_ids = sorted(
+            (hashlib.md5(f"{r.doc_id}:ney".encode()).hexdigest(), r.doc_id)
+            for r in docs if r.source == src)
+        want_ids = {d for _, d in all_ids[:want_alloc[src]]}
+        assert set(ids) == want_ids
