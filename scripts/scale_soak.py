@@ -207,6 +207,7 @@ EVENT_OPS = {
     "dau_wau_stickiness": events.dau_wau_stickiness,
     "attribution_last_touch": events.attribution_last_touch,
     "theil_sen_trend": events.theil_sen_trend,
+    "scd2_point_in_time_join": warehouse.scd2_point_in_time_join,
 }
 
 

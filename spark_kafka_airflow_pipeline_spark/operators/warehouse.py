@@ -517,8 +517,93 @@ FROM counts
 """
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) enrichment against the SCD2 dimension [EXT]:
+    every 'click' event is joined to the user's tier AS OF the click
+    timestamp — the lookup every feature store / ML training join
+    needs to stay leak-free (an event must see the dimension version
+    that was CURRENT then, never a later one). Clicks before a user's
+    first tier version land in the 'none' bucket.
+
+    Spark-first shape: a PIT join is NOT an interval join (``BETWEEN
+    valid_from AND valid_to`` re-shuffles both sides and degenerates
+    on hot users); it is the union + ordered-window carry
+    (``attribution_last_touch`` discipline): tier CHANGE rows
+    (``scd2_user_tier_history``'s lag-filter, inlined) and probe rows
+    union into one frame, one shuffle on user_id, and ``last(tier,
+    ignorenulls)`` carries the in-force version onto each probe.
+    Change rows sort BEFORE probes at the same timestamp (kind 0 < 1:
+    a version is in force from its own valid_from inclusive — the
+    SCD2 convention). All sort keys are null-coalesced: Spark defaults
+    NULLS FIRST, DuckDB NULLS LAST, so a nullable key would silently
+    diverge. Output is the tier-level audit (events, distinct users).
+    """
+    ev = table(spark, sf_dir, "events")
+    changes = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts",
+                       F.when(F.col("value") < 100, "low")
+                       .when(F.col("value") < 500, "mid")
+                       .otherwise("high").alias("tier"))
+               .withColumn("prev_tier",
+                           F.lag("tier").over(
+                               Window.partitionBy("user_id")
+                               .orderBy("ts", "tier")))
+               .filter(F.col("prev_tier").isNull()
+                       | (F.col("prev_tier") != F.col("tier")))
+               .select("user_id", "ts", "tier",
+                       F.lit(0).alias("kind"),
+                       F.lit(-1).cast("bigint").alias("event_id")))
+    probes = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.lit(None).cast("string").alias("tier"),
+                      F.lit(1).alias("kind"), "event_id"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind", F.coalesce("tier", F.lit("")), "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (changes.unionByName(probes)
+               .withColumn("pit_tier",
+                           F.last("tier", ignorenulls=True).over(w)))
+    return (carried.filter(F.col("kind") == 1)
+            .groupBy(F.coalesce("pit_tier", F.lit("none")).alias("tier"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+SCD2_PIT_SQL = """
+WITH changes AS (
+  SELECT user_id, ts, tier, 0 AS kind, CAST(-1 AS BIGINT) AS event_id
+  FROM (
+    SELECT user_id, ts, tier,
+           lag(tier) OVER (PARTITION BY user_id ORDER BY ts, tier)
+             AS prev_tier
+    FROM (SELECT user_id, ts,
+                 CASE WHEN value < 100 THEN 'low'
+                      WHEN value < 500 THEN 'mid'
+                      ELSE 'high' END AS tier
+          FROM events WHERE event_type = 'purchase'))
+  WHERE prev_tier IS NULL OR prev_tier != tier
+), probes AS (
+  SELECT user_id, ts, CAST(NULL AS VARCHAR) AS tier, 1 AS kind, event_id
+  FROM events WHERE event_type = 'click'
+), carried AS (
+  SELECT kind, user_id,
+         last_value(tier IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, kind, COALESCE(tier, ''), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_tier
+  FROM (SELECT * FROM changes UNION ALL SELECT * FROM probes)
+)
+SELECT COALESCE(pit_tier, 'none') AS tier,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM carried WHERE kind = 1
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "integrity_audit": integrity_audit,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
     "benford_price_audit": benford_price_audit,
     "mv_join_delta_maintenance": mv_join_delta_maintenance,
     "scd2_user_tier_history": scd2_user_tier_history,
@@ -530,6 +615,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "integrity_audit": INTEGRITY_AUDIT_SQL,
+    "scd2_point_in_time_join": SCD2_PIT_SQL,
     "benford_price_audit": BENFORD_SQL,
     "mv_join_delta_maintenance": MV_DELTA_SQL,
     "scd2_user_tier_history": SCD2_SQL,

@@ -509,3 +509,49 @@ def test_neyman_allocation_matches_python(spark, sf_dir):
             for r in docs if r.source == src)
         want_ids = {d for _, d in all_ids[:want_alloc[src]]}
         assert set(ids) == want_ids
+
+
+def test_scd2_pit_join_brute_force(spark, sf_dir):
+    """The PIT carry must match a per-user Python replay: each click
+    sees the tier of the latest purchase at-or-before it (SCD2
+    valid_from inclusive), else 'none'."""
+    from collections import defaultdict
+
+    from spark_kafka_airflow_pipeline_spark.operators import warehouse
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .collect())
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    want = defaultdict(lambda: [0, set()])
+    for uid, evs in by_user.items():
+        # replay in the engine's order: change rows sort before probes
+        # at the same ts (kind), ties among changes by tier
+        tagged = []
+        prev = None
+        for r in sorted((e for e in evs if e.event_type == "purchase"),
+                        key=lambda e: (e.ts, ("low" if e.value < 100 else
+                                              "mid" if e.value < 500
+                                              else "high"))):
+            tier = ("low" if r.value < 100 else
+                    "mid" if r.value < 500 else "high")
+            if tier != prev:
+                tagged.append((r.ts, 0, tier, -1))
+                prev = tier
+        for r in (e for e in evs if e.event_type == "click"):
+            tagged.append((r.ts, 1, "", r.event_id))
+        tagged.sort(key=lambda t: (t[0], t[1], t[2] if t[1] == 0 else "",
+                                   t[3]))
+        cur = None
+        for ts, kind, tier, eid in tagged:
+            if kind == 0:
+                cur = tier
+            else:
+                b = want[cur or "none"]
+                b[0] += 1
+                b[1].add(uid)
+    got = {r.tier: (r.n_events, r.n_users) for r in
+           warehouse.scd2_point_in_time_join(spark, sf_dir).collect()}
+    assert got == {t: (n, len(u)) for t, (n, u) in want.items()}
