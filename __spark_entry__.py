@@ -73,6 +73,7 @@ _WINDOW_PRIORITY = (
     "frequent_part_pairs", "cms_heavy_hitters", "attribution_last_touch",
     "theil_sen_trend", "stratified_sample_neyman",
     "scd2_point_in_time_join", "value_drift_continuous",
+    "decayed_type_popularity",
     # -- 3. never driver-checked (round-6-new cohort) ---------------
     "ansi_safe_arithmetic", "order_status_mode", "null_safe_join_counts",
     "mv_join_delta_maintenance", "user_value_ewma",
@@ -85,8 +86,6 @@ _WINDOW_PRIORITY = (
     "embedding_principal_component",
     # -- 4. core-parity anchors -------------------------------------
     "q1_pricing_summary", "pipeline_add_fields",
-    # -- 5. oldest-green rotation (r5-cohort) -----------------------
-    "q5_revenue_by_nation",
 )
 
 # ROUND-8 WINDOW PLAN: the r5-cohort remainder first (greens 3 rounds
@@ -94,7 +93,7 @@ _WINDOW_PRIORITY = (
 # its r6 order. Reds and round-8 reworks, as always, jump the queue.
 _R8_EARMARK = (
     # r5-cohort tail displaced by round-7 additions
-    "q3_shipping_priority",
+    "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "customers_with_urgent_orders", "top10_customers_by_revenue",

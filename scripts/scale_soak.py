@@ -209,6 +209,7 @@ EVENT_OPS = {
     "theil_sen_trend": events.theil_sen_trend,
     "scd2_point_in_time_join": warehouse.scd2_point_in_time_join,
     "value_drift_continuous": events.value_drift_continuous,
+    "decayed_type_popularity": events.decayed_type_popularity,
 }
 
 

@@ -1323,6 +1323,65 @@ FROM dau JOIN wau ON dau.day = wau.tday
 """
 
 
+DECAY_HALF_LIFE_DAYS = 14
+
+
+def decayed_type_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity score per event type [EXT] — the
+    trending/feature-store scoring primitive: recent events count
+    fully, older events half per ``DECAY_HALF_LIFE_DAYS`` — except the
+    decay is DYADIC (step-wise powers of two per whole half-life
+    elapsed, ``weight = 1e6 >> (age_days div half_life)`` micros)
+    instead of the usual ``2^(-age/half)``: libm ``pow`` is not
+    correctly rounded and may differ by an ulp between engines, while
+    bit shifts are engine-exact (the ``_zorder_expr`` precedent). The
+    score is therefore a plain SUM of per-event integer weights —
+    fully mergeable (map-side combine, per-source partials add), which
+    recursive EWMA formulations (``user_value_ewma``) are not.
+
+    "Now" is the corpus max event date (broadcast 1-row aggregate), so
+    the score is a pure function of the data. Weights vanish (0) after
+    20 half-lives. Output: event_type, n_events, live_events (weight >
+    0), decayed_micro (DECIMAL(38,0) armor Spark-side — the sum is
+    data-sized)."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    wgt = F.expr(
+        f"CASE WHEN datediff(dmax, CAST(ts AS DATE))"
+        f" div {DECAY_HALF_LIFE_DAYS} > 20 THEN CAST(0 AS BIGINT)"
+        f" ELSE 1000000 DIV shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(datediff(dmax, CAST(ts AS DATE))"
+        f" div {DECAY_HALF_LIFE_DAYS} AS INT)) END")
+    return (e.select("event_type", "ts")
+            .crossJoin(F.broadcast(mx))
+            .select("event_type", wgt.alias("w"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("w") > 0).cast("int")).cast("bigint")
+                 .alias("live_events"),
+                 F.sum(F.col("w").cast("decimal(38,0)")).cast("bigint")
+                 .alias("decayed_micro")))
+
+
+DECAYED_POP_SQL = f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+w AS (
+  SELECT event_type,
+         CASE WHEN datediff('day', CAST(ts AS DATE), dmax)
+                   // {DECAY_HALF_LIFE_DAYS} > 20 THEN 0
+              ELSE 1000000 // (CAST(1 AS BIGINT) <<
+                   (datediff('day', CAST(ts AS DATE), dmax)
+                    // {DECAY_HALF_LIFE_DAYS})) END AS w
+  FROM events, mx
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS live_events,
+       CAST(SUM(w) AS BIGINT) AS decayed_micro
+FROM w GROUP BY event_type
+"""
+
+
 ATTRIB_LOOKBACK_S = 7 * 86400
 _TOUCH_TYPES = ("click", "signup", "view")
 
@@ -1399,6 +1458,7 @@ QUERIES: dict[str, QueryFn] = {
     "attribution_last_touch": attribution_last_touch,
     "theil_sen_trend": theil_sen_trend,
     "value_drift_continuous": value_drift_continuous,
+    "decayed_type_popularity": decayed_type_popularity,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1429,6 +1489,7 @@ ORACLES: dict[str, str] = {
     "attribution_last_touch": ATTRIBUTION_SQL,
     "theil_sen_trend": THEIL_SEN_SQL,
     "value_drift_continuous": VALUE_DRIFT_SQL,
+    "decayed_type_popularity": DECAYED_POP_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

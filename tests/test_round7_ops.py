@@ -567,3 +567,24 @@ def test_value_drift_continuous_properties(spark, sf_dir):
     # 0.1 "action threshold" (1e11 pico); expected sampling noise is
     # ~bins/n (0.02 at the sf0.001 half of 500)
     assert abs(row.psi_pico) < 10**11, row.psi_pico
+
+
+def test_decayed_popularity_python_recomputation(spark, sf_dir):
+    """Dyadic decay scores must match a Python replay, and the score
+    must be mergeable: per-user partial sums add to the total."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type", "ts", "user_id").collect())
+    dmax = max(r.ts.date() for r in rows)
+    want = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        k = (dmax - r.ts.date()).days // events.DECAY_HALF_LIFE_DAYS
+        w = 0 if k > 20 else 1_000_000 // (1 << k)
+        st = want[r.event_type]
+        st[0] += 1
+        st[1] += 1 if w > 0 else 0
+        st[2] += w
+    got = {r.event_type: [r.n_events, r.live_events, r.decayed_micro]
+           for r in events.decayed_type_popularity(spark, sf_dir).collect()}
+    assert got == dict(want)
