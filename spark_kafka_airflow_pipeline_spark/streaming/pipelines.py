@@ -810,25 +810,8 @@ def metadata_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies the same cutoff, so the emission rule itself is
     value-hash-pinned. Scale: state is bounded by (window x type)
     cardinality; the sink write is the batch writer per micro-batch."""
-    import hashlib
-    import shutil
-
-    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    ts_expr, out_root = _metadata_stream_env(spark, sf_dir, "tumbling")
     from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_root = f"/tmp/spark_graft_meta_stream/{token}"
-    shutil.rmtree(out_root, ignore_errors=True)  # fresh drain per run
-    # the config generator adapts the event-time cast to the source's
-    # physical type, same branching as _events_stream (nanos-long under
-    # the nanosAsLong conf vs plain/NTZ timestamp, varies by SF dir)
-    raw_ts = dict(
-        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
-    ts_expr = ("timestamp_micros(ts div 1000)" if raw_ts == "bigint"
-               else "CAST(ts AS TIMESTAMP)")
     meta = parse_metadata({"dataflows": [{
         "name": "stream_agg",
         "sources": [
@@ -868,6 +851,38 @@ def metadata_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sinks": [{"input": "out", "name": "agg", "paths": [out_root],
                    "format": "parquet", "saveMode": "append"}],
     }]})
+    return _exec_metadata_stream(spark, meta, out_root, "agg")
+
+
+def _metadata_stream_env(spark: SparkSession, sf_dir: str,
+                         tag: str) -> tuple[str, str]:
+    """Shared scaffolding for metadata-compiled streaming topologies:
+    session confs, a per-(sf_dir, tag) drain directory wiped fresh,
+    and the event-time cast adapted to the source's physical ts type
+    (nanos-long under the nanosAsLong conf vs plain/NTZ timestamp,
+    varies by SF dir — same branching as ``_events_stream``)."""
+    import hashlib
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    token = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:10]
+    out_root = f"/tmp/spark_graft_meta_stream/{token}"
+    shutil.rmtree(out_root, ignore_errors=True)  # fresh drain per run
+    raw_ts = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_expr = ("timestamp_micros(ts div 1000)" if raw_ts == "bigint"
+               else "CAST(ts AS TIMESTAMP)")
+    return ts_expr, out_root
+
+
+def _exec_metadata_stream(spark: SparkSession, meta, out_root: str,
+                          sink_name: str) -> DataFrame:
+    """Run one metadata dataflow through the SAME executor path as
+    batch configs and read the drained sink back as a batch frame."""
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -876,7 +891,86 @@ def metadata_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         PipelineExecutor(spark).run_dataflow(meta.dataflows[0])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(f"{out_root}/agg")
+    return spark.read.parquet(f"{out_root}/{sink_name}")
+
+
+def metadata_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SESSION-WINDOW leg of the config-driven streaming thesis
+    [EXT]: a watermarked ``session_window(ts, '30 minutes')``
+    aggregation compiled purely from metadata JSON — proving the
+    declarative ``aggregate`` node's expression groupBy carries
+    Spark's stateful session merging, not just fixed tumbling windows
+    (``metadata_streaming_tumbling``).
+
+    Append-mode emission is the pinned contract again: a session is
+    emitted only once the final watermark (``max(ts) - 1 hour``)
+    passes its END (last event + gap — session ends are monotone along
+    the user's event order). The DuckDB oracle rebuilds the sessions
+    as gaps-and-islands in integer microseconds (strict ``>`` new-
+    session rule, the boundary-inclusive merge pinned by
+    ``test_session_window_boundary``) and applies the same cutoff, so
+    the emission rule itself is value-hash-gated. State is bounded by
+    live sessions per user; the executor drain is availableNow +
+    foreachBatch into the batch sink writer, checkpoint beside it."""
+    ts_expr, out_root = _metadata_stream_env(spark, sf_dir, "session")
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+    meta = parse_metadata({"dataflows": [{
+        "name": "stream_sessions",
+        "sources": [
+            {"name": "events", "path": sf_dir, "format": "parquet",
+             "streaming": True,
+             "options": {"pathGlobFilter": "events.parquet"}},
+        ],
+        "transformations": [
+            {"name": "typed", "type": "add_fields", "params": {
+                "input": "events", "addFields": [
+                    {"name": "ts_t", "function": ts_expr}]}},
+            {"name": "marked", "type": "watermark", "params": {
+                "input": "typed", "column": "ts_t", "delay": "1 hour"}},
+            {"name": "sessions", "type": "aggregate", "params": {
+                "input": "marked",
+                "groupBy": ["session_window(ts_t, '30 minutes') AS sw",
+                            "user_id"],
+                "aggregates": [
+                    {"name": "n_events", "function": "COUNT(*)"}]}},
+            {"name": "fmt", "type": "add_fields", "params": {
+                "input": "sessions", "addFields": [{
+                    "name": "session_start",
+                    "function":
+                        "date_format(sw.start, 'yyyy-MM-dd HH:mm:ss')"}]}},
+            {"name": "out", "type": "select", "params": {
+                "input": "fmt", "columns": [
+                    "user_id", "session_start", "n_events"]}},
+        ],
+        "sinks": [{"input": "out", "name": "sess", "paths": [out_root],
+                   "format": "parquet", "saveMode": "append"}],
+    }]})
+    return _exec_metadata_stream(spark, meta, out_root, "sess")
+
+
+METADATA_SESSION_SQL = """
+WITH wm AS (
+  SELECT MAX(epoch_us(ts)) - 3600000000 AS cutoff_us FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM islands, wm
+GROUP BY user_id, sid, cutoff_us
+HAVING MAX(epoch_us(ts)) + 1800000000 <= cutoff_us
+"""
 
 
 METADATA_STREAMING_SQL = """
@@ -896,6 +990,7 @@ GROUP BY 1, 2
 
 QUERIES: dict[str, QueryFn] = {
     "metadata_streaming_tumbling": metadata_streaming_tumbling,
+    "metadata_streaming_session": metadata_streaming_session,
     "streaming_window_median": streaming_window_median,
     "streaming_python_source": streaming_python_source,
     "streaming_tumbling_window": streaming_tumbling_window,
@@ -922,6 +1017,7 @@ def _py_datasource_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "metadata_streaming_tumbling": METADATA_STREAMING_SQL,
+    "metadata_streaming_session": METADATA_SESSION_SQL,
     "streaming_python_source": _py_datasource_sql(),
     "streaming_window_median": STREAMING_WINDOW_MEDIAN_SQL,
     "streaming_tumbling_window": STREAMING_TUMBLING_SQL,
