@@ -93,7 +93,7 @@ _WINDOW_PRIORITY = (
 # its r6 order. Reds and round-8 reworks, as always, jump the queue.
 _R8_EARMARK = (
     # new in late round 7, window already full — FIRST driver check in r8
-    "metadata_streaming_session",
+    "metadata_streaming_session", "funnel_time_to_convert",
     # r5-cohort tail displaced by round-7 additions
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

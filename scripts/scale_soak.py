@@ -210,6 +210,7 @@ EVENT_OPS = {
     "scd2_point_in_time_join": warehouse.scd2_point_in_time_join,
     "value_drift_continuous": events.value_drift_continuous,
     "decayed_type_popularity": events.decayed_type_popularity,
+    "funnel_time_to_convert": events.funnel_time_to_convert,
 }
 
 

@@ -491,6 +491,80 @@ SELECT '3_purchase', COUNT(*) FROM p
 """
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY per funnel stage [EXT] — how long the
+    surviving users of ``events_funnel_conversion`` took to advance
+    (first view -> first in-window click, that click -> first in-window
+    purchase): count, exact median (x2 trick) and interpolated p90 of
+    the stage latency in whole seconds.
+
+    Same anchored-MIN stage chain as the funnel (deterministic, no
+    row-order dependence), so the per-user latency is a pure integer:
+    epoch-microsecond difference DIV 1e6. The stage aggregate groups on
+    the 2-value stage literal but the percentile aggregates are
+    MERGEABLE (partial buffers merge associatively), so the latency
+    frame never funnels through one task pre-aggregation; p90 uses
+    interpolated ``percentile`` / ``quantile_cont`` (the
+    ``order_price_quantiles`` portability precedent)."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") >= F.col("v_ts"))
+                 & (F.col("ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts"),
+                                 F.min("v_ts").alias("v_ts0")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") >= F.col("c_ts"))
+                 & (F.col("ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts"),
+                                 F.min("c_ts").alias("c_ts0")))
+    sec_vc = F.expr(
+        "(unix_micros(c_ts) - unix_micros(v_ts0)) div 1000000")
+    sec_cp = F.expr(
+        "(unix_micros(p_ts) - unix_micros(c_ts0)) div 1000000")
+    lat = (c.select(F.lit("view_to_click").alias("stage"),
+                    sec_vc.alias("s"))
+           .unionByName(p.select(F.lit("click_to_purchase").alias("stage"),
+                                 sec_cp.alias("s"))))
+    return (lat.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.expr("CAST(median(2 * s) AS BIGINT)").alias("med_x2_s"),
+                 F.expr("percentile(s, 0.9D)").alias("p90_s")))
+
+
+FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(v.v_ts) AS v_ts0
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts >= v.v_ts AND e.ts < v.v_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(c.c_ts) AS c_ts0
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.c_ts AND e.ts < c.c_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+), lat AS (
+  SELECT 'view_to_click' AS stage,
+         (epoch_us(c_ts) - epoch_us(v_ts0)) // 1000000 AS s FROM c
+  UNION ALL
+  SELECT 'click_to_purchase',
+         (epoch_us(p_ts) - epoch_us(c_ts0)) // 1000000 FROM p
+)
+SELECT stage, COUNT(*) AS n_users,
+       CAST(median(2 * s) AS BIGINT) AS med_x2_s,
+       quantile_cont(s, 0.9) AS p90_s
+FROM lat GROUP BY stage
+"""
+
+
 def events_zscore_outliers(spark: SparkSession, sf_dir: str,
                            z_cut: float = 3.0) -> DataFrame:
     """Per-type z-score outlier detection [EXT]: events whose ``value``
@@ -1459,6 +1533,7 @@ QUERIES: dict[str, QueryFn] = {
     "theil_sen_trend": theil_sen_trend,
     "value_drift_continuous": value_drift_continuous,
     "decayed_type_popularity": decayed_type_popularity,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1490,6 +1565,7 @@ ORACLES: dict[str, str] = {
     "theil_sen_trend": THEIL_SEN_SQL,
     "value_drift_continuous": VALUE_DRIFT_SQL,
     "decayed_type_popularity": DECAYED_POP_SQL,
+    "funnel_time_to_convert": FUNNEL_LATENCY_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

@@ -588,3 +588,23 @@ def test_decayed_popularity_python_recomputation(spark, sf_dir):
     got = {r.event_type: [r.n_events, r.live_events, r.decayed_micro]
            for r in events.decayed_type_popularity(spark, sf_dir).collect()}
     assert got == dict(want)
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    """Stage populations must match events_funnel_conversion's stage
+    counts, and latencies must respect the 1-hour stage windows."""
+    fun = {r.funnel_stage: r.n_users for r in
+           events.events_funnel_conversion(spark, sf_dir).collect()}
+    lat = {r.stage: r for r in
+           events.funnel_time_to_convert(spark, sf_dir).collect()}
+    # a stage row exists only when someone reached it (sf0.001 has no
+    # click->purchase conversions)
+    got_vc = lat["view_to_click"].n_users if "view_to_click" in lat else 0
+    got_cp = (lat["click_to_purchase"].n_users
+              if "click_to_purchase" in lat else 0)
+    assert got_vc == fun.get("2_click", 0)
+    assert got_cp == fun.get("3_purchase", 0)
+    for r in lat.values():
+        assert 0 <= r.med_x2_s <= 2 * 3600
+        assert 0 <= r.p90_s < 3600
+        assert r.med_x2_s <= 2 * r.p90_s + 1
