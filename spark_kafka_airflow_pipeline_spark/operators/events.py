@@ -654,6 +654,79 @@ GROUP BY 1, 2
 # distribution drift: first-half vs second-half chi-square distance
 # ----------------------------------------------------------------------
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve [EXT] — the revenue twin of
+    ``events_retention_cohorts``: users grouped by first-seen WEEK,
+    purchase revenue accumulated per cohort across week offsets, and
+    the headline per-user LTV (cumulative cents / cohort size, integer
+    micro-cents) a growth team tracks curve-over-curve.
+
+    Scale: user first-seen is one aggregate on user_id; offsets join
+    purchases back to it on the same key (co-partitioned); the weekly
+    rollup collapses to a (cohort x offset) frame bounded by the
+    CALENDAR squared — the cumulative window runs post-aggregate on
+    that bounded frame (the repo's low-cardinality-window rule: the
+    window input must not scale with data). Revenue is integer cents;
+    the per-user LTV divides through DECIMAL(38,0) (``base.ppm``
+    armor, Spark side only)."""
+    e = table(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cw")))
+    sizes = first.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_users"))
+    weekly = (e.filter(F.col("event_type") == "purchase")
+              .join(first, "user_id")
+              .select("cw",
+                      F.expr("datediff(date_trunc('week', ts), cw) div 7")
+                      .alias("offset_w"),
+                      F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                      .alias("cents"))
+              .groupBy("cw", "offset_w")
+              .agg(F.count(F.lit(1)).alias("n_purchases"),
+                   F.sum("cents").alias("week_cents")))
+    cum = Window.partitionBy("cw").orderBy("offset_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (weekly
+            .withColumn("cum_cents", F.sum("week_cents").over(cum)
+                        .cast("bigint"))
+            .join(sizes, "cw")
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    "offset_w", "n_purchases", "week_cents", "cum_cents",
+                    "cohort_users",
+                    F.expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000"
+                           " DIV cohort_users AS BIGINT)")
+                    .alias("ltv_micro")))
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cw, COUNT(*) AS cohort_users FROM first GROUP BY cw
+), weekly AS (
+  SELECT f.cw,
+         datediff('day', f.cw, date_trunc('week', e.ts)) // 7 AS offset_w,
+         COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS week_cents
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT strftime(w.cw, '%Y-%m-%d') AS cohort_week, w.offset_w,
+       w.n_purchases, w.week_cents,
+       CAST(SUM(w.week_cents) OVER (
+         PARTITION BY w.cw ORDER BY w.offset_w
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+       s.cohort_users,
+       CAST(CAST(SUM(w.week_cents) OVER (
+              PARTITION BY w.cw ORDER BY w.offset_w
+              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            * 1000000 // s.cohort_users AS BIGINT) AS ltv_micro
+FROM weekly w JOIN sizes s ON w.cw = s.cw
+"""
+
+
 def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-drift detector: per event type, compare the ``value``
     distribution of the stream's first half against its second half
@@ -1534,6 +1607,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_drift_continuous": value_drift_continuous,
     "decayed_type_popularity": decayed_type_popularity,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
     "event_path_topk": event_path_topk,
@@ -1566,6 +1640,7 @@ ORACLES: dict[str, str] = {
     "value_drift_continuous": VALUE_DRIFT_SQL,
     "decayed_type_popularity": DECAYED_POP_SQL,
     "funnel_time_to_convert": FUNNEL_LATENCY_SQL,
+    "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,
     "event_path_topk": EVENT_PATH_SQL,

@@ -608,3 +608,49 @@ def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
         assert 0 <= r.med_x2_s <= 2 * 3600
         assert 0 <= r.p90_s < 3600
         assert r.med_x2_s <= 2 * r.p90_s + 1
+
+
+def test_cohort_ltv_python_recomputation(spark, sf_dir):
+    """LTV curve must match a full Python replay: first-seen week per
+    user, weekly purchase cents per (cohort, offset), prefix sums, and
+    the integer micro-LTV division."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_type", "ts", "value").collect())
+
+    def week(d):  # Monday-anchored, like date_trunc('week')
+        d = d.date()
+        return d - timedelta(days=d.weekday())
+
+    first = {}
+    for r in rows:
+        w = week(r.ts)
+        if r.user_id not in first or w < first[r.user_id]:
+            first[r.user_id] = w
+    sizes = defaultdict(int)
+    for w in first.values():
+        sizes[w] += 1
+    weekly = defaultdict(lambda: [0, 0])  # (cw, off) -> [n, cents]
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        cw = first[r.user_id]
+        off = (week(r.ts) - cw).days // 7
+        st = weekly[(cw, off)]
+        st[0] += 1
+        st[1] += int(r.value * 100 + 0.5)
+    want = {}
+    for cw in {k[0] for k in weekly}:
+        cum = 0
+        for off in sorted(o for c, o in weekly if c == cw):
+            n, cents = weekly[(cw, off)]
+            cum += cents
+            want[(cw.isoformat(), off)] = (
+                n, cents, cum, sizes[cw], cum * 1_000_000 // sizes[cw])
+    got = {(r.cohort_week, r.offset_w):
+           (r.n_purchases, r.week_cents, r.cum_cents, r.cohort_users,
+            r.ltv_micro)
+           for r in events.cohort_ltv_curve(spark, sf_dir).collect()}
+    assert got == want
