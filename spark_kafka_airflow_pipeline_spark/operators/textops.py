@@ -2019,7 +2019,82 @@ FROM sc
 """
 
 
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document [EXT] — the classic
+    readability quality signal (206.835 − 1.015·words/sentence −
+    84.6·syllables/word) that corpus-quality pipelines use alongside
+    the Gopher rules to gate reading-level mixes.
+
+    Deterministic heuristic, stated once and mirrored by the oracle:
+    sentences = count of ``[.!?]+`` runs (clamped >= 1), syllables =
+    count of ``[aeiouy]+`` groups in the lowercased text clamped to at
+    least one per word (vowel groups never span whitespace, so the
+    whole-text regex equals the per-word sum). The score is integer
+    micros: both ratios are truncated to milli units first (BIGINT
+    ``DIV``), so no float ever appears — the band CASE is exact.
+
+    Scale: one projection pass, pure JVM regex expressions, no
+    shuffle at all (per-doc output); the band thresholds are the
+    published Flesch bands.
+    """
+    d = table(spark, sf_dir, "documents")
+    per = d.select(
+        "doc_id", "source",
+        T.token_count("text").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1)).alias("n_sents"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .alias("vgroups"),
+    ).filter(F.col("n_words") > 0)
+    return (per
+            .withColumn("n_syll", F.greatest("vgroups", "n_words"))
+            .select(
+                "doc_id", "source", "n_words", "n_sents", "n_syll",
+                F.expr(
+                    "206835000 - (CAST(n_words AS BIGINT) * 1000 DIV n_sents)"
+                    " * 1015 - (CAST(n_syll AS BIGINT) * 1000 DIV n_words)"
+                    " * 84600").alias("flesch_micro"))
+            .withColumn(
+                "band",
+                F.when(F.col("flesch_micro") >= 60_000_000, "easy")
+                .when(F.col("flesch_micro") >= 30_000_000, "standard")
+                .otherwise("difficult")))
+
+
+FLESCH_SQL = """
+WITH m AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+         END AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+           AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+           AS vgroups
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_words, n_sents,
+         GREATEST(vgroups, n_words) AS n_syll
+  FROM m WHERE n_words > 0
+)
+SELECT doc_id, source, n_words, n_sents, n_syll,
+       CAST(206835000 - (CAST(n_words AS BIGINT) * 1000 // n_sents) * 1015
+            - (CAST(n_syll AS BIGINT) * 1000 // n_words) * 84600 AS BIGINT)
+         AS flesch_micro,
+       CASE WHEN 206835000 - (CAST(n_words AS BIGINT) * 1000 // n_sents) * 1015
+                 - (CAST(n_syll AS BIGINT) * 1000 // n_words) * 84600
+                 >= 60000000 THEN 'easy'
+            WHEN 206835000 - (CAST(n_words AS BIGINT) * 1000 // n_sents) * 1015
+                 - (CAST(n_syll AS BIGINT) * 1000 // n_words) * 84600
+                 >= 30000000 THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "flesch_reading_ease": flesch_reading_ease,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap": winnow_overlap,
     "longest_shared_spans": longest_shared_spans,
@@ -2060,6 +2135,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "flesch_reading_ease": FLESCH_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,
     "longest_shared_spans": LONGEST_SHARED_SPANS_SQL,

@@ -654,3 +654,29 @@ def test_cohort_ltv_python_recomputation(spark, sf_dir):
             r.ltv_micro)
            for r in events.cohort_ltv_curve(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_flesch_python_recomputation(spark, sf_dir):
+    """Flesch micros must match a regex replay in Python, and the band
+    must agree with the score thresholds."""
+    import re
+
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect())
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    want = {}
+    for r in rows:
+        w = len(r.text.strip().split()) if r.text.strip() else 0
+        if w == 0:
+            continue
+        sents = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        syl = max(len(re.findall(r"[aeiouy]+", r.text.lower())), w)
+        score = (206_835_000 - (w * 1000 // sents) * 1015
+                 - (syl * 1000 // w) * 84600)
+        band = ("easy" if score >= 60_000_000
+                else "standard" if score >= 30_000_000 else "difficult")
+        want[r.doc_id] = (w, sents, syl, score, band)
+    got = {r.doc_id: (r.n_words, r.n_sents, r.n_syll, r.flesch_micro, r.band)
+           for r in textops.flesch_reading_ease(spark, sf_dir).collect()}
+    assert got == want
