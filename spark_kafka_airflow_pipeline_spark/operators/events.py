@@ -727,6 +727,113 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type CO-OCCURRENCE with PMI and lift [EXT]
+    — the collocation-mining primitive (pointwise mutual information
+    over contexts) applied to behavioral sessions: which event types
+    appear in the SAME session more (or less) often than independence
+    predicts. The classic recommender/affinity signal.
+
+    Sessions reuse ``events_sessionize``'s exact 30-minute
+    gaps-and-islands definition, so the two queries agree row-for-row
+    on what a session is. PMI(a,b) = ln(N_ab * S / (N_a * N_b)) where
+    counts are sessions containing the type; the single per-row ln
+    follows the bm25 idiom (round 6dp, then floor-micros), and
+    lift_ppm is integral arithmetic through DECIMAL(38,0) (``base.ppm``
+    armor: both factors are data-sized, so their product overflows
+    BIGINT at 100 TB; the oracle keeps the plain ``//`` form).
+
+    Scale: sessionization is one user_id shuffle (lag + cumsum share
+    the window spec); the (session, type) frame is a distinct over
+    data, and the pair self-join fans out at most |types|² = 25 rows
+    per session — bounded. The per-type marginals and the 1-row
+    session total are broadcast aggregates; output is <= |types|²."""
+    e = table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(by_user))
+    s = (e.select("user_id", "event_id", "ts", "event_type")
+         .withColumn("is_new",
+                     F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+         .withColumn("sid", F.sum("is_new").over(
+             by_user.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    st = (s.groupBy("user_id", "sid", "event_type")
+          .agg(F.count(F.lit(1)).alias("_n")).drop("_n"))
+    tot = (st.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("_t"))
+           .agg(F.count(F.lit(1)).alias("n_sessions")))
+    per = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.sid") == F.col("b.sid"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    pa = F.broadcast(per.select(F.col("event_type").alias("type_a"),
+                                F.col("n_a").alias("n_sess_a")))
+    pb = F.broadcast(per.select(F.col("event_type").alias("type_b"),
+                                F.col("n_a").alias("n_sess_b")))
+    return (pairs.join(pa, "type_a").join(pb, "type_b")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "type_a", "type_b", "n_both", "n_sess_a", "n_sess_b",
+                "n_sessions",
+                F.expr(
+                    "CAST(CAST(n_both AS DECIMAL(38,0)) * n_sessions"
+                    " * 1000000 DIV (CAST(n_sess_a AS DECIMAL(38,0))"
+                    " * n_sess_b) AS BIGINT)").alias("lift_ppm"),
+                F.expr(
+                    "CAST(floor(round(ln((CAST(n_both AS DOUBLE)"
+                    " * n_sessions) / (CAST(n_sess_a AS DOUBLE)"
+                    " * n_sess_b)), 6) * 1000000.0 + 0.5)"
+                    " AS BIGINT)").alias("pmi_micro")))
+
+
+EVENT_PMI_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), st AS (
+  SELECT DISTINCT user_id, sid, event_type FROM sess
+), tot AS (
+  SELECT COUNT(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, sid FROM st)
+), per AS (
+  SELECT event_type, COUNT(*) AS n_a FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM st a
+  JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+           AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(pa.n_a AS BIGINT) AS n_sess_a,
+       CAST(pb.n_a AS BIGINT) AS n_sess_b,
+       CAST(t.n_sessions AS BIGINT) AS n_sessions,
+       CAST(p.n_both * t.n_sessions * 1000000
+            // (pa.n_a * pb.n_a) AS BIGINT) AS lift_ppm,
+       CAST(floor(round(ln((CAST(p.n_both AS DOUBLE) * t.n_sessions)
+                           / (CAST(pa.n_a AS DOUBLE) * pb.n_a)), 6)
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN per pa ON p.type_a = pa.event_type
+JOIN per pb ON p.type_b = pb.event_type
+CROSS JOIN tot t
+"""
+
+
 def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-drift detector: per event type, compare the ``value``
     distribution of the stream's first half against its second half
@@ -1607,6 +1714,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_drift_continuous": value_drift_continuous,
     "decayed_type_popularity": decayed_type_popularity,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "event_cooccurrence_pmi": event_cooccurrence_pmi,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -1640,6 +1748,7 @@ ORACLES: dict[str, str] = {
     "value_drift_continuous": VALUE_DRIFT_SQL,
     "decayed_type_popularity": DECAYED_POP_SQL,
     "funnel_time_to_convert": FUNNEL_LATENCY_SQL,
+    "event_cooccurrence_pmi": EVENT_PMI_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

@@ -680,3 +680,51 @@ def test_flesch_python_recomputation(spark, sf_dir):
     got = {r.doc_id: (r.n_words, r.n_sents, r.n_syll, r.flesch_micro, r.band)
            for r in textops.flesch_reading_ease(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_event_pmi_python_replay(spark, sf_dir):
+    """Session co-occurrence counts must match a Python sessionizer
+    replay, and PMI/lift must satisfy their closed forms."""
+    import math
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts", "event_type").collect())
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    sess_types = []
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        cur, last = None, None
+        for r in evs:
+            if last is None or (r.ts - last).total_seconds() > 1800:
+                if cur:
+                    sess_types.append(cur)
+                cur = set()
+            cur.add(r.event_type)
+            last = r.ts
+        if cur:
+            sess_types.append(cur)
+    S = len(sess_types)
+    per = defaultdict(int)
+    both = defaultdict(int)
+    for st in sess_types:
+        for t in st:
+            per[t] += 1
+        for a in st:
+            for b in st:
+                if a < b:
+                    both[(a, b)] += 1
+    got = {(r.type_a, r.type_b): r for r in
+           events.event_cooccurrence_pmi(spark, sf_dir).collect()}
+    assert set(got) == set(both)
+    for (a, b), n_ab in both.items():
+        r = got[(a, b)]
+        assert (r.n_both, r.n_sess_a, r.n_sess_b, r.n_sessions) == (
+            n_ab, per[a], per[b], S)
+        assert r.lift_ppm == n_ab * S * 1_000_000 // (per[a] * per[b])
+        want_pmi = math.floor(
+            round(math.log((float(n_ab) * S) / (float(per[a]) * per[b])), 6)
+            * 1_000_000 + 0.5)
+        assert r.pmi_micro == want_pmi
