@@ -822,7 +822,118 @@ FROM unioned
 """
 
 
+#: literal predicate set the skipping audit evaluates (label, cents
+#: lower bound). Fixed literals — like benford_price_audit's expected
+#: digit table — so the oracle can restate them verbatim.
+_SKIP_PREDS: tuple[tuple[str, int], ...] = (
+    ("ge_50k", 5_000_000),
+    ("ge_200k", 20_000_000),
+    ("ge_400k", 40_000_000),
+    ("ge_520k", 52_000_000),
+)
+
+
+def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max DATA-SKIPPING effectiveness audit [EXT] — the
+    Iceberg/Delta/parquet-footer question asked as a query: if orders
+    were laid out as one file per (order month x custkey-bucket-of-8),
+    how many files (and rows) would each threshold predicate prune
+    from footer min/max alone, and how much of what still gets scanned
+    is waste (scanned-but-not-matching)?
+
+    This is the audit a table-layout owner runs before choosing
+    partition/cluster columns: ``skip_ppm`` is what the manifest saves,
+    ``waste_ppm`` is what a better layout could still save.
+
+    Scale: the "manifest" is a groupBy on (month, bucket) — bounded by
+    CALENDAR x 8 regardless of data size; predicates are a literal
+    4-row frame, so the manifest x predicate cross join is bounded².
+    The true-match counts come from ONE pass over the fact with the
+    broadcast literal frame — map-side partial aggregation collapses
+    the 4x fan-out to 4 rows per task before any shuffle. Shares use
+    the DECIMAL(38,0) ``base.ppm`` armor (row counts are data-sized).
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("mo"),
+        (F.col("o_custkey") % 8).alias("bk"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        .alias("cents"))
+    files = base.groupBy("mo", "bk").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"))
+    preds = spark.createDataFrame(list(_SKIP_PREDS), "pred string, lo long")
+    man = (files.crossJoin(F.broadcast(preds))
+           .groupBy("pred", "lo")
+           .agg(F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.when(F.col("max_c") < F.col("lo"), 1)
+                      .otherwise(0)).alias("files_pruned"),
+                F.sum("n_rows").alias("rows_total"),
+                F.sum(F.when(F.col("max_c") < F.col("lo"),
+                             F.col("n_rows")).otherwise(0))
+                .alias("rows_skipped")))
+    mt = (base.crossJoin(F.broadcast(preds))
+          .groupBy("pred")
+          .agg(F.sum(F.when(F.col("cents") >= F.col("lo"), 1)
+                     .otherwise(0)).alias("rows_matching")))
+    return (man.join(F.broadcast(mt), "pred")
+            .select(
+                "pred", F.col("lo").alias("lo_cents"), "n_files",
+                "files_pruned", "rows_total", "rows_skipped",
+                (F.col("rows_total") - F.col("rows_skipped"))
+                .alias("rows_scanned"), "rows_matching",
+                F.expr(ppm("rows_skipped", "rows_total"))
+                .alias("skip_ppm"),
+                F.expr(ppm(
+                    "rows_total - rows_skipped - rows_matching",
+                    "GREATEST(rows_total - rows_skipped, 1)"))
+                .alias("waste_ppm")))
+
+
+_SKIP_PREDS_SQL = ", ".join(f"('{p}', {lo})" for p, lo in _SKIP_PREDS)
+
+MINMAX_SKIP_SQL = f"""
+WITH base AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mo,
+         o_custkey % 8 AS bk,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), files AS (
+  SELECT mo, bk, COUNT(*) AS n_rows, MIN(cents) AS min_c,
+         MAX(cents) AS max_c
+  FROM base GROUP BY 1, 2
+), preds AS (
+  SELECT * FROM (VALUES {_SKIP_PREDS_SQL}) AS t(pred, lo)
+), man AS (
+  SELECT p.pred, CAST(p.lo AS BIGINT) AS lo_cents,
+         COUNT(*) AS n_files,
+         CAST(SUM(CASE WHEN f.max_c < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_pruned,
+         CAST(SUM(f.n_rows) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN f.max_c < p.lo THEN f.n_rows ELSE 0 END)
+              AS BIGINT) AS rows_skipped
+  FROM files f CROSS JOIN preds p GROUP BY 1, 2
+), mt AS (
+  SELECT p.pred,
+         CAST(SUM(CASE WHEN b.cents >= p.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_matching
+  FROM base b CROSS JOIN preds p GROUP BY 1
+)
+SELECT m.pred, m.lo_cents, m.n_files, m.files_pruned, m.rows_total,
+       m.rows_skipped, m.rows_total - m.rows_skipped AS rows_scanned,
+       mt.rows_matching,
+       CAST(m.rows_skipped * 1000000 // m.rows_total AS BIGINT)
+         AS skip_ppm,
+       CAST((m.rows_total - m.rows_skipped - mt.rows_matching) * 1000000
+            // GREATEST(m.rows_total - m.rows_skipped, 1) AS BIGINT)
+         AS waste_ppm
+FROM man m JOIN mt ON m.pred = mt.pred
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "minmax_skipping_audit": minmax_skipping_audit,
     "customer_global_rank": customer_global_rank,
     "customer_pareto_abc": customer_pareto_abc,
     "orders_equidepth_bins": orders_equidepth_bins,
@@ -839,6 +950,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "minmax_skipping_audit": MINMAX_SKIP_SQL,
     "customer_global_rank": CUSTOMER_RANK_SQL,
     "customer_pareto_abc": PARETO_ABC_SQL,
     "orders_equidepth_bins": EQUIDEPTH_SQL,

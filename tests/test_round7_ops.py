@@ -728,3 +728,31 @@ def test_event_pmi_python_replay(spark, sf_dir):
             round(math.log((float(n_ab) * S) / (float(per[a]) * per[b])), 6)
             * 1_000_000 + 0.5)
         assert r.pmi_micro == want_pmi
+
+
+def test_minmax_skipping_never_drops_matches(spark, sf_dir):
+    """Safety invariant of min-max pruning: a pruned file can contain
+    NO matching row — so rows_matching <= rows_scanned — and the
+    manifest counts match a brute-force per-file replay."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderdate", "o_custkey", "o_totalprice").collect())
+    byfile = defaultdict(list)
+    for r in rows:
+        mo = str(r.o_orderdate)[:7]
+        byfile[(mo, r.o_custkey % 8)].append(
+            int(r.o_totalprice * 100 + 0.5))
+    got = {r.pred: r for r in
+           scaleops.minmax_skipping_audit(spark, sf_dir).collect()}
+    for pred, lo in scaleops._SKIP_PREDS:
+        r = got[pred]
+        pruned = [f for f in byfile.values() if max(f) < lo]
+        matches = sum(1 for f in byfile.values() for c in f if c >= lo)
+        assert r.n_files == len(byfile)
+        assert r.files_pruned == len(pruned)
+        assert r.rows_skipped == sum(len(f) for f in pruned)
+        assert r.rows_matching == matches
+        assert r.rows_matching <= r.rows_scanned
+        assert 0 <= r.skip_ppm <= 1_000_000
+        assert 0 <= r.waste_ppm <= 1_000_000
