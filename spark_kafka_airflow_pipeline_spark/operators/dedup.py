@@ -1468,7 +1468,119 @@ FROM cfg, s
 """
 
 
+def containment_md5_pairs(spark: SparkSession, sf_dir: str,
+                          n: int = 8, df_cap: int = 64) -> DataFrame:
+    """ASYMMETRIC containment pairs [EXT] — the dedup signal Jaccard
+    cannot see: a short document quoted verbatim inside a long one has
+    containment(A in B) ~ 1 while Jaccard stays tiny. This is the
+    Broder containment measure used for quote/subset/boilerplate
+    detection alongside symmetric near-dedup.
+
+    Gram identity is the md5-portable word-``n``-gram (same whole-text
+    rule as ``decontamination_ngram_overlap``: docs with <= n tokens
+    contribute one whole-text gram), distinct per doc. Candidate pairs
+    come from a document-frequency-CAPPED gram join (df in [2, 64] —
+    boilerplate grams shared by more than 64 docs are dropped BEFORE
+    the self-join, the ``longest_shared_spans`` idiom), so per-gram
+    fan-out is bounded by df_cap² and no all-pairs step exists.
+    Containment denominators use each doc's FULL distinct-gram count
+    (capped grams still count toward sizes — the cap bounds the join,
+    not the measure). Output keeps pairs with max containment >= 0.5
+    and classifies them: near_dup (Jaccard >= 0.9), a_in_b / b_in_a
+    (one-sided containment >= 0.9), else partial."""
+    d = table(spark, sf_dir, "documents")
+    g = (d.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"))
+         .select("doc_id", F.explode(F.expr(
+             f"CASE WHEN size(t) <= {n} THEN array(array_join(t, ' ')) "
+             f"ELSE transform(sequence(0, size(t) - {n}), "
+             f"i -> array_join(slice(t, i + 1, {n}), ' ')) END"))
+             .alias("gram")))
+    grams = (g.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+        .alias("gid")).dropDuplicates())
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    keep = (grams.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+            .select("gid"))
+    kept = grams.join(keep, "gid")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "gid")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "gid")
+    pairs = (a.join(b, ["gid"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (pairs
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "na"}),
+                 "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "nb"}),
+                 "doc_b")
+           .withColumn("cont_a_ppm", F.expr("n_inter * 1000000 DIV na"))
+           .withColumn("cont_b_ppm", F.expr("n_inter * 1000000 DIV nb"))
+           .withColumn("jaccard_ppm",
+                       F.expr("n_inter * 1000000 DIV (na + nb - n_inter)"))
+           .filter(F.greatest("cont_a_ppm", "cont_b_ppm") >= 500_000))
+    return out.select(
+        "doc_a", "doc_b", "na", "nb", "n_inter",
+        "cont_a_ppm", "cont_b_ppm", "jaccard_ppm",
+        F.when(F.col("jaccard_ppm") >= 900_000, "near_dup")
+        .when(F.col("cont_a_ppm") >= 900_000, "a_in_b")
+        .when(F.col("cont_b_ppm") >= 900_000, "b_in_a")
+        .otherwise("partial").alias("relation"))
+
+
+CONTAINMENT_MD5_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gid
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+                  END) AS g
+    FROM toks)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), keep AS (
+  SELECT gid FROM grams GROUP BY gid
+  HAVING COUNT(*) BETWEEN 2 AND 64
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM (SELECT g.* FROM grams g JOIN keep k ON g.gid = k.gid) a
+  JOIN (SELECT g.* FROM grams g JOIN keep k ON g.gid = k.gid) b
+    ON a.gid = b.gid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(sa.sz AS BIGINT) AS na, CAST(sb.sz AS BIGINT) AS nb,
+         CAST(p.n_inter AS BIGINT) AS n_inter,
+         CAST(p.n_inter * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm,
+         CAST(p.n_inter * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm,
+         CAST(p.n_inter * 1000000 // (sa.sz + sb.sz - p.n_inter)
+              AS BIGINT) AS jaccard_ppm
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, na, nb, n_inter, cont_a_ppm, cont_b_ppm,
+       jaccard_ppm,
+       CASE WHEN jaccard_ppm >= 900000 THEN 'near_dup'
+            WHEN cont_a_ppm >= 900000 THEN 'a_in_b'
+            WHEN cont_b_ppm >= 900000 THEN 'b_in_a'
+            ELSE 'partial' END AS relation
+FROM scored
+WHERE GREATEST(cont_a_ppm, cont_b_ppm) >= 500000
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "containment_md5_pairs": containment_md5_pairs,
     "lsh_parameter_planner": lsh_parameter_planner,
     "sketch_family_pr_eval": sketch_family_pr_eval,
     "minhash_estimate_error": minhash_estimate_error,
@@ -1493,6 +1605,7 @@ QUERIES: dict[str, QueryFn] = {
 # rows-only entries (murmur3 minhash/simhash/ngram) intentionally
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "containment_md5_pairs": CONTAINMENT_MD5_SQL,
     "lsh_parameter_planner": LSH_PLANNER_SQL,
     "sketch_family_pr_eval": SKETCH_PR_SQL,
     "minhash_estimate_error": MINHASH_ESTIMATE_SQL,

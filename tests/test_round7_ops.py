@@ -756,3 +756,30 @@ def test_minmax_skipping_never_drops_matches(spark, sf_dir):
         assert r.rows_matching <= r.rows_scanned
         assert 0 <= r.skip_ppm <= 1_000_000
         assert 0 <= r.waste_ppm <= 1_000_000
+
+
+def test_containment_planted_quote(spark, tmp_path):
+    """A short doc quoted verbatim inside a long one must classify as
+    a_in_b with containment 1.0 even though Jaccard is far below the
+    near-dup bar; identical docs classify near_dup; unrelated docs
+    produce no pair."""
+    from spark_kafka_airflow_pipeline_spark.operators import dedup
+
+    quote = " ".join(f"q{i}" for i in range(20))
+    host = (" ".join(f"h{i}" for i in range(30)) + " " + quote + " "
+            + " ".join(f"t{i}" for i in range(30)))
+    twin = " ".join(f"z{i}" for i in range(25))
+    other = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, twin), (4, twin), (5, other)],
+        "doc_id long, text string")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {(r.doc_a, r.doc_b): r for r in
+            dedup.containment_md5_pairs(spark, str(tmp_path)).collect()}
+    q = rows[(1, 2)]
+    assert q.relation == "a_in_b"
+    assert q.cont_a_ppm == 1_000_000 and q.cont_b_ppm < 500_000
+    assert q.jaccard_ppm < 900_000
+    t = rows[(3, 4)]
+    assert t.relation == "near_dup" and t.jaccard_ppm == 1_000_000
+    assert not any(5 in k for k in rows)
