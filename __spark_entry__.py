@@ -94,7 +94,8 @@ _WINDOW_PRIORITY = (
 _R8_EARMARK = (
     # new in late round 7, window already full — FIRST driver check in r8
     "metadata_streaming_session", "funnel_time_to_convert",
-    "cohort_ltv_curve",
+    "cohort_ltv_curve", "flesch_reading_ease", "event_cooccurrence_pmi",
+    "minmax_skipping_audit", "containment_md5_pairs",
     # r5-cohort tail displaced by round-7 additions
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

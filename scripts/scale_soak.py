@@ -177,6 +177,10 @@ OPS = {
     "frequent_part_pairs": relational_extra.frequent_part_pairs,
     "cms_heavy_hitters": corpusops.cms_heavy_hitters,
     "stratified_sample_neyman": textops.stratified_sample_neyman,
+    # late round-7 additions
+    "flesch_reading_ease": textops.flesch_reading_ease,
+    "containment_md5_pairs": dedup.containment_md5_pairs,
+    "minmax_skipping_audit": scaleops.minmax_skipping_audit,
 }
 
 
@@ -211,6 +215,8 @@ EVENT_OPS = {
     "value_drift_continuous": events.value_drift_continuous,
     "decayed_type_popularity": events.decayed_type_popularity,
     "funnel_time_to_convert": events.funnel_time_to_convert,
+    "cohort_ltv_curve": events.cohort_ltv_curve,
+    "event_cooccurrence_pmi": events.event_cooccurrence_pmi,
 }
 
 

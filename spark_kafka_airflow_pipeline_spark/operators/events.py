@@ -727,6 +727,87 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout [EXT]: Welch's unequal-variance t
+    statistic (+ Satterthwaite degrees of freedom) comparing purchase
+    values between two deterministically-assigned arms (user_id
+    parity — the hash-bucket assignment every experimentation platform
+    uses, stated so the oracle can restate it).
+
+    Float discipline follows ``lineitem_moment_stats``: power sums are
+    accumulated as EXACT decimals (order-independent under any
+    partitioning), cast to double once, then the t/df formulas run in
+    identical operand order in both engines and round to 6dp.
+
+    Scale: ONE conditional-aggregation pass over the fact — no join,
+    no shuffle beyond the final 1-row reduce."""
+    e = (table(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase")
+         .select((F.col("user_id") % 2 == 0).alias("ctl"),
+                 F.col("value").alias("v")))
+    agg = e.agg(
+        F.sum(F.when(F.col("ctl"), 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(~F.col("ctl"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("ctl"), F.col("v")).cast("decimal(24,6)"))
+        .cast("double").alias("s_c"),
+        F.sum(F.when(F.col("ctl"), F.col("v") * F.col("v"))
+              .cast("decimal(30,6)")).cast("double").alias("ss_c"),
+        F.sum(F.when(~F.col("ctl"), F.col("v")).cast("decimal(24,6)"))
+        .cast("double").alias("s_t"),
+        F.sum(F.when(~F.col("ctl"), F.col("v") * F.col("v"))
+              .cast("decimal(30,6)")).cast("double").alias("ss_t"))
+    nc, nt = F.col("n_c"), F.col("n_t")
+    vc = (F.col("ss_c") - F.col("s_c") * F.col("s_c") / nc) / (nc - 1)
+    vt = (F.col("ss_t") - F.col("s_t") * F.col("s_t") / nt) / (nt - 1)
+    se2 = vc / nc + vt / nt
+    t = (F.col("s_t") / nt - F.col("s_c") / nc) / F.sqrt(se2)
+    df = (se2 * se2) / ((vc / nc) * (vc / nc) / (nc - 1)
+                        + (vt / nt) * (vt / nt) / (nt - 1))
+    return agg.select(
+        "n_c", "n_t",
+        F.round(F.col("s_c") / nc, 6).alias("mean_c"),
+        F.round(F.col("s_t") / nt, 6).alias("mean_t"),
+        F.round(F.col("s_t") / nt - F.col("s_c") / nc, 6).alias("diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"))
+
+
+AB_WELCH_SQL = """
+WITH s AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_c,
+         SUM(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END) AS n_t,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(value AS DECIMAL(24,6)) END)
+              AS DOUBLE) AS s_c,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(value * value AS DECIMAL(30,6)) END)
+              AS DOUBLE) AS ss_c,
+         CAST(SUM(CASE WHEN user_id % 2 != 0
+                       THEN CAST(value AS DECIMAL(24,6)) END)
+              AS DOUBLE) AS s_t,
+         CAST(SUM(CASE WHEN user_id % 2 != 0
+                       THEN CAST(value * value AS DECIMAL(30,6)) END)
+              AS DOUBLE) AS ss_t
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT n_c, n_t, s_c, s_t,
+         (ss_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (ss_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM s
+)
+SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+       round(s_c / n_c, 6) AS mean_c,
+       round(s_t / n_t, 6) AS mean_t,
+       round(s_t / n_t - s_c / n_c, 6) AS diff,
+       round((s_t / n_t - s_c / n_c) / sqrt(vc / n_c + vt / n_t), 6)
+         AS t_stat,
+       round((vc / n_c + vt / n_t) * (vc / n_c + vt / n_t)
+             / ((vc / n_c) * (vc / n_c) / (n_c - 1)
+                + (vt / n_t) * (vt / n_t) / (n_t - 1)), 6) AS welch_df
+FROM v
+"""
+
+
 def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level event-type CO-OCCURRENCE with PMI and lift [EXT]
     — the collocation-mining primitive (pointwise mutual information
@@ -1715,6 +1796,7 @@ QUERIES: dict[str, QueryFn] = {
     "decayed_type_popularity": decayed_type_popularity,
     "funnel_time_to_convert": funnel_time_to_convert,
     "event_cooccurrence_pmi": event_cooccurrence_pmi,
+    "ab_test_welch": ab_test_welch,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -1749,6 +1831,7 @@ ORACLES: dict[str, str] = {
     "decayed_type_popularity": DECAYED_POP_SQL,
     "funnel_time_to_convert": FUNNEL_LATENCY_SQL,
     "event_cooccurrence_pmi": EVENT_PMI_SQL,
+    "ab_test_welch": AB_WELCH_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

@@ -783,3 +783,32 @@ def test_containment_planted_quote(spark, tmp_path):
     t = rows[(3, 4)]
     assert t.relation == "near_dup" and t.jaccard_ppm == 1_000_000
     assert not any(5 in k for k in rows)
+
+
+def test_ab_welch_python_replay(spark, sf_dir):
+    """Welch t / df must match a from-scratch Python computation on the
+    same deterministic arm assignment."""
+    import math
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "value").collect())
+    c = [r.value for r in rows if r.user_id % 2 == 0]
+    t_ = [r.value for r in rows if r.user_id % 2 != 0]
+
+    def var(xs):
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        return (ss - s * s / n) / (n - 1)
+
+    vc, vt = var(c), var(t_)
+    mc, mt = sum(c) / len(c), sum(t_) / len(t_)
+    se2 = vc / len(c) + vt / len(t_)
+    t_stat = (mt - mc) / math.sqrt(se2)
+    df = se2 * se2 / ((vc / len(c)) ** 2 / (len(c) - 1)
+                      + (vt / len(t_)) ** 2 / (len(t_) - 1))
+    got = events.ab_test_welch(spark, sf_dir).collect()[0]
+    assert (got.n_c, got.n_t) == (len(c), len(t_))
+    assert abs(got.mean_c - mc) < 1e-4 and abs(got.mean_t - mt) < 1e-4
+    assert abs(got.t_stat - t_stat) < 1e-4
+    assert abs(got.welch_df - df) < max(1e-3, abs(df) * 1e-6)
+    assert min(len(c), len(t_)) - 1 <= got.welch_df <= len(c) + len(t_) - 2
