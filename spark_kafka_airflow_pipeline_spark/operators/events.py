@@ -727,6 +727,86 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detector per event type [EXT]: the day where
+    the cumulative deviation of daily volume from the type's mean
+    peaks — the classic Page/CUSUM "when did behavior shift" readout
+    an on-call analyst runs after a drift alert (PSI/chi² say THAT the
+    stream changed; this says WHEN).
+
+    Exact integer arithmetic throughout: with k = day rank, s_k = the
+    running event count and ``total``/``n_days`` the per-type sums,
+    the mean-centered CUSUM scaled by n_days is
+    ``cusum_k = n_days * s_k - k * total`` — no float ever appears, so
+    argmax (ties -> earliest day) is deterministic in both engines.
+
+    Scale: the window input is the (event_type x day) DAILY aggregate —
+    calendar-bounded, never data-sized (the repo's
+    low-cardinality-window rule); per-type totals are a bounded
+    broadcast; pre/post means ride the DECIMAL ppm armor."""
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                       .alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = (daily
+           .withColumn("k", F.row_number().over(w).cast("bigint"))
+           .withColumn("s", F.sum("c").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))))
+    scored = (run.join(F.broadcast(tot), "event_type")
+              .withColumn("cusum",
+                          F.expr("n_days * s - k * total")))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day")
+    return (scored.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("day").alias("cp_day"),
+                    "n_days", F.col("total").alias("total_events"),
+                    F.col("k").alias("k_days"),
+                    F.col("cusum").alias("cusum_scaled"),
+                    F.expr(ppm("s", "k")).alias("pre_mean_micro"),
+                    F.expr(ppm("total - s", "GREATEST(n_days - k, 1)"))
+                    .alias("post_mean_micro")))
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+), run AS (
+  SELECT event_type, day, c,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), scored AS (
+  SELECT r.event_type, r.day, r.k, r.s, t.n_days, t.total,
+         CAST(t.n_days * r.s - r.k * t.total AS BIGINT) AS cusum
+  FROM run r JOIN tot t ON r.event_type = t.event_type
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, day) AS rn
+  FROM scored
+)
+SELECT event_type, day AS cp_day, n_days, total AS total_events,
+       k AS k_days, cusum AS cusum_scaled,
+       CAST(s * 1000000 // k AS BIGINT) AS pre_mean_micro,
+       CAST((total - s) * 1000000 // GREATEST(n_days - k, 1) AS BIGINT)
+         AS post_mean_micro
+FROM ranked WHERE rn = 1
+"""
+
+
 def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout [EXT]: Welch's unequal-variance t
     statistic (+ Satterthwaite degrees of freedom) comparing purchase
@@ -1797,6 +1877,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_time_to_convert": funnel_time_to_convert,
     "event_cooccurrence_pmi": event_cooccurrence_pmi,
     "ab_test_welch": ab_test_welch,
+    "events_cusum_changepoint": events_cusum_changepoint,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -1832,6 +1913,7 @@ ORACLES: dict[str, str] = {
     "funnel_time_to_convert": FUNNEL_LATENCY_SQL,
     "event_cooccurrence_pmi": EVENT_PMI_SQL,
     "ab_test_welch": AB_WELCH_SQL,
+    "events_cusum_changepoint": CUSUM_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

@@ -812,3 +812,47 @@ def test_ab_welch_python_replay(spark, sf_dir):
     assert abs(got.t_stat - t_stat) < 1e-4
     assert abs(got.welch_df - df) < max(1e-3, abs(df) * 1e-6)
     assert min(len(c), len(t_)) - 1 <= got.welch_df <= len(c) + len(t_) - 2
+
+
+def test_cusum_python_replay_and_planted_shift(spark, sf_dir, tmp_path):
+    """CUSUM argmax must match a Python replay on real data, and a
+    planted level shift must be located exactly."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type", "ts").collect())
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r.event_type][str(r.ts.date())] += 1
+    got = {r.event_type: r for r in
+           events.events_cusum_changepoint(spark, sf_dir).collect()}
+    for typ, days in daily.items():
+        n, total = len(days), sum(days.values())
+        s, best = 0, None
+        for k, day in enumerate(sorted(days), start=1):
+            s += days[day]
+            cu = n * s - k * total
+            if best is None or abs(cu) > abs(best[1]):
+                best = (day, cu, k, s)
+        r = got[typ]
+        assert (r.cp_day, r.cusum_scaled, r.k_days) == best[:3], typ
+        assert r.pre_mean_micro == best[3] * 1_000_000 // best[2]
+
+    # planted: 10 days at 2/day then 10 days at 20/day -> cp at day 10
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    evs = []
+    eid = 0
+    for d in range(20):
+        for _ in range(2 if d < 10 else 20):
+            evs.append((eid, base + dt.timedelta(days=d, minutes=eid % 60),
+                        1, "shift", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = events.events_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].cp_day == "2024-01-10"
+    assert out[0].pre_mean_micro == 2_000_000
+    assert out[0].post_mean_micro == 20_000_000
