@@ -2093,7 +2093,62 @@ FROM s
 """
 
 
+def boilerplate_line_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-LINE share per document [EXT] — the
+    CCNet/RefinedWeb boilerplate signal: split each doc into sentence
+    units, hash the normalized unit, count how many DISTINCT documents
+    each unit appears in, and report per doc what fraction of its
+    units are corpus-repeated (df >= 2). High shares mark template/
+    boilerplate pages a curation pipeline drops or line-filters.
+
+    Scale: explode -> md5 60-bit unit id (narrow shuffle key) ->
+    df groupBy -> join back on the unit id -> per-doc aggregate. Two
+    shuffles on high-cardinality keys, no self-join, no cap needed
+    (df counting is linear however hot a unit is). Docs with no
+    non-empty sentence units produce no row (stated; the oracle
+    agrees)."""
+    d = table(spark, sf_dir, "documents")
+    occ = (d.select("doc_id",
+                    F.explode(F.split("text", "[.!?]+")).alias("raw"))
+           .select("doc_id", F.lower(F.trim("raw")).alias("sent"))
+           .filter(F.col("sent") != "")
+           .select("doc_id",
+                   F.conv(F.substring(F.md5("sent"), 1, 15), 16, 10)
+                   .cast("bigint").alias("sid")))
+    dfq = occ.groupBy("sid").agg(
+        F.countDistinct("doc_id").alias("df"))
+    return (occ.join(dfq, "sid")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sents"),
+                 F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                 .alias("n_boiler"))
+            .select("doc_id", "n_sents", "n_boiler",
+                    F.expr("n_boiler * 1000000 DIV n_sents")
+                    .alias("boiler_ppm")))
+
+
+BOILERPLATE_SQL = """
+WITH occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(lower(trim(s))), 1, 15))::BIGINT AS sid
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        FROM documents)
+  WHERE lower(trim(s)) != ''
+), dfq AS (
+  SELECT sid, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY sid
+)
+SELECT o.doc_id, COUNT(*) AS n_sents,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS boiler_ppm
+FROM occ o JOIN dfq d ON o.sid = d.sid
+GROUP BY o.doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "boilerplate_line_share": boilerplate_line_share,
     "flesch_reading_ease": flesch_reading_ease,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap": winnow_overlap,
@@ -2135,6 +2190,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "boilerplate_line_share": BOILERPLATE_SQL,
     "flesch_reading_ease": FLESCH_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,

@@ -856,3 +856,26 @@ def test_cusum_python_replay_and_planted_shift(spark, sf_dir, tmp_path):
     assert len(out) == 1 and out[0].cp_day == "2024-01-10"
     assert out[0].pre_mean_micro == 2_000_000
     assert out[0].post_mean_micro == 20_000_000
+
+
+def test_boilerplate_planted_template(spark, tmp_path):
+    """A template sentence shared by 3 docs must be flagged in each;
+    unique-only docs report zero boilerplate."""
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    tpl = "Subscribe to our newsletter"
+    docs = [
+        (1, f"{tpl}. unique one a. unique one b."),
+        (2, f"unique two a! {tpl}? unique two b."),
+        (3, f"{tpl}."),
+        (4, "totally original four. nothing shared here!"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in
+           textops.boilerplate_line_share(spark, str(tmp_path)).collect()}
+    assert (got[1].n_sents, got[1].n_boiler) == (3, 1)
+    assert (got[2].n_sents, got[2].n_boiler) == (3, 1)
+    assert (got[3].n_sents, got[3].n_boiler, got[3].boiler_ppm) == (
+        1, 1, 1_000_000)
+    assert (got[4].n_sents, got[4].n_boiler, got[4].boiler_ppm) == (2, 0, 0)
