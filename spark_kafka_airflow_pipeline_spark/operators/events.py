@@ -727,6 +727,91 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+def session_dwell_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session QUALITY profile by entry event type [EXT]: bounce rate
+    (single-event sessions), events per session and mean dwell time,
+    keyed by the session's FIRST event type — the landing-page
+    analytics cut (which entry points produce engaged sessions?).
+
+    Sessions are ``events_sessionize``'s exact 30-minute
+    gaps-and-islands; the entry type is FIRST_VALUE over the same
+    (ts, event_id) total order, so it is deterministic under ties.
+    Dwell is integer microseconds (unix_micros/epoch_us — exact in
+    both engines); session-count-sized sums ride DECIMAL(38,0).
+
+    Scale: the lag/cumsum/first_value windows all share the user_id
+    partitioning (one exchange); per-session and per-entry-type
+    aggregates are plain mergeable groupBys. Output <= |event types|.
+    """
+    e = table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(by_user))
+    rows = (e.select("user_id", "event_id", "ts", "event_type")
+            .withColumn("is_new",
+                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("sid", F.sum("is_new").over(
+                by_user.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow))))
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    sess = (rows.withColumn("entry", F.first("event_type").over(w2))
+            .groupBy("user_id", "sid")
+            .agg(F.min("entry").alias("entry"),
+                 F.count(F.lit(1)).alias("n_ev"),
+                 (F.max(F.unix_micros("ts"))
+                  - F.min(F.unix_micros("ts"))).alias("dwell_us")))
+    return (sess.groupBy(F.col("entry").alias("entry_type"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+                 .alias("n_bounce"),
+                 F.sum("n_ev").alias("n_events"),
+                 F.sum(F.col("dwell_us").cast("decimal(38,0)"))
+                 .alias("dwell_sum"))
+            .select("entry_type", "n_sessions", "n_bounce",
+                    F.expr(ppm("n_bounce", "n_sessions"))
+                    .alias("bounce_ppm"),
+                    "n_events",
+                    F.expr(ppm("n_events", "n_sessions", mult=1000))
+                    .alias("events_per_session_milli"),
+                    F.expr("CAST(dwell_sum DIV n_sessions AS BIGINT)")
+                    .alias("mean_dwell_us")))
+
+
+SESSION_DWELL_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess_rows AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), with_entry AS (
+  SELECT *, FIRST_VALUE(event_type) OVER (
+      PARTITION BY user_id, sid ORDER BY ts, event_id) AS entry
+  FROM sess_rows
+), sess AS (
+  SELECT user_id, sid, MIN(entry) AS entry, COUNT(*) AS n_ev,
+         MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dwell_us
+  FROM with_entry GROUP BY 1, 2
+)
+SELECT entry AS entry_type, COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_ppm,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(SUM(n_ev) * 1000 // COUNT(*) AS BIGINT)
+         AS events_per_session_milli,
+       CAST(SUM(dwell_us) // COUNT(*) AS BIGINT) AS mean_dwell_us
+FROM sess GROUP BY 1
+"""
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detector per event type [EXT]: the day where
     the cumulative deviation of daily volume from the type's mean
@@ -1878,6 +1963,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_cooccurrence_pmi": event_cooccurrence_pmi,
     "ab_test_welch": ab_test_welch,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "session_dwell_bounce": session_dwell_bounce,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -1914,6 +2000,7 @@ ORACLES: dict[str, str] = {
     "event_cooccurrence_pmi": EVENT_PMI_SQL,
     "ab_test_welch": AB_WELCH_SQL,
     "events_cusum_changepoint": CUSUM_SQL,
+    "session_dwell_bounce": SESSION_DWELL_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

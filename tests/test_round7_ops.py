@@ -879,3 +879,47 @@ def test_boilerplate_planted_template(spark, tmp_path):
     assert (got[3].n_sents, got[3].n_boiler, got[3].boiler_ppm) == (
         1, 1, 1_000_000)
     assert (got[4].n_sents, got[4].n_boiler, got[4].boiler_ppm) == (2, 0, 0)
+
+
+def test_session_dwell_consistency(spark, sf_dir):
+    """Dwell/bounce stats must reconcile with the sessionizer replay
+    used by the PMI test: same session count, entry types from the
+    (ts, event_id) order, bounce = single-event session."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts", "event_type").collect())
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    per_entry = defaultdict(lambda: [0, 0, 0, 0])  # sess, bounce, ev, us
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        cur, last = [], None
+        sessions = []
+        for r in evs:
+            if last is None or (r.ts - last).total_seconds() > 1800:
+                if cur:
+                    sessions.append(cur)
+                cur = []
+            cur.append(r)
+            last = r.ts
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            st = per_entry[s[0].event_type]
+            st[0] += 1
+            st[1] += 1 if len(s) == 1 else 0
+            st[2] += len(s)
+            us = int(s[-1].ts.timestamp() * 1e6) - int(
+                s[0].ts.timestamp() * 1e6)
+            st[3] += us
+    got = {r.entry_type: r for r in
+           events.session_dwell_bounce(spark, sf_dir).collect()}
+    assert set(got) == set(per_entry)
+    for t, (ns, nb, ne, us) in per_entry.items():
+        r = got[t]
+        assert (r.n_sessions, r.n_bounce, r.n_events) == (ns, nb, ne), t
+        assert r.bounce_ppm == nb * 1_000_000 // ns
+        assert r.events_per_session_milli == ne * 1000 // ns
+        assert abs(r.mean_dwell_us - us // ns) <= 2, t  # float-us jitter
