@@ -181,6 +181,7 @@ OPS = {
     "flesch_reading_ease": textops.flesch_reading_ease,
     "containment_md5_pairs": dedup.containment_md5_pairs,
     "minmax_skipping_audit": scaleops.minmax_skipping_audit,
+    "boilerplate_line_share": textops.boilerplate_line_share,
 }
 
 
@@ -217,6 +218,9 @@ EVENT_OPS = {
     "funnel_time_to_convert": events.funnel_time_to_convert,
     "cohort_ltv_curve": events.cohort_ltv_curve,
     "event_cooccurrence_pmi": events.event_cooccurrence_pmi,
+    "ab_test_welch": events.ab_test_welch,
+    "events_cusum_changepoint": events.events_cusum_changepoint,
+    "session_dwell_bounce": events.session_dwell_bounce,
 }
 
 
