@@ -1546,7 +1546,89 @@ CROSS JOIN tot
 """
 
 
+def holt_forecast_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR (double-exponential) smoothing of monthly order
+    revenue [EXT] — level + trend recursion with alpha=0.2, beta=0.1,
+    one-step-ahead forecasts and residuals. The classic ops-forecast
+    every capacity planner runs on a revenue series.
+
+    A smoothing recursion is NOT window-expressible (each state
+    depends on the previous output, not the previous input), so the
+    engine folds it with a higher-order ``aggregate`` lambda over the
+    sorted month array — pure JVM, one pass, deterministic; the oracle
+    is a DuckDB RECURSIVE CTE running the identical INTEGER-CENTS
+    update (``l' = (2y + 8(l+b)) DIV 10``, ``b' = (l'-l+9b) DIV 10``,
+    truncation toward zero in both engines), so no float ever enters
+    the recursion.
+
+    Scale: the fold input is the (month, cents) aggregate — CALENDAR-
+    bounded, a few hundred rows at any data size — collected into ONE
+    array cell; everything before it is a mergeable groupBy."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_format(F.to_date("o_orderdate"), "yyyy-MM")
+                         .alias("mo"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                          .cast("bigint")).alias("y")))
+    arr = monthly.agg(F.sort_array(F.collect_list(F.struct("mo", "y")))
+                      .alias("a"))
+    folded = arr.select(F.expr("""
+        aggregate(
+          a,
+          named_struct('l', CAST(NULL AS BIGINT), 'b', CAST(0 AS BIGINT),
+                       'rows', CAST(array() AS
+                         ARRAY<STRUCT<mo: STRING, y: BIGINT, l: BIGINT,
+                                      b: BIGINT, f: BIGINT>>)),
+          (acc, x) -> CASE WHEN acc.l IS NULL THEN
+              named_struct('l', x.y, 'b', CAST(0 AS BIGINT),
+                'rows', array(named_struct('mo', x.mo, 'y', x.y,
+                  'l', x.y, 'b', CAST(0 AS BIGINT), 'f', x.y)))
+            ELSE
+              named_struct(
+                'l', (2 * x.y + 8 * (acc.l + acc.b)) div 10,
+                'b', ((2 * x.y + 8 * (acc.l + acc.b)) div 10
+                      - acc.l + 9 * acc.b) div 10,
+                'rows', array_append(acc.rows, named_struct(
+                  'mo', x.mo, 'y', x.y,
+                  'l', (2 * x.y + 8 * (acc.l + acc.b)) div 10,
+                  'b', ((2 * x.y + 8 * (acc.l + acc.b)) div 10
+                        - acc.l + 9 * acc.b) div 10,
+                  'f', acc.l + acc.b)))
+            END
+        ).rows""").alias("rows"))
+    return (folded.select(F.explode("rows").alias("r"))
+            .select(F.col("r.mo").alias("month"),
+                    F.col("r.y").alias("y_cents"),
+                    F.col("r.l").alias("level_cents"),
+                    F.col("r.b").alias("trend_cents"),
+                    F.col("r.f").alias("forecast_cents"),
+                    (F.col("r.y") - F.col("r.f")).alias("err_cents")))
+
+
+HOLT_SQL = """
+WITH RECURSIVE monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mo,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), ord AS (
+  SELECT mo, y, ROW_NUMBER() OVER (ORDER BY mo) AS i FROM monthly
+), rec(i, mo, y, l, b, f) AS (
+  SELECT i, mo, y, y, 0::BIGINT, y FROM ord WHERE i = 1
+  UNION ALL
+  SELECT o.i, o.mo, o.y,
+         (2 * o.y + 8 * (r.l + r.b)) // 10,
+         ((2 * o.y + 8 * (r.l + r.b)) // 10 - r.l + 9 * r.b) // 10,
+         r.l + r.b
+  FROM rec r JOIN ord o ON o.i = r.i + 1
+)
+SELECT mo AS month, y AS y_cents, l AS level_cents, b AS trend_cents,
+       f AS forecast_cents, y - f AS err_cents
+FROM rec
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "holt_forecast_monthly": holt_forecast_monthly,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "frequent_part_pairs": frequent_part_pairs,
     "orders_seasonality_index": orders_seasonality_index,
@@ -1588,6 +1670,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "holt_forecast_monthly": HOLT_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "frequent_part_pairs": FREQUENT_PAIRS_SQL,
     "orders_seasonality_index": SEASONALITY_SQL,

@@ -923,3 +923,37 @@ def test_session_dwell_consistency(spark, sf_dir):
         assert r.bounce_ppm == nb * 1_000_000 // ns
         assert r.events_per_session_milli == ne * 1000 // ns
         assert abs(r.mean_dwell_us - us // ns) <= 2, t  # float-us jitter
+
+
+def test_holt_python_replay(spark, sf_dir):
+    """The aggregate-lambda fold must reproduce the Holt recursion run
+    in plain Python over the same monthly series."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderdate", "o_totalprice").collect())
+    monthly = defaultdict(int)
+    for r in rows:
+        monthly[str(r.o_orderdate)[:7]] += int(r.o_totalprice * 100 + 0.5)
+
+    def tdiv(a, b):  # truncation toward zero, like Spark div / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    want = {}
+    l = b = None
+    for mo in sorted(monthly):
+        y = monthly[mo]
+        if l is None:
+            l, b, f = y, 0, y
+        else:
+            f = l + b
+            l_new = tdiv(2 * y + 8 * (l + b), 10)
+            b = tdiv(l_new - l + 9 * b, 10)
+            l = l_new
+        want[mo] = (y, l, b, f, y - f)
+    got = {r.month: (r.y_cents, r.level_cents, r.trend_cents,
+                     r.forecast_cents, r.err_cents)
+           for r in relational_extra.holt_forecast_monthly(
+               spark, sf_dir).collect()}
+    assert got == want
