@@ -932,7 +932,58 @@ FROM man m JOIN mt ON m.pred = mt.pred
 """
 
 
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit from parquet FOOTERS only [EXT]: per
+    (table, row group) — row count, column-chunk count, compressed /
+    uncompressed bytes and the compression ratio. The observability
+    pass behind compaction and clustering decisions: it reads metadata
+    only, never data pages.
+
+    Scale: the manifest (one row per file) is parallelized and the
+    footer reads run INSIDE ``mapInPandas`` on executors — at a
+    100 TB table with tens of thousands of files this is exactly the
+    distributed audit shape; no file content ever moves. Rows-only by
+    necessity (the oracle harness can't parameterize file paths into
+    fixed SQL), pinned instead by a pytest against DuckDB's
+    ``parquet_metadata()`` on the same files."""
+    import pandas as pd  # noqa: PLC0415 — driver + executor scope
+
+    from spark_kafka_airflow_pipeline_spark.operators.base import TABLES
+
+    paths = [(t, f"{sf_dir}/{t}.parquet") for t in sorted(TABLES)]
+    manifest = spark.createDataFrame(paths, "tbl string, path string") \
+        .repartition(len(paths))
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq  # noqa: PLC0415 — executor scope
+
+        for b in batches:
+            out = []
+            for t, p in zip(b["tbl"], b["path"]):
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    comp = sum(g.column(c).total_compressed_size
+                               for c in range(g.num_columns))
+                    unc = sum(g.column(c).total_uncompressed_size
+                              for c in range(g.num_columns))
+                    out.append((t, rg, g.num_rows, g.num_columns,
+                                comp, unc))
+            yield pd.DataFrame(out, columns=[
+                "tbl", "rg", "n_rows", "n_cols",
+                "compressed_bytes", "uncompressed_bytes"])
+
+    stats = manifest.mapInPandas(
+        read_footers,
+        "tbl string, rg int, n_rows long, n_cols int, "
+        "compressed_bytes long, uncompressed_bytes long")
+    return stats.withColumn(
+        "compression_ppm",
+        F.expr(ppm("compressed_bytes", "uncompressed_bytes")))
+
+
 QUERIES: dict[str, QueryFn] = {
+    "parquet_footer_stats": parquet_footer_stats,
     "minmax_skipping_audit": minmax_skipping_audit,
     "customer_global_rank": customer_global_rank,
     "customer_pareto_abc": customer_pareto_abc,

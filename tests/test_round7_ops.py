@@ -957,3 +957,32 @@ def test_holt_python_replay(spark, sf_dir):
            for r in relational_extra.holt_forecast_monthly(
                spark, sf_dir).collect()}
     assert got == want
+
+
+def test_parquet_footer_stats_matches_duckdb(spark, sf_dir):
+    """The distributed footer read must agree with DuckDB's
+    parquet_metadata() per (table, row group)."""
+    import duckdb
+
+    from spark_kafka_airflow_pipeline_spark.operators.base import TABLES
+
+    got = {(r.tbl, r.rg): r for r in
+           scaleops.parquet_footer_stats(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    n_groups = 0
+    for t in TABLES:
+        rows = con.execute(f"""
+            SELECT row_group_id,
+                   MIN(row_group_num_rows),
+                   COUNT(*),
+                   SUM(total_compressed_size),
+                   SUM(total_uncompressed_size)
+            FROM parquet_metadata('{sf_dir}/{t}.parquet')
+            GROUP BY 1""").fetchall()
+        for rg, n_rows, n_cols, comp, unc in rows:
+            n_groups += 1
+            r = got[(t, rg)]
+            assert (r.n_rows, r.n_cols) == (n_rows, n_cols), (t, rg)
+            assert (r.compressed_bytes, r.uncompressed_bytes) == (comp, unc)
+            assert r.compression_ppm == comp * 1_000_000 // unc
+    assert len(got) == n_groups
