@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
@@ -988,7 +988,96 @@ GROUP BY 1, 2
 """
 
 
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str,
+                                  _batch_log: list | None = None
+                                  ) -> DataFrame:
+    """Streaming CDC UPSERT sink [EXT] — the production foreachBatch
+    pattern: each micro-batch MERGEs into a keyed state table (latest
+    event per user by (ts, event_id)), so the sink always holds the
+    current row per key. This is the missing sink half of the
+    streaming matrix: windows/joins/dedup emit rows, this maintains a
+    TABLE.
+
+    Multi-batch by construction: the source is re-laid-out as 4 files
+    and streamed with ``maxFilesPerTrigger=1`` (4 real micro-batches,
+    asserted in tests) — and because the merge rule is an argmax over
+    keys, the final state is batch-split-INDEPENDENT, which is exactly
+    what makes it oracle-able as one batch window. Each merge
+    localCheckpoints before overwriting its own input dir (classic
+    read-modify-write swap).
+
+    Scale posture: per batch the merge is a union + per-key top-1
+    (WindowGroupLimit-bounded) on the user_id partitioning — delta
+    joined against state, never a rescan of history; in production the
+    state table is a MERGE-capable format (Iceberg/Delta), the
+    foreachBatch body is unchanged."""
+    import shutil
+    import tempfile
+
+    src = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    src.repartition(4, "event_id").write.mode("overwrite") \
+        .parquet(f"{root}/in")
+    state_dir = f"{root}/state"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_log is not None:
+            _batch_log.append(batch_id)
+        b = batch_df.sparkSession
+        new = batch_df
+        try:
+            cur = b.read.parquet(state_dir)
+            new = cur.unionByName(new)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            pass
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        latest = (new.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn")
+                  .localCheckpoint(eager=True))
+        latest.write.mode("overwrite").parquet(state_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(8, spark.sparkContext.defaultParallelism)))
+    try:
+        stream = (spark.readStream.schema(src.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{root}/in"))
+        q = (stream.writeStream.foreachBatch(merge)
+             .option("checkpointLocation", f"{root}/ckpt")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        out = (spark.read.parquet(state_dir)
+               .select("user_id",
+                       F.col("event_id").alias("last_event_id"),
+                       F.unix_micros("ts").alias("last_ts_us"),
+                       F.col("event_type").alias("last_type"),
+                       F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                       .alias("last_cents"))
+               .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+STREAMING_UPSERT_SQL = """
+SELECT user_id, event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us, event_type AS last_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "metadata_streaming_tumbling": metadata_streaming_tumbling,
     "metadata_streaming_session": metadata_streaming_session,
     "streaming_window_median": streaming_window_median,
@@ -1016,6 +1105,7 @@ def _py_datasource_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "streaming_foreachbatch_upsert": STREAMING_UPSERT_SQL,
     "metadata_streaming_tumbling": METADATA_STREAMING_SQL,
     "metadata_streaming_session": METADATA_SESSION_SQL,
     "streaming_python_source": _py_datasource_sql(),

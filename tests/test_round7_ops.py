@@ -986,3 +986,25 @@ def test_parquet_footer_stats_matches_duckdb(spark, sf_dir):
             assert (r.compressed_bytes, r.uncompressed_bytes) == (comp, unc)
             assert r.compression_ppm == comp * 1_000_000 // unc
     assert len(got) == n_groups
+
+
+def test_streaming_upsert_multibatch_and_state(spark, sf_dir):
+    """The upsert sink must run one micro-batch per source file (4) and
+    end holding exactly the per-user argmax row."""
+    from spark_kafka_airflow_pipeline_spark.streaming import pipelines
+
+    log: list = []
+    out = {r.user_id: (r.last_event_id, r.last_ts_us, r.last_type)
+           for r in pipelines.streaming_foreachbatch_upsert(
+               spark, sf_dir, _batch_log=log).collect()}
+    assert sorted(log) == [0, 1, 2, 3]
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts", "event_type").collect())
+    want = {}
+    for r in rows:
+        k = (r.ts, r.event_id)
+        if r.user_id not in want or k > want[r.user_id][0]:
+            want[r.user_id] = (k, r.event_id, r.event_type)
+    assert set(out) == set(want)
+    for uid, (_, eid, typ) in want.items():
+        assert out[uid][0] == eid and out[uid][2] == typ, uid
