@@ -98,7 +98,7 @@ _R8_EARMARK = (
     "minmax_skipping_audit", "containment_md5_pairs",
     "ab_test_welch", "events_cusum_changepoint", "boilerplate_line_share",
     "session_dwell_bounce", "holt_forecast_monthly", "parquet_footer_stats",
-    "streaming_foreachbatch_upsert",
+    "streaming_foreachbatch_upsert", "link_prediction_jaccard",
     # r5-cohort tail displaced by round-7 additions
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

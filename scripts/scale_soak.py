@@ -182,6 +182,7 @@ OPS = {
     "containment_md5_pairs": dedup.containment_md5_pairs,
     "minmax_skipping_audit": scaleops.minmax_skipping_audit,
     "boilerplate_line_share": textops.boilerplate_line_share,
+    "link_prediction_jaccard": graphops.link_prediction_jaccard,
 }
 
 

@@ -343,13 +343,113 @@ FROM walk GROUP BY sk
 """
 
 
+WEDGE_CAP = 64  # hub cap for common-neighbor enumeration (see below)
+
+
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str,
+                            cap: int = WEDGE_CAP,
+                            topn: int = 20) -> DataFrame:
+    """LINK PREDICTION on the supplier graph [EXT]: rank the top
+    non-edges by common-neighbor Jaccard, with Adamic-Adar as the
+    hub-discounted second opinion — the classic "who should be
+    connected next" graph primitive (recommendations, entity
+    resolution, graph completion).
+
+    Common neighbors are enumerated by the wedge join (two rows of the
+    symmetrized edge list meeting at z), with HUB NODES (degree >
+    ``cap``) excluded from the wedge role: per-z work is degree², so
+    one mega-hub would otherwise quadratically dominate — and
+    Adamic-Adar's own 1/ln(deg) says hub-mediated evidence carries the
+    least signal. The cap is part of the stated semantics and the
+    oracle applies it identically. AA terms follow the bm25 ln idiom
+    (round ln to 6dp, floor to integer micros per neighbor, THEN sum —
+    order-independent).
+
+    Scale: wedge fan-out bounded by cap² per node; candidate frame is
+    O(edges * cap); the final global top-``topn`` is a
+    ``row_number <= k`` shape Spark bounds with WindowGroupLimit."""
+    e = _supplier_topk_edges(spark, sf_dir)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .union(e.select(F.col("dst").alias("node"),
+                           F.col("src").alias("nbr")))
+           .distinct())
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wn = (und.join(deg, "node").filter(F.col("deg") <= cap)
+          .select("node", "nbr",
+                  F.expr("CAST(floor(1000000.0 /"
+                         " round(ln(CAST(deg AS DOUBLE)), 6) + 0.5)"
+                         " AS BIGINT)").alias("aa_term")))
+    a, b = wn.alias("a"), wn.alias("b")
+    cand = (a.join(b, (F.col("a.node") == F.col("b.node"))
+                   & (F.col("a.nbr") < F.col("b.nbr")))
+            .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum(F.col("a.aa_term")).alias("aa_micro")))
+    nonedge = cand.join(
+        und, (cand.u == und.node) & (cand.v == und.nbr), "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (nonedge.join(du, "u").join(dv, "v")
+              .withColumn("jaccard_ppm",
+                          F.expr("n_common * 1000000"
+                                 " DIV (deg_u + deg_v - n_common)")))
+    rk = Window.orderBy(F.col("jaccard_ppm").desc(), "u", "v")
+    return (scored.withColumn("rank",
+                              F.row_number().over(rk).cast("bigint"))
+            .filter(F.col("rank") <= topn)
+            .select("u", "v", "n_common", "deg_u", "deg_v",
+                    "jaccard_ppm", "aa_micro", "rank"))
+
+
+LINK_PREDICTION_SQL = f"""
+WITH {_EDGES_SQL},
+und AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM und GROUP BY node
+), wn AS (
+  SELECT u.node, u.nbr,
+         CAST(floor(1000000.0 / round(ln(CAST(d.deg AS DOUBLE)), 6)
+                    + 0.5) AS BIGINT) AS aa_term
+  FROM und u JOIN deg d ON u.node = d.node
+  WHERE d.deg <= {WEDGE_CAP}
+), cand AS (
+  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS n_common,
+         CAST(SUM(a.aa_term) AS BIGINT) AS aa_micro
+  FROM wn a JOIN wn b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN und e ON c.u = e.node AND c.v = e.nbr
+  WHERE e.node IS NULL
+), scored AS (
+  SELECT n.u, n.v, n.n_common, du.deg AS deg_u, dv.deg AS deg_v,
+         n.aa_micro,
+         CAST(n.n_common * 1000000
+              // (du.deg + dv.deg - n.n_common) AS BIGINT) AS jaccard_ppm
+  FROM nonedge n
+  JOIN deg du ON n.u = du.node
+  JOIN deg dv ON n.v = dv.node
+)
+SELECT u, v, n_common, deg_u, deg_v, jaccard_ppm, aa_micro,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, u, v) AS rn
+      FROM scored)
+WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "link_prediction_jaccard": link_prediction_jaccard,
     "pagerank_supplier_rank": pagerank_supplier_rank,
     "triangle_count_suppliers": triangle_count_suppliers,
     "supplier_bfs_hops": supplier_bfs_hops,
 }
 
 ORACLES: dict[str, str] = {
+    "link_prediction_jaccard": LINK_PREDICTION_SQL,
     "pagerank_supplier_rank": PAGERANK_SQL,
     "triangle_count_suppliers": TRIANGLE_SQL,
     "supplier_bfs_hops": BFS_SQL,

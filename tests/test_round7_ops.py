@@ -1008,3 +1008,35 @@ def test_streaming_upsert_multibatch_and_state(spark, sf_dir):
     assert set(out) == set(want)
     for uid, (_, eid, typ) in want.items():
         assert out[uid][0] == eid and out[uid][2] == typ, uid
+
+
+def test_link_prediction_invariants(spark, sf_dir):
+    """Predicted pairs must be NON-edges with truly shared neighbors;
+    Jaccard/AA must match a NetworkX-free Python replay on the same
+    capped wedge rule."""
+    import math
+    from collections import defaultdict
+
+    from spark_kafka_airflow_pipeline_spark.operators import graphops
+
+    edges = {(r.src, r.dst) for r in
+             graphops._supplier_topk_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    got = graphops.link_prediction_jaccard(spark, sf_dir).collect()
+    assert got and len(got) <= 20
+    for r in got:
+        assert r.v not in nbrs[r.u]  # non-edge
+        common = {z for z in nbrs[r.u] & nbrs[r.v]
+                  if len(nbrs[z]) <= graphops.WEDGE_CAP}
+        assert r.n_common == len(common), (r.u, r.v)
+        assert (r.deg_u, r.deg_v) == (len(nbrs[r.u]), len(nbrs[r.v]))
+        assert r.jaccard_ppm == len(common) * 1_000_000 // (
+            len(nbrs[r.u]) + len(nbrs[r.v]) - len(common))
+        aa = sum(math.floor(1_000_000 / round(math.log(len(nbrs[z])), 6)
+                            + 0.5) for z in common)
+        assert r.aa_micro == aa
+    ranks = [r.rank for r in got]
+    assert ranks == sorted(ranks) and ranks[0] == 1
