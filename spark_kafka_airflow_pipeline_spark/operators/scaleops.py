@@ -982,7 +982,43 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ppm("compressed_bytes", "uncompressed_bytes")))
 
 
+def systematic_sample_every_k(spark: SparkSession, sf_dir: str,
+                              k: int = 20) -> DataFrame:
+    """SYSTEMATIC sampling [EXT]: every ``k``-th document along a
+    deterministic pseudo-random total order (md5 of the doc id, the
+    repo's engine-portable randomness) — the equal-spacing design
+    survey methodology prefers over Bernoulli when downstream strata
+    must each receive their proportional share.
+
+    Completes the sampling family (Bernoulli, stratified, Neyman,
+    weighted A-ES, diversity-balanced, grouped top-k) with the one
+    member that needs a GLOBAL rank — taken here from
+    ``global_row_number`` (range-repartition + offset broadcast), so
+    no single-task window exists; the oracle states the same pick with
+    a plain ROW_NUMBER."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source",
+                 F.md5(F.col("doc_id").cast("string")).alias("h")))
+    ranked = global_row_number(d, F.col("h"), F.col("doc_id"),
+                               out="pick_rank")
+    return (ranked.filter((F.col("pick_rank") % k) == 1)
+            .select("doc_id", "lang", "source",
+                    F.col("pick_rank").cast("bigint").alias("pick_rank")))
+
+
+SYSTEMATIC_SAMPLE_SQL = """
+SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS pick_rank
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rn
+  FROM documents)
+WHERE rn % 20 = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "systematic_sample_every_k": systematic_sample_every_k,
     "parquet_footer_stats": parquet_footer_stats,
     "minmax_skipping_audit": minmax_skipping_audit,
     "customer_global_rank": customer_global_rank,
@@ -1001,6 +1037,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "systematic_sample_every_k": SYSTEMATIC_SAMPLE_SQL,
     "minmax_skipping_audit": MINMAX_SKIP_SQL,
     "customer_global_rank": CUSTOMER_RANK_SQL,
     "customer_pareto_abc": PARETO_ABC_SQL,

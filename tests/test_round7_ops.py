@@ -1040,3 +1040,14 @@ def test_link_prediction_invariants(spark, sf_dir):
         assert r.aa_micro == aa
     ranks = [r.rank for r in got]
     assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_systematic_sample_spacing(spark, sf_dir):
+    """Picks must be exactly every 20th rank of the md5 order: n_docs
+    div-20 rounded up, ranks 1, 21, 41, ..."""
+    rows = scaleops.systematic_sample_every_k(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == (n + 19) // 20
+    assert sorted(r.pick_rank for r in rows) == list(
+        range(1, n + 1, 20))
+    assert len({r.doc_id for r in rows}) == len(rows)
