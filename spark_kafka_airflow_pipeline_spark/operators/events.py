@@ -727,6 +727,79 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+#: candidate watermark delays the planner evaluates (label, micros)
+_WM_CANDIDATES: tuple[tuple[str, int], ...] = (
+    ("0s", 0),
+    ("60s", 60_000_000),
+    ("600s", 600_000_000),
+    ("3600s", 3_600_000_000),
+)
+
+
+def watermark_delay_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark DELAY sizing audit [EXT] — the measurement a streaming
+    engineer runs before picking ``withWatermark``'s delay: per event,
+    its DISORDER = how far its event time lags the maximum event time
+    already seen on its key's arrival order (event_id, the per-key
+    arrival sequence a partitioned log preserves); then for each
+    candidate delay, how many events would arrive LATER than the
+    watermark and be dropped. The drop-rate-vs-state-size tradeoff,
+    quantified.
+
+    Scale: the running max is a window on user_id (high-cardinality
+    key — per-key disorder is what per-key watermarking actually
+    sees); candidates are a 4-row literal frame and map-side partial
+    aggregation collapses the fan-out. Shares ride the DECIMAL ppm
+    armor."""
+    e = table(spark, sf_dir, "events")
+    w_prev = (Window.partitionBy("user_id").orderBy("event_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    us = F.unix_micros(F.col("ts"))
+    lates = (e.select("user_id", "event_id", us.alias("us"))
+             .withColumn("late_us",
+                         F.greatest(F.coalesce(
+                             F.max("us").over(w_prev) - F.col("us"),
+                             F.lit(0)), F.lit(0))))
+    cands = spark.createDataFrame(list(_WM_CANDIDATES),
+                                  "delay string, d_us long")
+    return (lates.crossJoin(F.broadcast(cands))
+            .groupBy("delay", "d_us")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("late_us") > F.col("d_us"), 1)
+                       .otherwise(0)).alias("n_dropped"),
+                 F.max("late_us").alias("max_late_us"))
+            .select("delay", F.col("d_us").alias("delay_us"),
+                    "n_events", "n_dropped",
+                    F.expr(ppm("n_dropped", "n_events")).alias("drop_ppm"),
+                    "max_late_us"))
+
+
+_WM_CANDS_SQL = ", ".join(f"('{c}', {d})" for c, d in _WM_CANDIDATES)
+
+WATERMARK_PLANNER_SQL = f"""
+WITH lates AS (
+  SELECT user_id, event_id,
+         GREATEST(COALESCE(
+           MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+           - epoch_us(ts), 0), 0) AS late_us
+  FROM events
+), cands AS (
+  SELECT * FROM (VALUES {_WM_CANDS_SQL}) AS t(delay, d_us)
+)
+SELECT c.delay, CAST(c.d_us AS BIGINT) AS delay_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN l.late_us > c.d_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN l.late_us > c.d_us THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS drop_ppm,
+       CAST(MAX(l.late_us) AS BIGINT) AS max_late_us
+FROM lates l CROSS JOIN cands c
+GROUP BY 1, 2
+"""
+
+
 def session_dwell_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session QUALITY profile by entry event type [EXT]: bounce rate
     (single-event sessions), events per session and mean dwell time,
@@ -1964,6 +2037,7 @@ QUERIES: dict[str, QueryFn] = {
     "ab_test_welch": ab_test_welch,
     "events_cusum_changepoint": events_cusum_changepoint,
     "session_dwell_bounce": session_dwell_bounce,
+    "watermark_delay_planner": watermark_delay_planner,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -2001,6 +2075,7 @@ ORACLES: dict[str, str] = {
     "ab_test_welch": AB_WELCH_SQL,
     "events_cusum_changepoint": CUSUM_SQL,
     "session_dwell_bounce": SESSION_DWELL_SQL,
+    "watermark_delay_planner": WATERMARK_PLANNER_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

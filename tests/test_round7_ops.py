@@ -1051,3 +1051,34 @@ def test_systematic_sample_spacing(spark, sf_dir):
     assert sorted(r.pick_rank for r in rows) == list(
         range(1, n + 1, 20))
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_watermark_planner_python_replay(spark, sf_dir):
+    """Disorder and candidate drop counts must match an arrival-order
+    replay, and drop rates must be monotone in the delay."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts").collect())
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    lates = []
+    for evs in by_user.values():
+        evs.sort(key=lambda r: r.event_id)
+        mx = None
+        for r in evs:
+            us = int(r.ts.timestamp() * 1e6)
+            lates.append(max(mx - us, 0) if mx is not None else 0)
+            mx = us if mx is None else max(mx, us)
+    got = {r.delay: r for r in
+           events.watermark_delay_planner(spark, sf_dir).collect()}
+    assert set(got) == {c for c, _ in events._WM_CANDIDATES}
+    for cand, d_us in events._WM_CANDIDATES:
+        r = got[cand]
+        want = sum(1 for x in lates if x > d_us)
+        assert r.n_events == len(lates)
+        assert r.n_dropped == want, cand
+        assert abs(r.max_late_us - max(lates)) <= 2  # float-us jitter
+    drops = [got[c].n_dropped for c, _ in events._WM_CANDIDATES]
+    assert drops == sorted(drops, reverse=True)
