@@ -911,6 +911,88 @@ ORDER BY thr LIMIT 1
 """
 
 
+def sql_udf_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN``)
+    [EXT]: the tiering rule lives in the CATALOG as a SQL function —
+    the warehouse's way to share business logic across queries without
+    shipping Python — and is then used inside a grouped aggregate.
+    Because the body is a SQL expression, Catalyst INLINES it: the
+    function costs nothing at runtime and the optimizer sees through
+    it (constant folding, pruning), unlike any Python UDF.
+
+    The oracle restates the inlined CASE verbatim — which is exactly
+    the semantics the catalog function declares."""
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION __order_tier(p DOUBLE)
+      RETURNS STRING
+      RETURN CASE WHEN p >= 300000 THEN 'platinum'
+                  WHEN p >= 150000 THEN 'gold'
+                  ELSE 'standard' END
+    """)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sqlu_orders")
+    return spark.sql(f"""
+      SELECT __order_tier(o_totalprice) AS tier,
+             COUNT(*) AS n_orders,
+             {SQL_DSUM.format(expr='o_totalprice')} AS revenue
+      FROM __sqlu_orders
+      GROUP BY 1
+    """)
+
+
+SQL_UDF_TIERS_SQL = f"""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+            WHEN o_totalprice >= 150000 THEN 'gold'
+            ELSE 'standard' END AS tier,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(expr='o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe()`` metrics [EXT]: attach named aggregate
+    METRICS to a transformation and collect them as a free rider on
+    the pass that materializes it — the zero-extra-scan audit pattern
+    (the engine's PipelineExecutor uses the same API for per-sink row
+    accounting, ``executor.py``; this query exposes it on the
+    contract surface).
+
+    One filtered lineitem pass both counts its result AND emits the
+    observation; the returned 1-row frame is the observation itself.
+    The oracle recomputes the same aggregates as a plain query —
+    observe() must be semantically invisible."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_audit")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    df = (li.filter(F.col("l_quantity") < 24)
+          .observe(obs,
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(cents).alias("sum_cents"),
+                   F.min(cents).alias("min_cents"),
+                   F.max(cents).alias("max_cents")))
+    df.count()  # the action the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_cents"], m["min_cents"], m["max_cents"])],
+        "n_rows long, sum_cents long, min_cents long, max_cents long")
+
+
+OBSERVED_METRICS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_cents
+FROM lineitem
+WHERE l_quantity < 24
+"""
+
+
 def orders_status_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DataFrame.transpose()`` (Spark 4): flip a per-status metrics
     aggregate so statuses become COLUMNS and metric names become rows —
@@ -1629,6 +1711,8 @@ FROM rec
 
 QUERIES: dict[str, QueryFn] = {
     "holt_forecast_monthly": holt_forecast_monthly,
+    "sql_udf_order_tiers": sql_udf_order_tiers,
+    "observed_scan_metrics": observed_scan_metrics,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "frequent_part_pairs": frequent_part_pairs,
     "orders_seasonality_index": orders_seasonality_index,
@@ -1671,6 +1755,8 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "holt_forecast_monthly": HOLT_SQL,
+    "sql_udf_order_tiers": SQL_UDF_TIERS_SQL,
+    "observed_scan_metrics": OBSERVED_METRICS_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "frequent_part_pairs": FREQUENT_PAIRS_SQL,
     "orders_seasonality_index": SEASONALITY_SQL,

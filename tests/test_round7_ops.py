@@ -1082,3 +1082,30 @@ def test_watermark_planner_python_replay(spark, sf_dir):
         assert abs(r.max_late_us - max(lates)) <= 2  # float-us jitter
     drops = [got[c].n_dropped for c, _ in events._WM_CANDIDATES]
     assert drops == sorted(drops, reverse=True)
+
+
+def test_sql_udf_is_inlined(spark, sf_dir):
+    """The SQL UDF must be inlined by Catalyst: no Python UDF node in
+    the optimized plan, and the tier rule must match a direct CASE."""
+    df = relational_extra.sql_udf_order_tiers(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    got = {r.tier: r.n_orders for r in df.collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {r[0]: r[1] for r in o.groupBy(
+        F.when(F.col("o_totalprice") >= 300000, "platinum")
+        .when(F.col("o_totalprice") >= 150000, "gold")
+        .otherwise("standard")).count().collect()}
+    assert got == want
+
+
+def test_observe_is_semantically_invisible(spark, sf_dir):
+    """observe() metrics must equal the plain aggregate over the same
+    filter."""
+    got = relational_extra.observed_scan_metrics(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") < 24)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    want = li.agg(F.count(F.lit(1)), F.sum(cents), F.min(cents),
+                  F.max(cents)).collect()[0]
+    assert tuple(got) == tuple(want)
