@@ -27,7 +27,7 @@ murmur3/xxhash64 which DuckDB lacks, so those register rows-only checks
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.functions import text as T
@@ -1579,7 +1579,72 @@ WHERE GREATEST(cont_a_ppm, cont_b_ppm) >= 500000
 """
 
 
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-LEVEL survivorship (MDM golden record) [EXT]: where
+    ``dedup_keep_best`` keeps one whole ROW per duplicate cluster, the
+    golden record assembles its fields from DIFFERENT members by
+    per-field rules — id from the oldest member, text from the most
+    complete (longest raw text, tie -> lowest id), language set and
+    source spread unioned across all members. The master-data-
+    management merge step that follows any dedup pass.
+
+    Clusters are the canonical-fingerprint groups (case/whitespace-
+    normalized md5, same rule as ``dedup_fingerprint``), singletons
+    excluded. One fp shuffle; the longest-member pick is a per-cluster
+    ``row_number <= 1`` (WindowGroupLimit-bounded); the lang union is
+    a sorted-distinct join (``array_join(array_sort(collect_set))`` —
+    Spark 4.1's ``listagg(DISTINCT ...) WITHIN GROUP`` hits a
+    SortOrder ClassCastException, so the composition stands in; the
+    DuckDB twin is ordered-DISTINCT ``string_agg``)."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source", "text",
+                 T.fingerprint("text").alias("fp")))
+    w = Window.partitionBy("fp").orderBy(
+        F.length("text").desc(), "doc_id")
+    longest = (d.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("fp", F.col("doc_id").alias("longest_doc_id"),
+                       F.length("text").alias("longest_len")))
+    agg = (d.groupBy("fp")
+           .agg(F.min("doc_id").alias("golden_doc_id"),
+                F.count(F.lit(1)).alias("n_members"),
+                F.countDistinct("source").alias("n_sources"),
+                F.array_join(F.array_sort(F.collect_set("lang")), ",")
+                .alias("langs")))
+    return (agg.filter(F.col("n_members") >= 2)
+            .join(longest, "fp")
+            .select("fp", "golden_doc_id", "longest_doc_id",
+                    "longest_len", "langs", "n_sources", "n_members"))
+
+
+GOLDEN_RECORD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text, {T.SQL_FINGERPRINT} AS fp
+  FROM documents
+), longest AS (
+  SELECT fp, doc_id AS longest_doc_id,
+         CAST(length(text) AS INT) AS longest_len
+  FROM (SELECT fp, doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY length(text) DESC, doc_id)
+                 AS rn
+        FROM d)
+  WHERE rn = 1
+), agg AS (
+  SELECT fp, MIN(doc_id) AS golden_doc_id, COUNT(*) AS n_members,
+         COUNT(DISTINCT source) AS n_sources,
+         string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+  FROM d GROUP BY fp
+)
+SELECT a.fp, a.golden_doc_id, l.longest_doc_id, l.longest_len,
+       a.langs, a.n_sources, a.n_members
+FROM agg a JOIN longest l ON a.fp = l.fp
+WHERE a.n_members >= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "golden_record_merge": golden_record_merge,
     "containment_md5_pairs": containment_md5_pairs,
     "lsh_parameter_planner": lsh_parameter_planner,
     "sketch_family_pr_eval": sketch_family_pr_eval,
@@ -1606,6 +1671,7 @@ QUERIES: dict[str, QueryFn] = {
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
     "containment_md5_pairs": CONTAINMENT_MD5_SQL,
+    "golden_record_merge": GOLDEN_RECORD_SQL,
     "lsh_parameter_planner": LSH_PLANNER_SQL,
     "sketch_family_pr_eval": SKETCH_PR_SQL,
     "minhash_estimate_error": MINHASH_ESTIMATE_SQL,

@@ -1109,3 +1109,27 @@ def test_observe_is_semantically_invisible(spark, sf_dir):
     want = li.agg(F.count(F.lit(1)), F.sum(cents), F.min(cents),
                   F.max(cents)).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_golden_record_field_survivorship(spark, tmp_path):
+    """Field-level rules: id from the OLDEST member, text length from
+    the LONGEST, langs unioned — assembled from different members."""
+    from spark_kafka_airflow_pipeline_spark.operators import dedup
+
+    docs = [
+        (10, "en", "web", "Hello   World"),          # oldest, short
+        (20, "fr", "books", "hello world"),          # mid
+        (30, "de", "web", "HELLO  WORLD"),           # longest (13? no)
+        (40, "en", "web", "totally different text"),
+    ]
+    # raw lengths: 13, 11, 12 -> longest is doc 10 (13 chars)
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = dedup.golden_record_merge(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.golden_doc_id == 10
+    assert r.longest_doc_id == 10 and r.longest_len == 13
+    assert r.langs == "de,en,fr"
+    assert (r.n_sources, r.n_members) == (2, 3)
