@@ -91,6 +91,24 @@ def hard_broadcast_hints_on_scaling_tables(df) -> list[str]:
             # aggregate over a non-parquet leaf (e.g. a checkpointed
             # edge RDD): bounded by the aggregation, same as above
             flags.append("(bounded-agg broadcast: ok)")
+        elif not matched:
+            # broadcast whose whole subtree is literal LocalRelations
+            # (a createDataFrame'd predicate/candidate frame): bounded
+            # by construction — and it legitimizes the NLJ above it
+            sub_lines = []
+            for sub in lines[i + 1:]:
+                if _indent(sub) <= base:
+                    break
+                sub_lines.append(sub)
+            # LocalRelation = SQL literal VALUES; LogicalRDD = a
+            # createDataFrame'd driver list (Arrow path) — both are
+            # driver-materialized, hence bounded by construction
+            if sub_lines and all(
+                    "Relation" not in s or "LocalRelation" in s
+                    for s in sub_lines) and any(
+                    "LocalRelation" in s or "LogicalRDD" in s
+                    for s in sub_lines):
+                flags.append("(literal-frame broadcast: ok)")
     return flags
 
 

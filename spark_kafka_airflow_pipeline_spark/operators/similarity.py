@@ -1089,7 +1089,191 @@ FROM agg
 """
 
 
+def incremental_ivf_assign(spark: SparkSession, sf_dir: str,
+                           k: int = 8, iters: int = 2) -> DataFrame:
+    """Incremental IVF index MAINTENANCE [EXT]: the cells (centroids)
+    are fitted once on the BASE corpus and FROZEN; a new ingest batch
+    is then routed to the existing cells without re-clustering — the
+    day-2 operation of every IVF/ANN index. Per cell: base vs new
+    populations, growth, and mean squared distance for each — the
+    drift report that tells an index owner when re-training is due
+    (new vectors landing far from their cells = the index is stale).
+
+    Split rule (stated, oracle identical): vec_id % 10 == 0 plays the
+    new batch. Centroid fitting follows ``kmeans_assignments``'s
+    determinism discipline verbatim (first-k-of-base init by vec_id
+    order, identical IEEE distance accumulation, argmin ties to the
+    lower cid, decimal(30,15) means); both populations are then
+    assigned to the POST-fit centroids in one broadcast pass, so base
+    and new distances are comparable (same frozen index).
+
+    Scale: k-row centroid broadcasts, one (cluster, dim) shuffle per
+    fit iteration, one tagged assignment pass; output is k rows."""
+    emb = _embeddings(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    # init = the first k BASE vectors; ids are dense so the base split
+    # (vec_id % 10 != 0) makes these exactly vec_id 1..k — a literal
+    # slice, same boundedness idiom as kmeans_assignments' vec_id < k
+    cents = (base.filter(F.col("vec_id").between(1, k))
+             .select((F.col("vec_id") - 1).cast("int").alias("cid"),
+                     F.col("emb").alias("cent")))
+    dist = F.aggregate(
+        F.zip_with("emb", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x)
+    for _ in range(iters):
+        assigned = (base.crossJoin(F.broadcast(cents))
+                    .withColumn("dist", dist)
+                    .groupBy("vec_id")
+                    .agg(F.min(F.struct("dist", "cid")).alias("m"),
+                         F.first("emb").alias("emb"))
+                    .select("vec_id", "emb", F.col("m.cid").alias("cid")))
+        cents = (
+            assigned.select("cid", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg((F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+                  / F.count("v")).alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                 .alias("p"))
+            .select("cid", F.transform("p", lambda q: q["c"])
+                    .alias("cent")))
+    tagged = (base.withColumn("is_new", F.lit(0))
+              .unionByName(new.withColumn("is_new", F.lit(1))))
+    routed = (tagged.crossJoin(F.broadcast(cents))
+              .withColumn("dist", dist)
+              .groupBy("vec_id")
+              .agg(F.min(F.struct("dist", "cid")).alias("m"),
+                   F.first("is_new").alias("is_new"))
+              .select(F.col("m.cid").alias("cid"), "is_new",
+                      F.col("m.dist").alias("dist")))
+    per = (routed.groupBy("cid")
+           .agg(F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0))
+                .alias("base_n"),
+                F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0))
+                .alias("new_n"),
+                F.round(F.sum(F.when(F.col("is_new") == 0, F.col("dist"))
+                              .cast("decimal(30,15)")).cast("double")
+                        / F.greatest(F.sum(
+                            F.when(F.col("is_new") == 0, 1).otherwise(0)),
+                            F.lit(1)), 6).alias("base_msd"),
+                F.round(F.coalesce(
+                    F.sum(F.when(F.col("is_new") == 1, F.col("dist"))
+                          .cast("decimal(30,15)")).cast("double"), F.lit(0.0))
+                        / F.greatest(F.sum(
+                            F.when(F.col("is_new") == 1, 1).otherwise(0)),
+                            F.lit(1)), 6).alias("new_msd")))
+    return (cents.select("cid").join(per, "cid", "left")
+            .select(F.col("cid").alias("cell_id"),
+                    F.coalesce("base_n", F.lit(0)).alias("base_n"),
+                    F.coalesce("new_n", F.lit(0)).alias("new_n"),
+                    F.expr("CAST(COALESCE(new_n, 0) * 1000000"
+                           " DIV GREATEST(COALESCE(base_n, 0), 1)"
+                           " AS BIGINT)").alias("growth_ppm"),
+                    F.coalesce("base_msd", F.lit(0.0)).alias("base_msd"),
+                    F.coalesce("new_msd", F.lit(0.0)).alias("new_msd")))
+
+
+_IVF_DIST = ("list_reduce(list_transform(list_zip(e.emb, c.cent), "
+             "p -> (p[1]-p[2])*(p[1]-p[2])), (acc, x) -> acc + x)")
+
+INCREMENTAL_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+base AS (SELECT * FROM emb WHERE vec_id % 10 != 0),
+newb AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+c0 AS (
+  SELECT CAST(vec_id - 1 AS INT) AS cid, emb AS cent
+  FROM base WHERE vec_id BETWEEN 1 AND 8
+),
+d1 AS (
+  SELECT e.vec_id, e.emb, c.cid, {_IVF_DIST} AS dist
+  FROM base e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, dim,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(v) AS c
+  FROM (SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+        FROM a1)
+  GROUP BY cid, dim
+),
+c1 AS (
+  SELECT cid, list(c ORDER BY dim) AS cent FROM m1 GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, e.emb, c.cid, {_IVF_DIST} AS dist
+  FROM base e CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn FROM d2)
+  WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, dim,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(v) AS c
+  FROM (SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+        FROM a2)
+  GROUP BY cid, dim
+),
+c2 AS (
+  SELECT cid, list(c ORDER BY dim) AS cent FROM m2 GROUP BY cid
+),
+tagged AS (
+  SELECT vec_id, emb, 0 AS is_new FROM base
+  UNION ALL
+  SELECT vec_id, emb, 1 AS is_new FROM newb
+),
+d3 AS (
+  SELECT e.vec_id, e.is_new, c.cid, {_IVF_DIST} AS dist
+  FROM tagged e CROSS JOIN c2 c
+),
+a3 AS (
+  SELECT vec_id, is_new, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn FROM d3)
+  WHERE rn = 1
+),
+per AS (
+  SELECT cid,
+         CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS base_n,
+         CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_n,
+         round(CAST(SUM(CASE WHEN is_new = 0
+                        THEN CAST(dist AS DECIMAL(30,15)) END) AS DOUBLE)
+               / GREATEST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END), 1),
+               6) AS base_msd,
+         round(COALESCE(CAST(SUM(CASE WHEN is_new = 1
+                        THEN CAST(dist AS DECIMAL(30,15)) END) AS DOUBLE),
+                        0.0)
+               / GREATEST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END), 1),
+               6) AS new_msd
+  FROM a3 GROUP BY cid
+)
+SELECT c.cid AS cell_id,
+       COALESCE(p.base_n, 0) AS base_n,
+       COALESCE(p.new_n, 0) AS new_n,
+       CAST(COALESCE(p.new_n, 0) * 1000000
+            // GREATEST(COALESCE(p.base_n, 0), 1) AS BIGINT)
+         AS growth_ppm,
+       COALESCE(p.base_msd, 0.0) AS base_msd,
+       COALESCE(p.new_msd, 0.0) AS new_msd
+FROM c2 c LEFT JOIN per p ON c.cid = p.cid
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "incremental_ivf_assign": incremental_ivf_assign,
     "embedding_dim_variance": embedding_dim_variance,
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_classifier_eval": knn_classifier_eval,
@@ -1110,6 +1294,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "incremental_ivf_assign": INCREMENTAL_IVF_SQL,
     "embedding_dim_variance": DIM_VARIANCE_SQL,
     "cluster_balanced_sample": CLUSTER_SAMPLE_SQL,
     "knn_classifier_eval": KNN_EVAL_SQL,

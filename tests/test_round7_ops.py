@@ -1133,3 +1133,20 @@ def test_golden_record_field_survivorship(spark, tmp_path):
     assert r.longest_doc_id == 10 and r.longest_len == 13
     assert r.langs == "de,en,fr"
     assert (r.n_sources, r.n_members) == (2, 3)
+
+
+def test_incremental_ivf_consistency(spark, sf_dir):
+    """Cells must partition both populations exactly, new vectors must
+    be ~1/9th of base (the % 10 split), and every cell row exists."""
+    from spark_kafka_airflow_pipeline_spark.operators import similarity
+
+    rows = similarity.incremental_ivf_assign(spark, sf_dir).collect()
+    assert {r.cell_id for r in rows} == set(range(8))
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_new = sum(r.new_n for r in rows)
+    n_base = sum(r.base_n for r in rows)
+    assert n_base + n_new == n
+    assert n_new == (n + 9) // 10
+    for r in rows:
+        assert r.growth_ppm == r.new_n * 1_000_000 // max(r.base_n, 1)
+        assert r.base_msd >= 0 and r.new_msd >= 0
