@@ -183,6 +183,9 @@ OPS = {
     "minmax_skipping_audit": scaleops.minmax_skipping_audit,
     "boilerplate_line_share": textops.boilerplate_line_share,
     "link_prediction_jaccard": graphops.link_prediction_jaccard,
+    "sparse_cosine_pairs": textops.sparse_cosine_pairs,
+    "golden_record_merge": dedup.golden_record_merge,
+    "incremental_ivf_assign": similarity.incremental_ivf_assign,
 }
 
 

@@ -2147,7 +2147,114 @@ GROUP BY o.doc_id
 """
 
 
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str,
+                        df_cap: int = 64, topn: int = 20) -> DataFrame:
+    """SPARSE tf-idf cosine similarity between document pairs [EXT] —
+    the lexical twin of the dense embedding ``cosine_topk``: documents
+    are bag-of-words vectors in integer-MILLI tf-idf weights, pairs
+    are enumerated through the inverted index (join on shared term,
+    never doc x doc), and the top-``topn`` most similar pairs are
+    returned. The classic pre-embedding similarity search, still the
+    workhorse where embeddings are too expensive to refresh.
+
+    Determinism: idf uses ``doc_tfidf_topterms``'s 6dp-ln rule then
+    floors to milli units, so weights, dots and norms are all BIGINT;
+    the single per-pair cosine division + two sqrts run in identical
+    operand order in both engines and round to 6dp. Terms with df
+    outside [2, ``df_cap``] are excluded from PAIR enumeration (the
+    containment/df-cap idiom: stopword-grade terms would quadratically
+    fan out and carry no signal) but still count in the norms — the
+    cap bounds the join, not the vector."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+               .select("doc_id", "term", "df",
+                       F.expr("tf * CAST(floor(round(ln((n_docs + 1)"
+                              " / (df + 1)) + 1, 6) * 1000 + 0.5)"
+                              " AS BIGINT)").alias("w")))
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    kept = (weights.filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+            .select("doc_id", "term", "w"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (a.join(b, (F.col("a.term") == F.col("b.term"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+                  F.count(F.lit(1)).alias("n_shared_terms")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("norm2").alias("nb2"))
+    scored = (pairs.join(na, "doc_a").join(nb, "doc_b")
+              .withColumn("cosine", F.round(
+                  F.col("dot") / (F.sqrt(F.col("na2").cast("double"))
+                                  * F.sqrt(F.col("nb2").cast("double"))),
+                  6)))
+    rk = Window.orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+    return (scored.withColumn("rank",
+                              F.row_number().over(rk).cast("bigint"))
+            .filter(F.col("rank") <= topn)
+            .select("doc_a", "doc_b", "n_shared_terms", "dot",
+                    "cosine", "rank"))
+
+
+SPARSE_COSINE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term != '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weights AS (
+  SELECT doc_id, tf.term, df,
+         tf * CAST(floor(round(ln((n_docs + 1) / (df + 1)) + 1, 6)
+                         * 1000 + 0.5) AS BIGINT) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+), norms AS (
+  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
+  FROM weights GROUP BY doc_id
+), kept AS (
+  SELECT doc_id, term, w FROM weights WHERE df BETWEEN 2 AND 64
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot,
+         COUNT(*) AS n_shared_terms
+  FROM kept a JOIN kept b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared_terms, p.dot,
+         round(p.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                        * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+  FROM pairs p
+  JOIN norms na ON p.doc_a = na.doc_id
+  JOIN norms nb ON p.doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b, n_shared_terms, dot, cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_a, doc_b)
+             AS rn
+      FROM scored)
+WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "sparse_cosine_pairs": sparse_cosine_pairs,
     "boilerplate_line_share": boilerplate_line_share,
     "flesch_reading_ease": flesch_reading_ease,
     "winnow_fingerprints": winnow_fingerprints,
@@ -2191,6 +2298,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "boilerplate_line_share": BOILERPLATE_SQL,
+    "sparse_cosine_pairs": SPARSE_COSINE_SQL,
     "flesch_reading_ease": FLESCH_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,

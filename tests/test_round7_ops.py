@@ -1150,3 +1150,25 @@ def test_incremental_ivf_consistency(spark, sf_dir):
     for r in rows:
         assert r.growth_ppm == r.new_n * 1_000_000 // max(r.base_n, 1)
         assert r.base_msd >= 0 and r.new_msd >= 0
+
+
+def test_sparse_cosine_planted_twins(spark, tmp_path):
+    """Two docs sharing their rare vocabulary must rank first with
+    cosine near 1; docs sharing nothing must not pair."""
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    twin = "quantum flux capacitor resonance matrix"
+    docs = [(1, twin), (2, twin),
+            (3, "completely different words entirely here"),
+            (4, "another unrelated set of tokens again"),
+            # shared rare term so doc 3/4 also pair, but weakly
+            (5, "different unrelated filler filler filler")]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    rows = textops.sparse_cosine_pairs(spark, str(tmp_path)).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    assert rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert rows[0].cosine > 0.99 and rows[0].rank == 1
+    assert (1, 3) not in by_pair and (2, 4) not in by_pair
+    for r in rows:
+        assert 0 <= r.cosine <= 1.000001
