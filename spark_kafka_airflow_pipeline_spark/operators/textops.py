@@ -2164,14 +2164,23 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str,
     outside [2, ``df_cap``] are excluded from PAIR enumeration (the
     containment/df-cap idiom: stopword-grade terms would quadratically
     fan out and carry no signal) but still count in the norms — the
-    cap bounds the join, not the vector."""
+    cap bounds the join, not the vector.
+
+    Terms are word TRIGRAMS, not single words: the corpus vocabulary
+    is tiny (31 distinct words at any SF, measured), so every single
+    word is stopword-grade; trigrams give a real sparse space (27k
+    distinct at sf0.1, max df 25) — the same reason every other pair
+    family here works on n-grams."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
     toks = (d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
-        .filter(F.col("term") != ""))
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"))
+        .select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(t) <= 3 THEN array(array_join(t, ' ')) "
+            "ELSE transform(sequence(0, size(t) - 3), "
+            "i -> array_join(slice(t, i + 1, 3), ' ')) END")).alias("term")))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2211,11 +2220,15 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str,
 SPARSE_COSINE_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM documents
+         unnest(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                END) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
 ), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term != '' GROUP BY 1, 2
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
 ), dfreq AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
 ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
