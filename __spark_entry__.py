@@ -102,7 +102,7 @@ _R8_EARMARK = (
     "systematic_sample_every_k", "watermark_delay_planner",
     "sql_udf_order_tiers", "observed_scan_metrics",
     "golden_record_merge", "incremental_ivf_assign",
-    "sparse_cosine_pairs",
+    "sparse_cosine_pairs", "seasonal_adjusted_anomalies",
     # r5-cohort tail displaced by round-7 additions
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

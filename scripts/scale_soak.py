@@ -225,6 +225,8 @@ EVENT_OPS = {
     "ab_test_welch": events.ab_test_welch,
     "events_cusum_changepoint": events.events_cusum_changepoint,
     "session_dwell_bounce": events.session_dwell_bounce,
+    "seasonal_adjusted_anomalies": events.seasonal_adjusted_anomalies,
+    "watermark_delay_planner": events.watermark_delay_planner,
 }
 
 

@@ -885,6 +885,80 @@ FROM sess GROUP BY 1
 """
 
 
+def seasonal_adjusted_anomalies(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Seasonality-AWARE daily anomaly detection [EXT]: raw daily
+    volume is first normalized by its day-of-week expectation (Monday
+    traffic compared to typical Mondays), THEN the median/MAD outlier
+    rule runs on the residuals — so a quiet-Sunday pattern stops
+    masquerading as an incident and a truly anomalous Tuesday still
+    fires. The composition of ``orders_seasonality_index`` and
+    ``events_anomaly_mad`` that an on-call dashboard actually wants.
+
+    Integer exactness: the dow expectation is the per-dow MEDIAN daily
+    count (x2 integral trick) — a mean expectation would let one spiked
+    Tuesday drag every normal Tuesday below threshold (found by the
+    planted-spike test); residual = count vs that median in ppm
+    (DECIMAL armor, counts are data-sized); the x2/x4 median/MAD trick
+    keeps the k=3.5 rule a pure integer comparison (``4*d2 > 7*mad4``).
+    Day-of-week is Monday=0 in both engines (Spark ``weekday``, DuckDB
+    ``isodow - 1``).
+
+    Scale: everything post-daily-aggregate is calendar-bounded; all
+    three medians are mergeable percentile aggregates broadcast back."""
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                       .alias("day"),
+                       F.expr("weekday(to_date(ts))").alias("dow"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    dowagg = daily.groupBy("dow").agg(
+        F.percentile(2 * F.col("c"), F.lit(0.5)).cast("bigint")
+        .alias("med2c"))
+    res = (daily.join(F.broadcast(dowagg), "dow")
+           .withColumn("res_ppm", F.expr(ppm("c * 2", "med2c")))
+           .withColumn("r2", 2 * F.col("res_ppm")))
+    med = res.agg(F.percentile(F.col("r2"), F.lit(0.5)).cast("bigint")
+                  .alias("med2"))
+    dev = (res.crossJoin(F.broadcast(med))
+           .withColumn("d2", F.abs(F.col("r2") - F.col("med2"))))
+    mad = dev.agg((F.percentile(F.col("d2"), F.lit(0.5)) * 2)
+                  .cast("bigint").alias("mad4"))
+    return (dev.crossJoin(F.broadcast(mad))
+            .select("day", "dow", F.col("c").alias("n_events"),
+                    "res_ppm", "med2", "mad4",
+                    (F.col("d2") * 4 > F.col("mad4") * 7).cast("int")
+                    .alias("is_anomaly")))
+
+
+SEASONAL_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS dow,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), dowagg AS (
+  SELECT dow, CAST(median(2 * c) AS BIGINT) AS med2c
+  FROM daily GROUP BY 1
+), res AS (
+  SELECT d.day, d.dow, d.c,
+         CAST(d.c * 2 * 1000000 // a.med2c AS BIGINT) AS res_ppm,
+         2 * CAST(d.c * 2 * 1000000 // a.med2c AS BIGINT) AS r2
+  FROM daily d JOIN dowagg a ON d.dow = a.dow
+), med AS (
+  SELECT CAST(median(r2) AS BIGINT) AS med2 FROM res
+), dev AS (
+  SELECT r.*, m.med2, abs(r.r2 - m.med2) AS d2
+  FROM res r CROSS JOIN med m
+), mad AS (
+  SELECT CAST(median(d2) * 2 AS BIGINT) AS mad4 FROM dev
+)
+SELECT d.day, d.dow, d.c AS n_events, d.res_ppm, d.med2, m.mad4,
+       CAST(CASE WHEN d.d2 * 4 > m.mad4 * 7 THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM dev d CROSS JOIN mad m
+"""
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detector per event type [EXT]: the day where
     the cumulative deviation of daily volume from the type's mean
@@ -2036,6 +2110,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_cooccurrence_pmi": event_cooccurrence_pmi,
     "ab_test_welch": ab_test_welch,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "seasonal_adjusted_anomalies": seasonal_adjusted_anomalies,
     "session_dwell_bounce": session_dwell_bounce,
     "watermark_delay_planner": watermark_delay_planner,
     "cohort_ltv_curve": cohort_ltv_curve,
@@ -2074,6 +2149,7 @@ ORACLES: dict[str, str] = {
     "event_cooccurrence_pmi": EVENT_PMI_SQL,
     "ab_test_welch": AB_WELCH_SQL,
     "events_cusum_changepoint": CUSUM_SQL,
+    "seasonal_adjusted_anomalies": SEASONAL_ANOMALY_SQL,
     "session_dwell_bounce": SESSION_DWELL_SQL,
     "watermark_delay_planner": WATERMARK_PLANNER_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,

@@ -394,11 +394,13 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str,
                           F.expr("n_common * 1000000"
                                  " DIV (deg_u + deg_v - n_common)")))
     rk = Window.orderBy(F.col("jaccard_ppm").desc(), "u", "v")
-    return (scored.withColumn("rank",
-                              F.row_number().over(rk).cast("bigint"))
-            .filter(F.col("rank") <= topn)
+    # raw-rank filter first so WindowGroupLimit bounds the sort; cast
+    # to bigint after, for oracle type parity
+    return (scored.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") <= topn)
             .select("u", "v", "n_common", "deg_u", "deg_v",
-                    "jaccard_ppm", "aa_micro", "rank"))
+                    "jaccard_ppm", "aa_micro",
+                    F.col("rk").cast("bigint").alias("rank")))
 
 
 LINK_PREDICTION_SQL = f"""

@@ -2210,11 +2210,13 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str,
                                   * F.sqrt(F.col("nb2").cast("double"))),
                   6)))
     rk = Window.orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
-    return (scored.withColumn("rank",
-                              F.row_number().over(rk).cast("bigint"))
-            .filter(F.col("rank") <= topn)
+    # filter on the RAW row_number (WindowGroupLimit needs the literal
+    # bound directly on the rank output; a cast in between blocks it),
+    # cast to bigint only afterwards for oracle type parity
+    return (scored.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") <= topn)
             .select("doc_a", "doc_b", "n_shared_terms", "dot",
-                    "cosine", "rank"))
+                    "cosine", F.col("rk").cast("bigint").alias("rank")))
 
 
 SPARSE_COSINE_SQL = """

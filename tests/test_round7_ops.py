@@ -1172,3 +1172,33 @@ def test_sparse_cosine_planted_twins(spark, tmp_path):
     assert (1, 3) not in by_pair and (2, 4) not in by_pair
     for r in rows:
         assert 0 <= r.cosine <= 1.000001
+
+
+def test_seasonal_anomaly_planted_spike(spark, tmp_path):
+    """A flat weekly pattern with one spiked Tuesday must flag exactly
+    that day after dow adjustment (quiet weekends stay unflagged)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    evs, eid = [], 0
+    for d in range(28):
+        day = base + dt.timedelta(days=d)
+        n = 20 if day.weekday() < 5 else 4  # quiet weekends by design
+        if d == 15:  # a Tuesday
+            n = 200
+        for _ in range(n):
+            evs.append((eid, day + dt.timedelta(minutes=eid % 600),
+                        1, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    rows = {r.day: r for r in
+            events.seasonal_adjusted_anomalies(spark, str(tmp_path))
+            .collect()}
+    flagged = [d for d, r in rows.items() if r.is_anomaly == 1]
+    assert flagged == ["2024-01-16"]
+    # weekends normalize to ~1e6 ppm like weekdays: seasonality removed
+    assert rows["2024-01-06"].is_anomaly == 0
+    assert abs(rows["2024-01-06"].res_ppm - 1_000_000) < 60_000
