@@ -18,6 +18,7 @@ state for sessionization.
 from __future__ import annotations
 
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1051,6 +1052,13 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+        out_schema = ("user_id long, last_event_id long, last_ts_us long,"
+                      " last_type string, last_cents long")
+        if not Path(state_dir).exists():
+            # empty source -> zero micro-batches -> no state was ever
+            # written (module empty-input invariant: empty in, empty
+            # out with the declared schema)
+            return spark.createDataFrame([], out_schema)
         out = (spark.read.parquet(state_dir)
                .select("user_id",
                        F.col("event_id").alias("last_event_id"),

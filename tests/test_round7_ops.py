@@ -1202,3 +1202,18 @@ def test_seasonal_anomaly_planted_spike(spark, tmp_path):
     # weekends normalize to ~1e6 ppm like weekdays: seasonality removed
     assert rows["2024-01-06"].is_anomaly == 0
     assert abs(rows["2024-01-06"].res_ppm - 1_000_000) < 60_000
+
+
+def test_streaming_upsert_empty_source(spark, tmp_path):
+    """Zero events -> zero micro-batches -> empty frame with the
+    declared schema, not a missing-state crash."""
+    from spark_kafka_airflow_pipeline_spark.streaming import pipelines
+
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = pipelines.streaming_foreachbatch_upsert(spark, str(tmp_path))
+    assert out.columns == ["user_id", "last_event_id", "last_ts_us",
+                           "last_type", "last_cents"]
+    assert out.count() == 0
