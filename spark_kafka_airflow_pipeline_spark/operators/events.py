@@ -727,6 +727,50 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+def freshness_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion FRESHNESS audit [EXT]: per event type, when did we
+    last hear from it, how far behind the stream head is it, and which
+    fixed SLA band does that lag fall into — the staleness report an
+    ingestion on-call reads before believing any downstream metric.
+    The reference point is the corpus max event time (the stream
+    head), NOT wall clock, so the result is deterministic and
+    oracle-able.
+
+    Scale: one mergeable groupBy for per-type max, a 1-row broadcast
+    for the head; output <= |event types|."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"))
+    head = e.agg(F.max(F.unix_micros("ts")).alias("head_us"))
+    return (per.crossJoin(F.broadcast(head))
+            .select("event_type", "n_events",
+                    F.expr("(head_us - last_us) DIV 60000000")
+                    .alias("lag_minutes"),
+                    F.expr("CASE WHEN head_us - last_us <= 3600000000"
+                           " THEN 'fresh'"
+                           " WHEN head_us - last_us <= 21600000000"
+                           " THEN 'stale' ELSE 'breached' END")
+                    .alias("sla_band")))
+
+
+FRESHNESS_SQL = """
+WITH per AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), head AS (
+  SELECT MAX(epoch_us(ts)) AS head_us FROM events
+)
+SELECT event_type, n_events,
+       CAST((head_us - last_us) // 60000000 AS BIGINT) AS lag_minutes,
+       CASE WHEN head_us - last_us <= 3600000000 THEN 'fresh'
+            WHEN head_us - last_us <= 21600000000 THEN 'stale'
+            ELSE 'breached' END AS sla_band
+FROM per CROSS JOIN head
+"""
+
+
 #: candidate watermark delays the planner evaluates (label, micros)
 _WM_CANDIDATES: tuple[tuple[str, int], ...] = (
     ("0s", 0),
@@ -2113,6 +2157,7 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_adjusted_anomalies": seasonal_adjusted_anomalies,
     "session_dwell_bounce": session_dwell_bounce,
     "watermark_delay_planner": watermark_delay_planner,
+    "freshness_sla_audit": freshness_sla_audit,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -2152,6 +2197,7 @@ ORACLES: dict[str, str] = {
     "seasonal_adjusted_anomalies": SEASONAL_ANOMALY_SQL,
     "session_dwell_bounce": SESSION_DWELL_SQL,
     "watermark_delay_planner": WATERMARK_PLANNER_SQL,
+    "freshness_sla_audit": FRESHNESS_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

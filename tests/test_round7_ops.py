@@ -1217,3 +1217,23 @@ def test_streaming_upsert_empty_source(spark, tmp_path):
     assert out.columns == ["user_id", "last_event_id", "last_ts_us",
                            "last_type", "last_cents"]
     assert out.count() == 0
+
+
+def test_freshness_planted_stale_type(spark, tmp_path):
+    """A type last seen 7h before the stream head must band 'breached';
+    one 2h behind bands 'stale'; the head type is 'fresh'."""
+    import datetime as dt
+
+    head = dt.datetime(2024, 3, 1, 12, 0, 0)
+    evs = [(1, head, 1, "view", 1.0, "{}"),
+           (2, head - dt.timedelta(hours=2), 1, "click", 1.0, "{}"),
+           (3, head - dt.timedelta(hours=7), 1, "signup", 1.0, "{}"),
+           (4, head - dt.timedelta(minutes=10), 2, "view", 1.0, "{}")]
+    spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_type: (r.lag_minutes, r.sla_band) for r in
+           events.freshness_sla_audit(spark, str(tmp_path)).collect()}
+    assert got == {"view": (0, "fresh"), "click": (120, "stale"),
+                   "signup": (420, "breached")}
