@@ -1017,7 +1017,53 @@ WHERE rn % 20 = 1
 """
 
 
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-log SEQUENCE-GAP audit [EXT]: are there holes in the
+    event_id sequence (dropped Kafka offsets, lost ingest batches),
+    how many ids are missing, and across how many gap runs? The
+    integrity check every log-ingestion pipeline runs on its offsets.
+
+    Scale shape: NO global window and no adjacency sort at all — a gap
+    RUN starts exactly at a present id whose successor id is absent,
+    so ``n_gap_runs`` is one co-partitioned ANTI-join of (id + 1)
+    against the id set (minus the max id's trivial miss), and
+    ``n_missing`` is pure arithmetic (span − row count). The
+    sorted-lag formulation this replaces funnels the whole log through
+    one task; the anti-join form is one shuffle on the id.
+    Output is one summary row."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"))
+    probes = e.select((F.col("id") + 1).alias("id2"))
+    starts = (probes.join(e, probes.id2 == e.id, "left_anti")
+              .agg(F.count(F.lit(1)).alias("misses")))
+    tot = e.agg(F.count(F.lit(1)).alias("n_rows"),
+                F.min("id").alias("min_id"), F.max("id").alias("max_id"))
+    # max_id + 1 is always absent; subtract that one trivial miss
+    return (tot.crossJoin(F.broadcast(starts))
+            .select("n_rows", "min_id", "max_id",
+                    (F.col("max_id") - F.col("min_id") + 1
+                     - F.col("n_rows")).alias("n_missing"),
+                    (F.col("misses") - 1).alias("n_gap_runs")))
+
+
+SEQUENCE_GAP_SQL = """
+WITH e AS (
+  SELECT event_id AS id FROM events
+), starts AS (
+  SELECT COUNT(*) AS misses
+  FROM e WHERE NOT EXISTS (SELECT 1 FROM e e2 WHERE e2.id = e.id + 1)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id,
+       CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+       (SELECT misses - 1 FROM starts) AS n_gap_runs
+FROM e
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "sequence_gap_audit": sequence_gap_audit,
     "systematic_sample_every_k": systematic_sample_every_k,
     "parquet_footer_stats": parquet_footer_stats,
     "minmax_skipping_audit": minmax_skipping_audit,
@@ -1038,6 +1084,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "systematic_sample_every_k": SYSTEMATIC_SAMPLE_SQL,
+    "sequence_gap_audit": SEQUENCE_GAP_SQL,
     "minmax_skipping_audit": MINMAX_SKIP_SQL,
     "customer_global_rank": CUSTOMER_RANK_SQL,
     "customer_pareto_abc": PARETO_ABC_SQL,

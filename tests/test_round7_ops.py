@@ -1237,3 +1237,25 @@ def test_freshness_planted_stale_type(spark, tmp_path):
            events.freshness_sla_audit(spark, str(tmp_path)).collect()}
     assert got == {"view": (0, "fresh"), "click": (120, "stale"),
                    "signup": (420, "breached")}
+
+
+def test_sequence_gap_planted_holes(spark, tmp_path):
+    """Planted holes: ids 0-99 minus {10, 11, 50} -> 3 missing ids in
+    2 gap runs; the dense fixture reports zero of each."""
+    import datetime as dt
+
+    ids = [i for i in range(100) if i not in (10, 11, 50)]
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, base, 1, "view", 1.0, "{}") for i in ids],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = scaleops.sequence_gap_audit(spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.min_id, r.max_id) == (97, 0, 99)
+    assert (r.n_missing, r.n_gap_runs) == (3, 2)
+
+
+def test_sequence_gap_dense_fixture(spark, sf_dir):
+    r = scaleops.sequence_gap_audit(spark, sf_dir).collect()[0]
+    assert r.n_missing == 0 and r.n_gap_runs == 0
