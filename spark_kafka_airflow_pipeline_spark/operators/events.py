@@ -727,6 +727,51 @@ FROM weekly w JOIN sizes s ON w.cw = s.cw
 """
 
 
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding [EXT] — the leakage-safe
+    categorical encoder feature pipelines use: each event's type is
+    replaced by the mean purchase value of all OTHER events of that
+    type, so a row never sees its own target. Encoded in integer
+    micro-cents: ``(type_sum − own) * 1e6 DIV (type_n − 1)``, NULL for
+    singleton types (no peers to borrow from — the caller decides the
+    fallback, usually the global prior).
+
+    Scale: one mergeable per-type aggregate broadcast back over the
+    fact — no window, no self-join; output is per-row (a feature
+    column, like ``user_value_ewma``)."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"))
+    per = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"))
+    return (base.join(F.broadcast(per), "event_type")
+            .select("event_id", "event_type", "cents",
+                    F.expr(
+                        "CASE WHEN n = 1 THEN CAST(NULL AS BIGINT) "
+                        "ELSE CAST((CAST(sum_cents AS DECIMAL(38,0))"
+                        " - cents) * 1000000 DIV (n - 1) AS BIGINT) END")
+                    .alias("loo_micro")))
+
+
+TARGET_LOO_SQL = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), per AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM base GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.cents,
+       CASE WHEN p.n = 1 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((p.s - b.cents) * 1000000 // (p.n - 1) AS BIGINT)
+       END AS loo_micro
+FROM base b JOIN per p ON b.event_type = p.event_type
+"""
+
+
 def freshness_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion FRESHNESS audit [EXT]: per event type, when did we
     last hear from it, how far behind the stream head is it, and which
@@ -2158,6 +2203,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_dwell_bounce": session_dwell_bounce,
     "watermark_delay_planner": watermark_delay_planner,
     "freshness_sla_audit": freshness_sla_audit,
+    "target_encode_loo": target_encode_loo,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_drift_psi": events_drift_psi,
     "bot_rate_flags": bot_rate_flags,
@@ -2198,6 +2244,7 @@ ORACLES: dict[str, str] = {
     "session_dwell_bounce": SESSION_DWELL_SQL,
     "watermark_delay_planner": WATERMARK_PLANNER_SQL,
     "freshness_sla_audit": FRESHNESS_SQL,
+    "target_encode_loo": TARGET_LOO_SQL,
     "cohort_ltv_curve": COHORT_LTV_SQL,
     "events_drift_psi": EVENTS_PSI_SQL,
     "bot_rate_flags": BOT_RATE_SQL,

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.functions import text as T
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
 from spark_kafka_airflow_pipeline_spark.operators.relational import davg, SQL_DAVG
 
 
@@ -2268,7 +2268,66 @@ WHERE rn <= 20
 """
 
 
+def cv_fold_balance(spark: SparkSession, sf_dir: str,
+                    k: int = 5) -> DataFrame:
+    """Cross-validation FOLD assignment + stratification audit [EXT]:
+    docs are dealt into ``k`` folds by the deterministic md5 hash (the
+    engine-portable randomness), then each (fold, lang) cell reports
+    its share within the fold against the corpus share — the skew a
+    modeler checks before trusting CV variance. Hash-fold assignment
+    is what keeps folds STABLE as the corpus grows (a row's fold never
+    changes when other rows arrive — unlike rank-based dealing).
+
+    Scale: one groupBy on (fold, lang), bounded broadcasts; output
+    <= k x |langs| rows."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.pmod(F.conv(F.substring(
+                     F.md5(F.col("doc_id").cast("string")), 1, 15),
+                     16, 10).cast("bigint"), F.lit(k)).alias("fold")))
+    cell = d.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ftot = cell.groupBy("fold").agg(F.sum("n_docs").alias("fn"))
+    ltot = cell.groupBy("lang").agg(F.sum("n_docs").alias("ln_"))
+    tot = cell.agg(F.sum("n_docs").alias("n"))
+    return (cell.join(F.broadcast(ftot), "fold")
+            .join(F.broadcast(ltot), "lang")
+            .crossJoin(F.broadcast(tot))
+            .select("fold", "lang", "n_docs",
+                    F.expr(ppm("n_docs", "fn")).alias("fold_share_ppm"),
+                    F.expr(ppm("ln_", "n")).alias("corpus_share_ppm"),
+                    F.expr("abs(" + ppm("n_docs", "fn") + " - "
+                           + ppm("ln_", "n") + ")").alias("skew_ppm")))
+
+
+CV_FOLD_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 5 AS fold
+  FROM documents
+), cell AS (
+  SELECT fold, lang, COUNT(*) AS n_docs FROM d GROUP BY 1, 2
+), ftot AS (
+  SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fn FROM cell GROUP BY 1
+), ltot AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS ln_ FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cell
+)
+SELECT c.fold, c.lang, c.n_docs,
+       CAST(c.n_docs * 1000000 // f.fn AS BIGINT) AS fold_share_ppm,
+       CAST(l.ln_ * 1000000 // t.n AS BIGINT) AS corpus_share_ppm,
+       abs(CAST(c.n_docs * 1000000 // f.fn AS BIGINT)
+           - CAST(l.ln_ * 1000000 // t.n AS BIGINT)) AS skew_ppm
+FROM cell c
+JOIN ftot f ON c.fold = f.fold
+JOIN ltot l ON c.lang = l.lang
+CROSS JOIN tot t
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "cv_fold_balance": cv_fold_balance,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "boilerplate_line_share": boilerplate_line_share,
     "flesch_reading_ease": flesch_reading_ease,
@@ -2314,6 +2373,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "boilerplate_line_share": BOILERPLATE_SQL,
     "sparse_cosine_pairs": SPARSE_COSINE_SQL,
+    "cv_fold_balance": CV_FOLD_SQL,
     "flesch_reading_ease": FLESCH_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,

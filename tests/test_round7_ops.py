@@ -1259,3 +1259,44 @@ def test_sequence_gap_planted_holes(spark, tmp_path):
 def test_sequence_gap_dense_fixture(spark, sf_dir):
     r = scaleops.sequence_gap_audit(spark, sf_dir).collect()[0]
     assert r.n_missing == 0 and r.n_gap_runs == 0
+
+
+def test_target_loo_excludes_self(spark, sf_dir):
+    """LOO property: per type, sum(loo_micro over rows) relates to the
+    type mean; each row's encoding equals the peers-only mean."""
+    from collections import defaultdict
+
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "event_type", "value").collect())
+    per = defaultdict(lambda: [0, 0])
+    cents = {}
+    for r in rows:
+        c = int(r.value * 100 + 0.5)
+        cents[r.event_id] = c
+        per[r.event_type][0] += 1
+        per[r.event_type][1] += c
+    got = {r.event_id: r for r in
+           events.target_encode_loo(spark, sf_dir).collect()}
+    for r in rows:
+        n, s = per[r.event_type]
+        g = got[r.event_id]
+        assert g.cents == cents[r.event_id]
+        if n == 1:
+            assert g.loo_micro is None
+        else:
+            assert g.loo_micro == (s - cents[r.event_id]) * 1_000_000 // (
+                n - 1)
+
+
+def test_cv_folds_stable_and_partitioning(spark, sf_dir):
+    """Fold cells must partition the corpus; fold of a given doc_id is
+    a pure hash (stable under corpus growth by construction)."""
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    rows = textops.cv_fold_balance(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert {r.fold for r in rows} <= set(range(5))
+    for r in rows:
+        assert r.skew_ppm == abs(r.fold_share_ppm - r.corpus_share_ppm)
+        assert r.skew_ppm < 200_000  # hash dealing: no gross imbalance
