@@ -104,7 +104,7 @@ _R8_EARMARK = (
     "golden_record_merge", "incremental_ivf_assign",
     "sparse_cosine_pairs", "seasonal_adjusted_anomalies",
     "freshness_sla_audit", "sequence_gap_audit",
-    "target_encode_loo", "cv_fold_balance",
+    "target_encode_loo", "cv_fold_balance", "multimodal_phash",
     # r5-cohort tail displaced by round-7 additions
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

@@ -300,7 +300,76 @@ def multimodal_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInArrow(_feature_batches_arrow, schema=FEATURE_SCHEMA)
 
 
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """dHash kernel: 61 stride-sampled byte "pixels" -> 60 gradient
+    bits -> one BIGINT. Pure-integer, mirrors the SQL oracle bit for
+    bit."""
+    for pdf in batches:
+        out = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(p)
+            n = len(b)
+            h = 0
+            if n > 0:
+                for j in range(60):
+                    i0 = (j * (n - 1)) // 60
+                    i1 = ((j + 1) * (n - 1)) // 60
+                    if b[i0] > b[i1]:
+                        h |= 1 << j
+            out.append((doc_id, n, h,
+                        (h >> 0) & 32767, (h >> 15) & 32767,
+                        (h >> 30) & 32767, (h >> 45) & 32767))
+        yield pd.DataFrame(out, columns=[
+            "doc_id", "n_bytes", "phash", "b0", "b1", "b2", "b3"])
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over the binary payload [EXT] — the image
+    near-dup fingerprint (dHash: compare adjacent downsampled pixels,
+    one gradient bit each). The "pixels" here are 61 stride-sampled
+    payload bytes (the codec stub's stand-in for a decoded thumbnail
+    row); everything downstream — the 60-bit hash, its four 15-bit
+    LSH bands for banded Hamming pairing (the ``simhash_md5_pairs``
+    join idiom) — is the real production shape.
+
+    Fully ORACLED: the kernel is pure integer byte math, so the DuckDB
+    twin recomputes every bit from hex(payload) with the module's
+    byte-decode idiom. Scale: one mapInPandas projection pass, band
+    columns ready for the O(N)-per-band bucket join."""
+    d = table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return media.mapInPandas(
+        _phash_batches,
+        "doc_id long, n_bytes int, phash long, "
+        "b0 int, b1 int, b2 int, b3 int")
+
+
+_PHB = _SQL_BYTE  # byte(i) over hex(payload), 1-based
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH h AS ({_SQL_HEX_CTE}),
+ph AS (
+  SELECT doc_id, CAST(n AS INT) AS n_bytes,
+         CASE WHEN n > 0 THEN
+           CAST(list_reduce(list_transform(range(0, 60), j ->
+             CASE WHEN {_PHB.format(i="1 + (j * (n - 1)) // 60")}
+                       > {_PHB.format(i="1 + ((j + 1) * (n - 1)) // 60")}
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT)
+             END), (a, b) -> a + b) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS phash
+  FROM h
+)
+SELECT doc_id, n_bytes, phash,
+       CAST((phash >> 0) & 32767 AS INT) AS b0,
+       CAST((phash >> 15) & 32767 AS INT) AS b1,
+       CAST((phash >> 30) & 32767 AS INT) AS b2,
+       CAST((phash >> 45) & 32767 AS INT) AS b3
+FROM ph
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "multimodal_phash": multimodal_phash,
     "multimodal_features": multimodal_features,
     "multimodal_arrow_features": multimodal_arrow_features,
     "multimodal_resize": multimodal_resize,
@@ -309,6 +378,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "multimodal_phash": MULTIMODAL_PHASH_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_arrow_features": MULTIMODAL_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,

@@ -1300,3 +1300,28 @@ def test_cv_folds_stable_and_partitioning(spark, sf_dir):
     for r in rows:
         assert r.skew_ppm == abs(r.fold_share_ppm - r.corpus_share_ppm)
         assert r.skew_ppm < 200_000  # hash dealing: no gross imbalance
+
+
+def test_phash_near_dup_property(spark, tmp_path):
+    """dHash locality: identical payloads hash identically; a small
+    local edit moves few of the 60 bits (banded pairing still matches
+    on >= 1 band); unrelated payloads differ in many bits."""
+    from spark_kafka_airflow_pipeline_spark.operators import multimodal
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "hazy")  # one local byte-level edit
+    other = "zyxwvutsrqponmlkjihgfedcba " * 30
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in
+           multimodal.multimodal_phash(spark, str(tmp_path)).collect()}
+    assert got[1].phash == got[2].phash
+    ham_near = bin(got[1].phash ^ got[3].phash).count("1")
+    ham_far = bin(got[1].phash ^ got[4].phash).count("1")
+    assert ham_near <= 12 and ham_far > ham_near
+    bands = lambda r: (r.b0, r.b1, r.b2, r.b3)  # noqa: E731
+    assert any(a == b for a, b in zip(bands(got[1]), bands(got[3])))
+    for r in got.values():
+        assert 0 <= r.phash < (1 << 60)
