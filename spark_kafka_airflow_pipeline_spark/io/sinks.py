@@ -47,14 +47,54 @@ def publish_to_kafka(df: DataFrame, bootstrap_servers: str, topic: str,
      .save())
 
 
+def upsert_sink(df: DataFrame, sink: Sink) -> None:
+    """MERGE/upsert sink [EXT]: the state table at ``<path>/<name>``
+    always holds the CURRENT row per key — per write, union the
+    incoming frame with existing state and keep the per-key argmax of
+    the configured order columns (descending; include a unique
+    tiebreaker). Config surface: ``format: "upsert"`` with options
+    ``keys`` and ``orderBy`` (comma-separated). The argmax rule makes
+    the merge IDEMPOTENT and batch-split-independent, so streaming
+    replays (foreachBatch redelivery after a crash) converge to the
+    same state — the property a CDC sink needs for exactly-once
+    SEMANTICS on at-least-once delivery.
+
+    Read-modify-write: the merged frame localCheckpoints before
+    overwriting its own input dir. On a cluster with a MERGE-capable
+    table format (Iceberg/Delta) this body becomes ``MERGE INTO``;
+    the config contract is unchanged."""
+    from pyspark.sql import Window
+
+    keys = [c.strip() for c in sink.options["keys"].split(",")]
+    order = [c.strip() for c in sink.options["orderBy"].split(",")]
+    spark = df.sparkSession
+    for path in sink.paths:
+        state = f"{path}/{sink.name}"
+        merged = df
+        try:
+            merged = spark.read.parquet(state).unionByName(df)
+        except Exception:  # noqa: BLE001 — first write: no state yet
+            pass
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order])
+        latest = (merged.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn")
+                  .localCheckpoint(eager=True))
+        latest.write.mode("overwrite").parquet(state)
+
+
 def write_sink(df: DataFrame, sink: Sink) -> None:
     """Write a frame to every configured path of a sink.
 
     Path layout is ``<path>/<name>`` exactly like the reference
     (``PipelineProcessor.scala:128``, ``:140``). ``format: "kafka"``
     routes to the Kafka batch sink, with ``paths`` read as
-    ``bootstrap_servers`` and ``name`` as the topic.
+    ``bootstrap_servers`` and ``name`` as the topic; ``format:
+    "upsert"`` routes to the keyed MERGE sink.
     """
+    if sink.format.lower() == "upsert":
+        upsert_sink(df, sink)
+        return
     if sink.format.lower() == "kafka":
         for servers in sink.paths:
             publish_to_kafka(df, servers, sink.name,
@@ -98,7 +138,11 @@ def foreach_batch_sink(df: DataFrame, sink: Sink, checkpoint: str,
     skips everything previously seen (no duplicate appends) — delete
     the checkpoint directory to reprocess from scratch.
     """
-    if sink.saveMode.lower() != "append":
+    if (sink.saveMode.lower() != "append"
+            and sink.format.lower() != "upsert"):
+        # the upsert sink is exempt: each micro-batch MERGES into state
+        # (its overwrite IS the merge), so it is multi-batch-safe by
+        # construction regardless of the declared saveMode
         raise ValueError(
             f"streaming sink {sink.name!r} has saveMode "
             f"{sink.saveMode!r}: foreachBatch re-runs the batch writer "

@@ -989,6 +989,64 @@ GROUP BY 1, 2
 """
 
 
+def metadata_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-UPSERT leg of the config-driven streaming thesis [EXT]:
+    a ``format: "upsert"`` sink (keys + orderBy declared in metadata
+    JSON) fed by a ``streaming: true`` source, run by the standard
+    ``PipelineExecutor.run_dataflow`` — the executor's foreachBatch
+    drain MERGEs every micro-batch into the keyed state table, so
+    after the drain the sink holds exactly the per-user argmax row.
+    Completes the sink-dispatch story (``PipelineProcessor.scala:
+    117-146``) with the warehouse-grade sink the reference lacks.
+
+    Oracle-able because the merge rule is batch-split-independent
+    (same argument as ``streaming_foreachbatch_upsert``): final state
+    == one batch window, whatever the micro-batching was."""
+    ts_expr, out_root = _metadata_stream_env(spark, sf_dir, "upsert")
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+    meta = parse_metadata({"dataflows": [{
+        "name": "stream_upsert",
+        "sources": [
+            {"name": "events", "path": sf_dir, "format": "parquet",
+             "streaming": True,
+             "options": {"pathGlobFilter": "events.parquet"}},
+        ],
+        "transformations": [
+            {"name": "typed", "type": "add_fields", "params": {
+                "input": "events", "addFields": [
+                    {"name": "ts_us", "function":
+                        f"unix_micros({ts_expr})"},
+                    {"name": "cents", "function":
+                        "CAST(floor(value * 100 + 0.5) AS BIGINT)"}]}},
+            {"name": "out", "type": "select", "params": {
+                "input": "typed", "columns": [
+                    "user_id", "event_id", "ts_us", "event_type",
+                    "cents"]}},
+        ],
+        "sinks": [{"input": "out", "name": "state", "paths": [out_root],
+                   "format": "upsert", "saveMode": "append",
+                   "options": {"keys": "user_id",
+                               "orderBy": "ts_us,event_id"}}],
+    }]})
+    state = _exec_metadata_stream(spark, meta, out_root, "state")
+    return state.select(
+        "user_id", F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("event_type").alias("last_type"),
+        F.col("cents").alias("last_cents"))
+
+
+METADATA_UPSERT_SQL = """
+SELECT user_id, event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us, event_type AS last_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str,
                                   _batch_log: list | None = None
                                   ) -> DataFrame:
@@ -1086,6 +1144,7 @@ WHERE rn = 1
 
 QUERIES: dict[str, QueryFn] = {
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
+    "metadata_streaming_upsert": metadata_streaming_upsert,
     "metadata_streaming_tumbling": metadata_streaming_tumbling,
     "metadata_streaming_session": metadata_streaming_session,
     "streaming_window_median": streaming_window_median,
@@ -1114,6 +1173,7 @@ def _py_datasource_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "streaming_foreachbatch_upsert": STREAMING_UPSERT_SQL,
+    "metadata_streaming_upsert": METADATA_UPSERT_SQL,
     "metadata_streaming_tumbling": METADATA_STREAMING_SQL,
     "metadata_streaming_session": METADATA_SESSION_SQL,
     "streaming_python_source": _py_datasource_sql(),

@@ -1325,3 +1325,28 @@ def test_phash_near_dup_property(spark, tmp_path):
     assert any(a == b for a, b in zip(bands(got[1]), bands(got[3])))
     for r in got.values():
         assert 0 <= r.phash < (1 << 60)
+
+
+def test_upsert_sink_batch_merge_and_idempotence(spark, tmp_path):
+    """The batch upsert sink must merge consecutive writes to the
+    per-key argmax, and re-writing the same frame must be a no-op
+    (idempotence — the exactly-once-semantics property)."""
+    from spark_kafka_airflow_pipeline_spark.io.sinks import write_sink
+    from spark_kafka_airflow_pipeline_spark.metadata import Sink
+
+    sink = Sink(input="x", name="st", paths=[str(tmp_path)],
+                format="upsert", saveMode="append",
+                options={"keys": "k", "orderBy": "v,seq"})
+    b1 = spark.createDataFrame(
+        [(1, 10, 1), (2, 5, 2)], "k long, v long, seq long")
+    b2 = spark.createDataFrame(
+        [(1, 7, 3), (3, 9, 4)], "k long, v long, seq long")
+    write_sink(b1, sink)
+    write_sink(b2, sink)
+    got = {r.k: (r.v, r.seq) for r in
+           spark.read.parquet(f"{tmp_path}/st").collect()}
+    assert got == {1: (10, 1), 2: (5, 2), 3: (9, 4)}  # max-v wins
+    write_sink(b2, sink)  # redelivery
+    again = {r.k: (r.v, r.seq) for r in
+             spark.read.parquet(f"{tmp_path}/st").collect()}
+    assert again == got
