@@ -2326,7 +2326,65 @@ CROSS JOIN tot t
 """
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit [EXT] — the privacy/governance gate: group
+    the corpus by a quasi-identifier tuple (lang x source x
+    length-percentile-ish bucket ``n_chars DIV 100``) and report how
+    much of the data sits in re-identifiable equivalence classes.
+    ``k = 1`` rows are unique under the QI and would be released only
+    after generalization/suppression; the banded rollup is the
+    risk-profile summary a privacy review asks for.
+
+    Scale: one groupBy on the QI tuple, then a bounded band rollup;
+    shares ride the DECIMAL ppm armor. Output = 4 fixed bands."""
+    d = table(spark, sf_dir, "documents")
+    qi = d.select("lang", "source",
+                  F.expr("n_chars DIV 100").alias("len_bucket"))
+    groups = (qi.groupBy("lang", "source", "len_bucket")
+              .agg(F.count(F.lit(1)).alias("gsize")))
+    banded = groups.select(
+        F.expr("CASE WHEN gsize = 1 THEN '1_unique' "
+               "WHEN gsize < 5 THEN '2_small(2-4)' "
+               "WHEN gsize < 20 THEN '3_medium(5-19)' "
+               "ELSE '4_anonymous(20+)' END").alias("risk_band"),
+        "gsize")
+    tot = banded.agg(F.sum("gsize").alias("n_total"))
+    return (banded.groupBy("risk_band")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("gsize").alias("n_docs"),
+                 F.min("gsize").alias("min_k"))
+            .crossJoin(F.broadcast(tot))
+            .select("risk_band", "n_groups", "n_docs", "min_k",
+                    F.expr(ppm("n_docs", "n_total")).alias("doc_share_ppm")))
+
+
+K_ANONYMITY_SQL = """
+WITH groups AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket,
+         COUNT(*) AS gsize
+  FROM documents GROUP BY 1, 2, 3
+), banded AS (
+  SELECT CASE WHEN gsize = 1 THEN '1_unique'
+              WHEN gsize < 5 THEN '2_small(2-4)'
+              WHEN gsize < 20 THEN '3_medium(5-19)'
+              ELSE '4_anonymous(20+)' END AS risk_band,
+         gsize
+  FROM groups
+), tot AS (
+  SELECT CAST(SUM(gsize) AS BIGINT) AS n_total FROM banded
+)
+SELECT b.risk_band, COUNT(*) AS n_groups,
+       CAST(SUM(b.gsize) AS BIGINT) AS n_docs,
+       CAST(MIN(b.gsize) AS BIGINT) AS min_k,
+       CAST(SUM(b.gsize) * 1000000 // t.n_total AS BIGINT)
+         AS doc_share_ppm
+FROM banded b CROSS JOIN tot t
+GROUP BY b.risk_band, t.n_total
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "k_anonymity_audit": k_anonymity_audit,
     "cv_fold_balance": cv_fold_balance,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "boilerplate_line_share": boilerplate_line_share,
@@ -2374,6 +2432,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_line_share": BOILERPLATE_SQL,
     "sparse_cosine_pairs": SPARSE_COSINE_SQL,
     "cv_fold_balance": CV_FOLD_SQL,
+    "k_anonymity_audit": K_ANONYMITY_SQL,
     "flesch_reading_ease": FLESCH_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,

@@ -1350,3 +1350,30 @@ def test_upsert_sink_batch_merge_and_idempotence(spark, tmp_path):
     again = {r.k: (r.v, r.seq) for r in
              spark.read.parquet(f"{tmp_path}/st").collect()}
     assert again == got
+
+
+def test_k_anonymity_python_replay(spark, sf_dir):
+    """Band populations must match a Python QI-grouping replay and
+    partition the corpus."""
+    from collections import Counter
+
+    from spark_kafka_airflow_pipeline_spark.operators import textops
+
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("lang", "source", "n_chars").collect())
+    sizes = Counter((r.lang, r.source, r.n_chars // 100) for r in rows)
+
+    def band(g):
+        return ("1_unique" if g == 1 else "2_small(2-4)" if g < 5
+                else "3_medium(5-19)" if g < 20 else "4_anonymous(20+)")
+
+    want = Counter()
+    docs = Counter()
+    for g in sizes.values():
+        want[band(g)] += 1
+        docs[band(g)] += g
+    got = {r.risk_band: r for r in
+           textops.k_anonymity_audit(spark, sf_dir).collect()}
+    assert {b: r.n_groups for b, r in got.items()} == dict(want)
+    assert {b: r.n_docs for b, r in got.items()} == dict(docs)
+    assert sum(r.n_docs for r in got.values()) == len(rows)
