@@ -106,6 +106,7 @@ _R8_EARMARK = (
     "freshness_sla_audit", "sequence_gap_audit",
     "target_encode_loo", "cv_fold_balance", "multimodal_phash",
     "metadata_streaming_upsert", "k_anonymity_audit",
+    "weighted_median_price",
     # r5-cohort tail displaced by round-7 additions
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

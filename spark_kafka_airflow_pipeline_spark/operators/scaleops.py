@@ -1062,7 +1062,59 @@ FROM e
 """
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED order statistics per return flag [EXT]: the
+    quantity-weighted p25/p50/p75 of the unit price — "the price of
+    the median UNIT SHIPPED", not the median line item — via Spark's
+    ``percentile(col, p, frequency)`` aggregate: a mergeable
+    TypedImperativeAggregate, so the weighted quantile runs with full
+    partial aggregation (NO expansion of rows by weight, no window).
+
+    The x2 integer-cents trick keeps every output integral (a
+    median of an even-valued multiset interpolates to at worst .5 of
+    an even number); the oracle EXPANDS each line into ``quantity``
+    unit rows and takes plain medians — semantics stated by
+    construction, engine-exact by the trick."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100
+                 + 0.5).cast("bigint") * 2).alias("c2"),
+        F.col("l_quantity").cast("bigint").alias("w"))
+    return (base.groupBy("l_returnflag")
+            .agg(F.sum("w").alias("units"),
+                 F.percentile(F.col("c2"), F.lit(0.25), F.col("w"))
+                 .cast("bigint").alias("p25_x2"),
+                 F.percentile(F.col("c2"), F.lit(0.5), F.col("w"))
+                 .cast("bigint").alias("p50_x2"),
+                 F.percentile(F.col("c2"), F.lit(0.75), F.col("w"))
+                 .cast("bigint").alias("p75_x2")))
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           * 2 AS c2,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), expanded AS (
+  SELECT l_returnflag, c2
+  FROM base, LATERAL (SELECT unnest(range(CAST(w AS INT))) AS _i) t
+)
+SELECT l_returnflag,
+       (SELECT CAST(SUM(w) AS BIGINT) FROM base b
+        WHERE b.l_returnflag = e.l_returnflag) AS units,
+       CAST(quantile_cont(c2, 0.25) AS BIGINT) AS p25_x2,
+       CAST(quantile_cont(c2, 0.5) AS BIGINT) AS p50_x2,
+       CAST(quantile_cont(c2, 0.75) AS BIGINT) AS p75_x2
+FROM expanded e
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "weighted_median_price": weighted_median_price,
     "sequence_gap_audit": sequence_gap_audit,
     "systematic_sample_every_k": systematic_sample_every_k,
     "parquet_footer_stats": parquet_footer_stats,
@@ -1085,6 +1137,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "systematic_sample_every_k": SYSTEMATIC_SAMPLE_SQL,
     "sequence_gap_audit": SEQUENCE_GAP_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "minmax_skipping_audit": MINMAX_SKIP_SQL,
     "customer_global_rank": CUSTOMER_RANK_SQL,
     "customer_pareto_abc": PARETO_ABC_SQL,

@@ -1377,3 +1377,35 @@ def test_k_anonymity_python_replay(spark, sf_dir):
     assert {b: r.n_groups for b, r in got.items()} == dict(want)
     assert {b: r.n_docs for b, r in got.items()} == dict(docs)
     assert sum(r.n_docs for r in got.values()) == len(rows)
+
+
+def test_weighted_median_equals_expansion(spark, sf_dir):
+    """percentile(col, p, frequency) must equal plain percentiles over
+    the weight-expanded multiset (Python replay)."""
+    import statistics
+
+    rows = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_returnflag", "l_extendedprice", "l_quantity")
+            .collect())
+    expanded = {}
+    weights = {}
+    for r in rows:
+        c2 = int(r.l_extendedprice / r.l_quantity * 100 + 0.5) * 2
+        w = int(r.l_quantity)
+        expanded.setdefault(r.l_returnflag, []).extend([c2] * w)
+        weights[r.l_returnflag] = weights.get(r.l_returnflag, 0) + w
+    got = {r.l_returnflag: r for r in
+           scaleops.weighted_median_price(spark, sf_dir).collect()}
+    for flag, xs in expanded.items():
+        xs.sort()
+        r = got[flag]
+        assert r.units == weights[flag]
+        assert r.p50_x2 == int(statistics.median(xs))
+        # quartiles: linear-interpolation definition both engines use
+        def q(p):
+            n = len(xs)
+            idx = (n - 1) * p
+            lo, hi = int(idx), min(int(idx) + 1, n - 1)
+            return xs[lo] + (idx - lo) * (xs[hi] - xs[lo])
+        assert r.p25_x2 == int(q(0.25))
+        assert r.p75_x2 == int(q(0.75))
