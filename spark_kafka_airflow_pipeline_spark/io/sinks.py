@@ -47,6 +47,22 @@ def publish_to_kafka(df: DataFrame, bootstrap_servers: str, topic: str,
      .save())
 
 
+def state_table_exists(spark, path: str) -> bool:
+    """True iff the upsert state table at ``path`` already exists.
+
+    Explicit Hadoop-FS existence check (works for local/HDFS/object
+    stores) so the merge sinks can distinguish "first write — no state
+    yet" from a genuine read failure (corrupt/partial state after a
+    crash, FS hiccup, permission error).  Only the former may proceed
+    with a state-free merge; every other failure must propagate, or the
+    sink would silently discard all accumulated CDC state — the exact
+    data-loss mode a MERGE sink exists to prevent."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
 def upsert_sink(df: DataFrame, sink: Sink) -> None:
     """MERGE/upsert sink [EXT]: the state table at ``<path>/<name>``
     always holds the CURRENT row per key — per write, union the
@@ -70,11 +86,12 @@ def upsert_sink(df: DataFrame, sink: Sink) -> None:
     spark = df.sparkSession
     for path in sink.paths:
         state = f"{path}/{sink.name}"
-        merged = df
-        try:
+        # Existence-gated, not exception-gated: a corrupt or partially
+        # written state table must FAIL the merge, not be dropped.
+        if state_table_exists(spark, state):
             merged = spark.read.parquet(state).unionByName(df)
-        except Exception:  # noqa: BLE001 — first write: no state yet
-            pass
+        else:  # first write: no state yet
+            merged = df
         w = Window.partitionBy(*keys).orderBy(
             *[F.col(c).desc() for c in order])
         latest = (merged.withColumn("_rn", F.row_number().over(w))

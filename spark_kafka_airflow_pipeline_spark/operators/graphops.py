@@ -374,7 +374,12 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str,
                            F.col("src").alias("nbr")))
            .distinct())
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    wn = (und.join(deg, "node").filter(F.col("deg") <= cap)
+    # deg >= 2 guard: a degree-1 center can never form a wedge, and
+    # its aa_term would divide by ln(1)=0 (Spark Infinity vs DuckDB
+    # NULL under the cast) — filter it out so the invariant is explicit
+    # rather than relying on the wedge join never reaching the value.
+    wn = (und.join(deg, "node")
+          .filter((F.col("deg") >= 2) & (F.col("deg") <= cap))
           .select("node", "nbr",
                   F.expr("CAST(floor(1000000.0 /"
                          " round(ln(CAST(deg AS DOUBLE)), 6) + 0.5)"
@@ -416,7 +421,7 @@ und AS (
          CAST(floor(1000000.0 / round(ln(CAST(d.deg AS DOUBLE)), 6)
                     + 0.5) AS BIGINT) AS aa_term
   FROM und u JOIN deg d ON u.node = d.node
-  WHERE d.deg <= {WEDGE_CAP}
+  WHERE d.deg >= 2 AND d.deg <= {WEDGE_CAP}
 ), cand AS (
   SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS n_common,
          CAST(SUM(a.aa_term) AS BIGINT) AS aa_micro

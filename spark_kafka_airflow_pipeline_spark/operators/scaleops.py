@@ -1070,11 +1070,12 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     TypedImperativeAggregate, so the weighted quantile runs with full
     partial aggregation (NO expansion of rows by weight, no window).
 
-    The x2 integer-cents trick keeps every output integral (a
-    median of an even-valued multiset interpolates to at worst .5 of
-    an even number); the oracle EXPANDS each line into ``quantity``
-    unit rows and takes plain medians — semantics stated by
-    construction, engine-exact by the trick."""
+    The x2 integer-cents trick keeps the MEDIAN integral, but p25/p75
+    interpolate at fraction .25/.75 and can land on x.5 — where Spark's
+    BIGINT cast truncates while DuckDB's rounds half-to-even.  Both
+    sides therefore take an explicit floor() (engine-identical) before
+    the cast.  The oracle EXPANDS each line into ``quantity`` unit rows
+    and takes plain quantiles — semantics stated by construction."""
     li = table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
@@ -1083,11 +1084,11 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("w"))
     return (base.groupBy("l_returnflag")
             .agg(F.sum("w").alias("units"),
-                 F.percentile(F.col("c2"), F.lit(0.25), F.col("w"))
+                 F.floor(F.percentile(F.col("c2"), F.lit(0.25), F.col("w")))
                  .cast("bigint").alias("p25_x2"),
-                 F.percentile(F.col("c2"), F.lit(0.5), F.col("w"))
+                 F.floor(F.percentile(F.col("c2"), F.lit(0.5), F.col("w")))
                  .cast("bigint").alias("p50_x2"),
-                 F.percentile(F.col("c2"), F.lit(0.75), F.col("w"))
+                 F.floor(F.percentile(F.col("c2"), F.lit(0.75), F.col("w")))
                  .cast("bigint").alias("p75_x2")))
 
 
@@ -1105,9 +1106,9 @@ WITH base AS (
 SELECT l_returnflag,
        (SELECT CAST(SUM(w) AS BIGINT) FROM base b
         WHERE b.l_returnflag = e.l_returnflag) AS units,
-       CAST(quantile_cont(c2, 0.25) AS BIGINT) AS p25_x2,
-       CAST(quantile_cont(c2, 0.5) AS BIGINT) AS p50_x2,
-       CAST(quantile_cont(c2, 0.75) AS BIGINT) AS p75_x2
+       CAST(floor(quantile_cont(c2, 0.25)) AS BIGINT) AS p25_x2,
+       CAST(floor(quantile_cont(c2, 0.5)) AS BIGINT) AS p50_x2,
+       CAST(floor(quantile_cont(c2, 0.75)) AS BIGINT) AS p75_x2
 FROM expanded e
 GROUP BY l_returnflag
 """

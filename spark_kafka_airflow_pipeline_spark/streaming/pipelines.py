@@ -1083,13 +1083,17 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str,
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if _batch_log is not None:
             _batch_log.append(batch_id)
+        from spark_kafka_airflow_pipeline_spark.io.sinks import (
+            state_table_exists,
+        )
+
         b = batch_df.sparkSession
-        new = batch_df
-        try:
-            cur = b.read.parquet(state_dir)
-            new = cur.unionByName(new)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            pass
+        # Existence-gated, not exception-gated (see state_table_exists):
+        # a real read failure must propagate, not silently drop state.
+        if state_table_exists(b, state_dir):
+            new = b.read.parquet(state_dir).unionByName(batch_df)
+        else:  # first batch: no state yet
+            new = batch_df
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc())
         latest = (new.withColumn("_rn", F.row_number().over(w))
