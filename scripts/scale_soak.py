@@ -26,6 +26,7 @@ from spark_kafka_airflow_pipeline_spark.operators import (
     dedup,
     events,
     graphops,
+    multimodal,
     relational_extra,
     scaleops,
     similarity,
@@ -186,6 +187,16 @@ OPS = {
     "sparse_cosine_pairs": textops.sparse_cosine_pairs,
     "golden_record_merge": dedup.golden_record_merge,
     "incremental_ivf_assign": similarity.incremental_ivf_assign,
+    # final late-r7 cohort (VERDICT r7 ask #4 — completes the r7 surface)
+    "multimodal_phash": multimodal.multimodal_phash,
+    "k_anonymity_audit": textops.k_anonymity_audit,
+    "weighted_median_price": scaleops.weighted_median_price,
+    "sequence_gap_audit": scaleops.sequence_gap_audit,
+    "target_encode_loo": events.target_encode_loo,
+    "cv_fold_balance": textops.cv_fold_balance,
+    "holt_forecast_monthly": relational_extra.holt_forecast_monthly,
+    "freshness_sla_audit": events.freshness_sla_audit,
+    "systematic_sample_every_k": scaleops.systematic_sample_every_k,
 }
 
 

@@ -947,9 +947,14 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str,
     est_lower <= true`` — asserted against exact counts in
     tests/test_corpusops.py.
 
-    Rows-only (the estimate depends on the partition split, which has
-    no DuckDB twin); the EXACT counterpart ``word_freq_topk`` is the
-    oracled query this sketch trades accuracy against.
+    Oracle (exactness regime): when the number of distinct terms never
+    exceeds ``k``, no decrement ever fires, so every counter is EXACT,
+    ``est_lower`` equals the true count and ``err_bound`` is 0 —
+    deterministically, independent of the partition split.  This
+    corpus has 31 distinct words < k=64 at every SF, so the DuckDB
+    twin asserts exact top-k word counts with err_bound 0.  The lossy
+    regime (distinct > k) has no SQL twin; its lower-bound guarantee
+    is property-tested in tests/test_corpusops.py instead.
     """
     import pandas as pd
     from pyspark import TaskContext
@@ -1415,7 +1420,178 @@ SELECT term, exact, cms_est, cms_est - exact AS overest FROM est
 """
 
 
+def _word_trigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, term) word-trigram explosion — the shared sparse-space
+    idiom (single words are all stopword-grade in this corpus: 31
+    distinct at every SF; trigrams give 27k distinct at sf0.1).  Docs
+    of <= 3 words contribute their whole text as the single term, so
+    every doc has >= 1 term and shares are always well-defined."""
+    return (d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"))
+        .select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(t) <= 3 THEN array(array_join(t, ' ')) "
+            "ELSE transform(sequence(0, size(t) - 3), "
+            "i -> array_join(slice(t, i + 1, 3), ' ')) END")).alias("term")))
+
+
+_TRIGRAM_SQL = """
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                END) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+"""
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str,
+                              modulus: int = 97,
+                              threshold_ppm: int = 500_000) -> DataFrame:
+    """Benchmark DECONTAMINATION audit [EXT] — the step every serious
+    training-data pipeline runs before a model ships: given a held-out
+    benchmark set (here the deterministic ~1% sample ``doc_id %
+    modulus == 0`` — a stand-in for MMLU/GSM8K-style eval files), find
+    training docs whose word-trigram overlap with ANY benchmark
+    n-gram exceeds a share threshold, and report the contamination
+    rate per source.  N-gram-overlap decontamination is the published
+    method (GPT-3 appendix C / Llama eval-decontamination); trigrams
+    play the role of the 8-13-gram windows real pipelines use because
+    this corpus' docs are sentence-sized.
+
+    Scale: the benchmark n-gram set scales with the benchmark (~1% of
+    corpus), so it is deduplicated and SHUFFLE-joined on the term key
+    — never broadcast, never doc x doc.  Per-doc shares are one
+    groupBy; the rollup is bounded by |sources|.  At 100 TB this is
+    two shuffles on a term key whose cardinality the df distribution
+    bounds."""
+    d = table(spark, sf_dir, "documents")
+    terms = _word_trigrams(d).distinct()
+    # benchmark membership is a pure doc_id predicate — filter, never
+    # a join (the benchmark is ~1% of the CORPUS, so it scales with
+    # data and must not be broadcast)
+    bench_terms = (terms.filter(F.col("doc_id") % modulus == 0)
+                   .select("term").distinct())
+    train = (terms.filter(F.col("doc_id") % modulus != 0)
+             .join(d.select("doc_id", "source"), "doc_id"))
+    hits = (train.join(bench_terms.withColumn("hit", F.lit(1)),
+                       "term", "left")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits")))
+    scored = hits.select(
+        "doc_id", "source",
+        F.expr(ppm("n_hits", "n_terms")).alias("share_ppm"))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs_checked"),
+                 F.sum(F.when(F.col("share_ppm") >= threshold_ppm, 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_contaminated"),
+                 F.max("share_ppm").alias("max_share_ppm"),
+                 (F.sum("share_ppm").cast("bigint")
+                  / F.count(F.lit(1))).cast("bigint")
+                 .alias("avg_share_ppm"))
+            .orderBy("source"))
+
+
+BENCHMARK_DECONTAMINATION_SQL = f"""
+WITH toks AS ({_TRIGRAM_SQL}),
+terms AS (SELECT DISTINCT doc_id, term FROM toks),
+bench_terms AS (
+  SELECT DISTINCT term FROM terms WHERE doc_id % 97 = 0
+), train AS (
+  SELECT t.doc_id, d.source, t.term
+  FROM terms t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE t.doc_id % 97 != 0
+), hits AS (
+  SELECT doc_id, source, COUNT(*) AS n_terms,
+         SUM(CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM train LEFT JOIN bench_terms b USING (term)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_id, source,
+         CAST(n_hits * 1000000 // n_terms AS BIGINT) AS share_ppm
+  FROM hits
+)
+SELECT source, COUNT(*) AS n_docs_checked,
+       CAST(SUM(CASE WHEN share_ppm >= 500000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm,
+       CAST(CAST(SUM(share_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS avg_share_ppm
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY attribution [EXT]: for each doc, the share of
+    its distinct word trigrams whose FIRST corpus occurrence (minimum
+    doc_id — ingestion order) is that doc — the "how much genuinely
+    new text does each source contribute" metric that complements
+    dedup (dedup asks "is this a copy"; novelty asks "who wrote it
+    first").  Rolled up per source: mean novelty share and the count
+    of fully-novel docs.
+
+    Scale: one groupBy per term for the first-occurrence table, one
+    term-keyed shuffle join back, one per-doc groupBy, bounded
+    rollup.  No self-join, no window."""
+    d = table(spark, sf_dir, "documents")
+    terms = _word_trigrams(d).distinct()
+    first = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (terms.join(first, "term")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_terms"),
+                    F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1)
+                          .otherwise(0)).alias("n_first")))
+    scored = (per_doc
+              .join(d.select("doc_id", "source"), "doc_id")
+              .select("source",
+                      F.expr(ppm("n_first", "n_terms")).alias("novel_ppm")))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum("novel_ppm").cast("bigint")
+                  / F.count(F.lit(1))).cast("bigint")
+                 .alias("avg_novel_ppm"),
+                 F.sum(F.when(F.col("novel_ppm") == 1_000_000, 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_fully_novel"))
+            .orderBy("source"))
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH toks AS ({_TRIGRAM_SQL}),
+terms AS (SELECT DISTINCT doc_id, term FROM toks),
+first AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM terms GROUP BY term
+), per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_terms,
+         SUM(CASE WHEN t.doc_id = f.first_doc THEN 1 ELSE 0 END)
+           AS n_first
+  FROM terms t JOIN first f USING (term)
+  GROUP BY t.doc_id
+), scored AS (
+  SELECT d.source,
+         CAST(p.n_first * 1000000 // p.n_terms AS BIGINT) AS novel_ppm
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(CAST(SUM(novel_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS avg_novel_ppm,
+       CAST(SUM(CASE WHEN novel_ppm = 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fully_novel
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "benchmark_decontamination": benchmark_decontamination,
+    "ngram_novelty_score": ngram_novelty_score,
     "kmv_source_overlap": kmv_source_overlap,
     "cms_heavy_hitters": cms_heavy_hitters,
     "rendezvous_shard_plan": rendezvous_shard_plan,
@@ -1436,7 +1612,31 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_principal_component": embedding_principal_component,
 }
 
+#: Valid in the exactness regime only (distinct terms <= k, true for
+#: this corpus at every SF — 31 words < 64 counters): MG never
+#: decrements, so est_lower is the exact count and err_bound is 0.
+MISRA_GRIES_SQL = """
+WITH counts AS (
+  SELECT word AS term, COUNT(*) AS est_lower
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+          AS word
+        FROM documents)
+  WHERE word != ''
+  GROUP BY word
+)
+SELECT CAST(rn AS INT) AS rank, term,
+       CAST(est_lower AS BIGINT) AS est_lower,
+       CAST(0 AS BIGINT) AS err_bound
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY est_lower DESC, term) AS rn
+      FROM counts)
+WHERE rn <= 10
+"""
+
+
 ORACLES: dict[str, str] = {
+    "benchmark_decontamination": BENCHMARK_DECONTAMINATION_SQL,
+    "ngram_novelty_score": NGRAM_NOVELTY_SQL,
+    "misra_gries_topk": MISRA_GRIES_SQL,
     "kmv_source_overlap": _kmv_overlap_sql(),
     "cms_heavy_hitters": _cms_sql(),
     "rendezvous_shard_plan": RENDEZVOUS_SHARD_SQL,

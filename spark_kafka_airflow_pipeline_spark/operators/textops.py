@@ -2383,7 +2383,101 @@ GROUP BY b.risk_band, t.n_total
 """
 
 
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model QUALITY score [EXT] — the KenLM-style
+    perplexity filter every web-scale corpus pipeline runs (CCNet,
+    RefinedWeb, FineWeb), reduced to its unigram core so the whole
+    model is one aggregation: train p(w) = c(w)/total on the corpus
+    itself, then score each doc by its mean negative log-likelihood
+    per token (low = stereotypical text, high = rare-word-heavy).
+    Rolled up per (lang, source): mean NLL and the count of docs in
+    the worst tail (avg NLL > 1.25x corpus mean) — the candidates a
+    perplexity filter would drop.
+
+    Determinism: per-WORD nll is ln(total/c) rounded to 6dp then
+    floored to integer MICROS before any per-doc sum (the bm25 ln
+    idiom); per-doc mean is integer division; the corpus-mean
+    comparison stays in integer micros.
+
+    Scale: vocab-sized model table (31 words here; <<10M for real
+    corpora) built by one groupBy and joined back on the word key —
+    partial aggregation everywhere, no window, no driver loop."""
+    d = table(spark, sf_dir, "documents")
+    words = (d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("word"))
+        .filter(F.col("word") != ""))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    model = (vocab.crossJoin(F.broadcast(total))
+             .select("word", F.expr(
+                 "CAST(floor(round(ln(CAST(total AS DOUBLE) / c), 6)"
+                 " * 1000000 + 0.5) AS BIGINT)").alias("nll_micros")))
+    per_doc = (words.join(model, "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("nll_micros").alias("sum_nll")))
+    scored = (per_doc
+              .select("doc_id", "n_tokens",
+                      F.expr("sum_nll DIV n_tokens").alias("avg_nll_micros"))
+              .join(d.select("doc_id", "lang", "source"), "doc_id"))
+    corpus_mean = scored.agg(
+        F.expr("CAST(sum(avg_nll_micros) AS BIGINT) DIV count(*)")
+        .alias("corpus_mean"))
+    return (scored.crossJoin(F.broadcast(corpus_mean))
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("CAST(sum(avg_nll_micros) AS BIGINT) DIV count(*)")
+                 .alias("mean_nll_micros"),
+                 F.sum(F.when(F.col("avg_nll_micros") * 4
+                              > F.col("corpus_mean") * 5, 1).otherwise(0))
+                 .cast("bigint").alias("n_tail_docs"))
+            .orderBy("lang", "source"))
+
+
+UNIGRAM_LM_SQL = """
+WITH words AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 AS word
+        FROM documents)
+  WHERE word != ''
+), vocab AS (
+  SELECT word, COUNT(*) AS c FROM words GROUP BY word
+), total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+model AS (
+  SELECT word,
+         CAST(floor(round(ln(CAST(total AS DOUBLE) / c), 6)
+                    * 1000000 + 0.5) AS BIGINT) AS nll_micros
+  FROM vocab CROSS JOIN total
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(nll_micros) AS BIGINT) AS sum_nll
+  FROM words JOIN model USING (word)
+  GROUP BY doc_id
+), scored AS (
+  SELECT p.doc_id, p.n_tokens, p.sum_nll // p.n_tokens AS avg_nll_micros,
+         d.lang, d.source
+  FROM per_doc p JOIN documents d USING (doc_id)
+), corpus_mean AS (
+  SELECT CAST(SUM(avg_nll_micros) AS BIGINT) // COUNT(*) AS corpus_mean
+  FROM scored
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(CAST(SUM(avg_nll_micros) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS mean_nll_micros,
+       CAST(SUM(CASE WHEN avg_nll_micros * 4 > corpus_mean * 5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_docs
+FROM scored CROSS JOIN corpus_mean
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "unigram_lm_quality": unigram_lm_quality,
     "k_anonymity_audit": k_anonymity_audit,
     "cv_fold_balance": cv_fold_balance,
     "sparse_cosine_pairs": sparse_cosine_pairs,
@@ -2429,6 +2523,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "unigram_lm_quality": UNIGRAM_LM_SQL,
     "boilerplate_line_share": BOILERPLATE_SQL,
     "sparse_cosine_pairs": SPARSE_COSINE_SQL,
     "cv_fold_balance": CV_FOLD_SQL,

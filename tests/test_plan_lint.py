@@ -124,3 +124,40 @@ def test_filtered_but_unbounded_broadcast_still_flags(spark, sf_dir):
     flags = ep.hard_broadcast_hints_on_scaling_tables(bad)
     assert any(f.startswith("!! hard broadcast hint over orders")
                for f in flags), flags
+
+
+def _load_plan_sweep():
+    """Import the mechanized all-queries sweep (VERDICT r7 ask #2)."""
+    import sys as _sys
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    if scripts not in _sys.path:
+        _sys.path.insert(0, scripts)
+    spec = importlib.util.spec_from_file_location(
+        "plan_sweep", Path(scripts) / "plan_sweep.py")
+    ps = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ps)
+    return ps
+
+
+def test_sweep_flags_injected_global_ntile(spark, sf_dir):
+    """The mechanized sweep must catch the exact r6 RFM scale-killer if
+    it were ever (re)introduced as a queries() entry: a global ntile
+    over a customer-sized frame with no partition spec."""
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as F
+
+    ps = _load_plan_sweep()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = (o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("m"))
+           .withColumn("tile", F.ntile(4).over(Wn.orderBy("m"))))
+    hard = ps.flags_for(bad, "injected_global_ntile_fixture")
+    assert any("un-partitioned window" in f for f in hard), hard
+
+
+def test_sweep_passes_descale_killed_rfm(spark, sf_dir):
+    """...and the fixed two-phase-ranking RFM passes the same filter."""
+    import __spark_entry__ as entry_mod
+
+    ps = _load_plan_sweep()
+    df = entry_mod.queries()["customer_rfm_segments"](spark, sf_dir)
+    assert ps.flags_for(df, "customer_rfm_segments") == []

@@ -26,9 +26,9 @@ def test_window_priority_bookkeeping():
     names = list(qs)
     assert len(entry_mod._WINDOW_PRIORITY) == 50
     assert set(entry_mod._WINDOW_PRIORITY) == set(names[:50])
-    unknown = [n for n in entry_mod._R8_EARMARK if n not in qs]
+    unknown = [n for n in entry_mod._R9_EARMARK if n not in qs]
     assert not unknown, unknown
-    overlap = set(entry_mod._R8_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
+    overlap = set(entry_mod._R9_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
     assert not overlap, overlap
 
 
