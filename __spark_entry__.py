@@ -69,6 +69,13 @@ _WINDOW_PRIORITY = (
     "weighted_median_price", "link_prediction_jaccard",
     "metadata_streaming_upsert", "streaming_foreachbatch_upsert",
     "misra_gries_topk",
+    # -- 1b. new in round 8 (first driver verification) --------------
+    "benchmark_decontamination", "ngram_novelty_score",
+    "unigram_lm_quality", "brand_price_size_regression",
+    "pareto_frontier_parts", "orders_peak_concurrency",
+    "retention_triangle", "selfjoin_cardinality_planner",
+    "metadata_streaming_sliding", "rrf_hybrid_retrieval",
+    "sorted_neighborhood_pairs",
     # -- 2. never driver-checked (late-round-7 cohort) --------------
     "metadata_streaming_session", "funnel_time_to_convert",
     "cohort_ltv_curve", "flesch_reading_ease", "event_cooccurrence_pmi",
@@ -89,12 +96,6 @@ _WINDOW_PRIORITY = (
     "customers_without_urgent_orders", "part_scalar_functions",
     "q12_late_priority_counts", "segment_distinct_stats",
     "nations_with_both_roles",
-    "q5_revenue_by_nation", "q3_shipping_priority",
-    "q6_forecast_revenue", "latest3_orders_per_customer",
-    "customer_running_total", "rollup_lineitem_flags",
-    "customers_with_urgent_orders", "top10_customers_by_revenue",
-    "cube_order_status_priority", "approx_distinct_customers",
-    "asof_last_click_before_purchase",
 )
 
 # ROUND-9 WINDOW PLAN (refresh SLA: no green older than 6 rounds): the
@@ -104,6 +105,16 @@ _WINDOW_PRIORITY = (
 # (embedding_principal_component is EXEMPT — pinned-once rows-only row,
 # see _WINDOW_PRIORITY note.)
 _R9_EARMARK = (
+    # new in late round 8, window already full — FIRST driver check in
+    # r9 (both locally 3-SF green; simple mergeable-aggregate shapes)
+    "replication_checksum_audit", "winsorized_price_stats",
+    # r5-cohort stale-refresh names displaced by the round-8-new ops
+    "q5_revenue_by_nation", "q3_shipping_priority",
+    "q6_forecast_revenue", "latest3_orders_per_customer",
+    "customer_running_total", "rollup_lineitem_flags",
+    "customers_with_urgent_orders", "top10_customers_by_revenue",
+    "cube_order_status_priority", "approx_distinct_customers",
+    "asof_last_click_before_purchase",
     # r5-cohort tail displaced by round-8 stale-refresh slots
     "customer_first_last_orders", "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",

@@ -113,6 +113,17 @@ def build_dims(spark, n: int, out: Path) -> None:
     for tname in ("nation", "region", "supplier"):
         (spark.read.parquet(f"{BASE}/{tname}.parquet")
          .write.mode("overwrite").parquet(str(out / f"{tname}.parquet")))
+    # part scales with SF in TPC-H — replicate with shifted keys (the
+    # per-brand regression / skyline ops soak on it)
+    p = spark.read.parquet(f"{BASE}/part.parquet")
+    pmax = p.agg(F.max("p_partkey")).collect()[0][0] + 1
+    pcopies = [p.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * pmax))
+               for i in range(n)]
+    allp = pcopies[0]
+    for pc in pcopies[1:]:
+        allp = allp.unionByName(pc)
+    allp.repartition(8).write.mode("overwrite") \
+        .parquet(str(out / "part.parquet"))
 
 
 OPS = {
@@ -197,6 +208,15 @@ OPS = {
     "holt_forecast_monthly": relational_extra.holt_forecast_monthly,
     "freshness_sla_audit": events.freshness_sla_audit,
     "systematic_sample_every_k": scaleops.systematic_sample_every_k,
+    # round-8 additions
+    "benchmark_decontamination": corpusops.benchmark_decontamination,
+    "ngram_novelty_score": corpusops.ngram_novelty_score,
+    "unigram_lm_quality": textops.unigram_lm_quality,
+    "selfjoin_cardinality_planner": scaleops.selfjoin_cardinality_planner,
+    "brand_price_size_regression":
+        relational_extra.brand_price_size_regression,
+    "pareto_frontier_parts": relational_extra.pareto_frontier_parts,
+    "orders_peak_concurrency": relational_extra.orders_peak_concurrency,
 }
 
 
@@ -238,6 +258,8 @@ EVENT_OPS = {
     "session_dwell_bounce": events.session_dwell_bounce,
     "seasonal_adjusted_anomalies": events.seasonal_adjusted_anomalies,
     "watermark_delay_planner": events.watermark_delay_planner,
+    # round-8 additions
+    "retention_triangle": events.retention_triangle,
 }
 
 
@@ -251,7 +273,7 @@ def main() -> None:
         build_relational(spark, n, out)
     if not (out / "events.parquet").exists():
         build_events(spark, n, out)
-    if not (out / "customer.parquet").exists():
+    if not (out / "part.parquet").exists():
         build_dims(spark, n, out)
 
     result: dict[str, dict[str, float]] = {}

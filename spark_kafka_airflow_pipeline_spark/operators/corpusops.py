@@ -1459,7 +1459,12 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str,
     rate per source.  N-gram-overlap decontamination is the published
     method (GPT-3 appendix C / Llama eval-decontamination); trigrams
     play the role of the 8-13-gram windows real pipelines use because
-    this corpus' docs are sentence-sized.
+    this corpus' docs are sentence-sized.  Distinct from
+    ``textops.decontamination_ngram_overlap`` (the per-doc HIT LIST:
+    which train docs share any 8-gram, with how many eval docs): this
+    is the GPT-3-style "dirtiness" SHARE — what fraction of the doc's
+    own n-grams is benchmark-tainted — thresholded into a per-source
+    contamination RATE, the number a data card reports.
 
     Scale: the benchmark n-gram set scales with the benchmark (~1% of
     corpus), so it is deduplicated and SHUFFLE-joined on the term key

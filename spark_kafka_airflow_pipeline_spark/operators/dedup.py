@@ -1643,7 +1643,119 @@ WHERE a.n_members >= 2
 """
 
 
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str,
+                              w: int = 3,
+                              min_jaccard_ppm: int = 200_000) -> DataFrame:
+    """SORTED-NEIGHBORHOOD METHOD blocking [EXT] (Hernández & Stolfo,
+    SIGMOD'95) — the third classic dedup blocking family beside
+    hash-banding (MinHash-LSH) and prefix blocking: sort the corpus by
+    a blocking key (here the normalized text itself, so near-dup
+    prefixes land adjacent), then compare each record only with its
+    ``w`` nearest neighbors in sort order.  Pairs are verified by
+    exact word-trigram Jaccard and kept above ``min_jaccard_ppm``.
+
+    Scale: the global sort rank comes from
+    ``scaleops.global_row_number`` (two-phase range-partition ranking
+    — NO un-partitioned window), and the neighbor join is an
+    EQUI-join on ``rn + k`` for literal k=1..w (an explode of w rows
+    per doc, never an inequality join), so the candidate set is
+    exactly n*w — the linear-candidate guarantee that makes SNM a
+    100 TB method.  Verification joins are term-keyed like every
+    pair family here."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_row_number,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id",
+                     F.lower(F.trim(F.col("text"))).alias("key"))
+    ranked = global_row_number(keyed, "key", "doc_id", out="rn") \
+        .select("doc_id", "rn")
+    offsets = F.explode(F.array(*[F.lit(k) for k in range(1, w + 1)]))
+    a = ranked.select(F.col("doc_id").alias("doc_a"),
+                      F.col("rn").alias("rn_a"),
+                      offsets.alias("k"))
+    b = ranked.select(F.col("doc_id").alias("doc_b"),
+                      F.col("rn").alias("rn_b"))
+    cand = (a.join(b, F.col("rn_b") == F.col("rn_a") + F.col("k"))
+            .select("doc_a", "doc_b",
+                    F.col("k").cast("int").alias("rank_gap")))
+
+    toks = (d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"))
+        .select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(t) <= 3 THEN array(array_join(t, ' ')) "
+            "ELSE transform(sequence(0, size(t) - 3), "
+            "i -> array_join(slice(t, i + 1, 3), ' ')) END")).alias("term"))
+        .distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = toks.select(F.col("doc_id").alias("tb_doc"),
+                     F.col("term").alias("term_b"))
+    inter = (cand.join(ta, "doc_a")
+             .join(tb, (F.col("doc_b") == F.col("tb_doc"))
+                   & (F.col("term") == F.col("term_b")))
+             .groupBy("doc_a", "doc_b", "rank_gap")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("sz", "sz_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("sz", "sz_b"), "doc_b")
+            .select("doc_a", "doc_b", "rank_gap", "inter",
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                    .alias("union_sz"),
+                    F.expr("CAST(inter * 1000000 DIV"
+                           " (sz_a + sz_b - inter) AS BIGINT)")
+                    .alias("jaccard_ppm"))
+            .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+            .orderBy("doc_a", "doc_b"))
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lower(trim(text)) AS key FROM documents
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY key, doc_id) AS rn
+  FROM keyed
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(b.rn - a.rn AS INT) AS rank_gap
+  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 3
+), toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                END) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, c.rank_gap, COUNT(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2, 3
+)
+SELECT i.doc_a, i.doc_b, i.rank_gap, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz,
+       CAST(i.inter * 1000000 // (sa.sz + sb.sz - i.inter) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 1000000 // (sa.sz + sb.sz - i.inter) >= 200000
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "golden_record_merge": golden_record_merge,
     "containment_md5_pairs": containment_md5_pairs,
     "lsh_parameter_planner": lsh_parameter_planner,
@@ -1670,6 +1782,7 @@ QUERIES: dict[str, QueryFn] = {
 # rows-only entries (murmur3 minhash/simhash/ngram) intentionally
 # absent here; minhash_md5_pairs is the oracled algorithm proof
 ORACLES: dict[str, str] = {
+    "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
     "containment_md5_pairs": CONTAINMENT_MD5_SQL,
     "golden_record_merge": GOLDEN_RECORD_SQL,
     "lsh_parameter_planner": LSH_PLANNER_SQL,

@@ -2189,7 +2189,77 @@ GROUP BY 1
 """
 
 
+def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort RETENTION TRIANGLE [EXT] — the month-over-month grid
+    every growth dashboard starts from: users are cohorted by their
+    FIRST active month; cell (cohort, k) counts how many of them were
+    active again k months later, with retention in ppm of cohort
+    size.  Complements ``cohort_ltv_curve`` (value accumulation) with
+    the presence/absence grid.  Distinct from
+    ``events_retention_cohorts`` (day-grain, offsets clamped into a
+    7+ bucket, raw counts): this is the MONTH-grain triangle with
+    UNCLAMPED offsets and size-normalized ``retained_ppm`` — the form
+    a retention curve is actually read from.
+
+    Month arithmetic is integer (year*12+month), so offsets are exact
+    in both engines; cohort labels are min'd as 'yyyy-MM' strings
+    (lexicographic == chronological for this format).
+
+    Scale: distinct (user, month) first — one shuffle on user_id for
+    the per-user min — then a user-keyed join back and a bounded
+    (cohort x offset) aggregate. No window at all."""
+    e = table(spark, sf_dir, "events")
+    um = (e.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts")).alias("midx"),
+        F.date_format("ts", "yyyy-MM").alias("mlabel"))
+        .distinct())
+    cohort = um.groupBy("user_id").agg(
+        F.min("midx").alias("cidx"), F.min("mlabel").alias("cohort_month"))
+    cells = (um.join(cohort, "user_id")
+             .groupBy("cohort_month", "cidx",
+                      (F.col("midx") - F.col("cidx")).alias("offset_months"))
+             .agg(F.countDistinct("user_id").alias("active_users")))
+    sizes = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (cells.join(sizes, "cohort_month")
+            .select("cohort_month",
+                    F.col("offset_months").cast("int").alias("offset_months"),
+                    "cohort_size", "active_users",
+                    F.expr(ppm("active_users", "cohort_size"))
+                    .alias("retained_ppm"))
+            .orderBy("cohort_month", "offset_months"))
+
+
+RETENTION_TRIANGLE_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         year(ts) * 12 + month(ts) AS midx,
+         strftime(ts, '%Y-%m') AS mlabel
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(midx) AS cidx, MIN(mlabel) AS cohort_month
+  FROM um GROUP BY user_id
+), cells AS (
+  SELECT c.cohort_month, u.midx - c.cidx AS offset_months,
+         COUNT(DISTINCT u.user_id) AS active_users
+  FROM um u JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_month, COUNT(*) AS cohort_size
+  FROM cohort GROUP BY cohort_month
+)
+SELECT c.cohort_month, CAST(c.offset_months AS INT) AS offset_months,
+       s.cohort_size, c.active_users,
+       CAST(c.active_users * 1000000 // s.cohort_size AS BIGINT)
+         AS retained_ppm
+FROM cells c JOIN sizes s USING (cohort_month)
+ORDER BY cohort_month, offset_months
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "retention_triangle": retention_triangle,
     "dau_wau_stickiness": dau_wau_stickiness,
     "attribution_last_touch": attribution_last_touch,
     "theil_sen_trend": theil_sen_trend,
@@ -2231,6 +2301,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "retention_triangle": RETENTION_TRIANGLE_SQL,
     "dau_wau_stickiness": DAU_WAU_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
     "theil_sen_trend": THEIL_SEN_SQL,

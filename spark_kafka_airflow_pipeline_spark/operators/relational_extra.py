@@ -345,6 +345,75 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED robust mean per return flag [EXT]: unit prices are
+    clamped to their group's [p5, p95] before averaging — the standard
+    outlier-robust estimator between the raw mean (outlier-dragged)
+    and the median (discards 98% of the information).  Two passes:
+    (1) exact percentile bounds per group — at 100 TB the
+    ``percentile_approx`` sketch replaces this pass, same topology;
+    (2) clamp + mean, a plain partial-aggregating groupBy.
+
+    Determinism: prices in DOUBLED integer cents (the x2 trick) with
+    an explicit floor() before the BIGINT cast on both engines (the
+    ``weighted_median_price`` cast rule: Spark truncates, DuckDB
+    rounds half-to-even — floor is engine-identical); the clamped sum
+    is a BIGINT reduction; the means are single divisions rounded to
+    6dp.  Bounds join back as a bounded broadcast (one row per
+    flag)."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100
+                 + 0.5).cast("bigint") * 2).alias("c2"))
+    bounds = base.groupBy("l_returnflag").agg(
+        F.floor(F.expr("percentile(c2, 0.05)")).cast("bigint").alias("lo_x2"),
+        F.floor(F.expr("percentile(c2, 0.95)")).cast("bigint").alias("hi_x2"))
+    w = F.least(F.greatest(F.col("c2"), F.col("lo_x2")), F.col("hi_x2"))
+    return (base.join(F.broadcast(bounds), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("lo_x2").alias("lo_x2"),
+                 F.first("hi_x2").alias("hi_x2"),
+                 F.sum(F.when(F.col("c2") < F.col("lo_x2"), 1).otherwise(0))
+                 .cast("bigint").alias("n_clamped_lo"),
+                 F.sum(F.when(F.col("c2") > F.col("hi_x2"), 1).otherwise(0))
+                 .cast("bigint").alias("n_clamped_hi"),
+                 F.round(F.sum(w) / F.count(F.lit(1)), 6)
+                 .alias("win_mean_x2"),
+                 F.round(F.sum("c2") / F.count(F.lit(1)), 6)
+                 .alias("raw_mean_x2"))
+            .orderBy("l_returnflag"))
+
+
+WINSORIZED_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           * 2 AS c2
+  FROM lineitem
+), bounds AS (
+  SELECT l_returnflag,
+         CAST(floor(quantile_cont(c2, 0.05)) AS BIGINT) AS lo_x2,
+         CAST(floor(quantile_cont(c2, 0.95)) AS BIGINT) AS hi_x2
+  FROM base GROUP BY l_returnflag
+)
+SELECT b.l_returnflag, COUNT(*) AS n,
+       CAST(MIN(lo_x2) AS BIGINT) AS lo_x2,
+       CAST(MIN(hi_x2) AS BIGINT) AS hi_x2,
+       CAST(SUM(CASE WHEN c2 < lo_x2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(SUM(CASE WHEN c2 > hi_x2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       round(CAST(SUM(least(greatest(c2, lo_x2), hi_x2)) AS BIGINT)
+             / COUNT(*), 6) AS win_mean_x2,
+       round(CAST(SUM(c2) AS BIGINT) / COUNT(*), 6) AS raw_mean_x2
+FROM base b JOIN bounds USING (l_returnflag)
+GROUP BY b.l_returnflag
+ORDER BY b.l_returnflag
+"""
+
+
 def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order totals (50k bins) — one shuffle on
     the (tiny) bin domain; partial counts combine map-side, so the
@@ -1709,7 +1778,265 @@ FROM rec
 """
 
 
+def brand_price_size_regression(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Grouped ORDINARY-LEAST-SQUARES regression [EXT]: per brand, fit
+    ``retailprice = a + b * size`` and report slope, intercept and R²
+    — the SQL-native ``REGR_SLOPE/REGR_INTERCEPT/REGR_R2`` family.
+    Distinct from ``events.value_trend_by_type`` (slope/intercept
+    only, double sums): this adds the goodness-of-fit R² and armors
+    every moment in DECIMAL(38,0) for the overflow regime,
+    computed here from EXACT integer moments (price in cents, size as
+    BIGINT: Sx, Sy, Sxx, Syy, Sxy are all integer sums) so the only
+    floating-point steps are the three final divisions — identical
+    single-operation order in both engines, rounded to 6dp micros.
+    The moment form is also the 100 TB form: five mergeable integer
+    sums per group, full partial aggregation, no second pass.  The
+    sums are carried as DECIMAL(38,0) on the Spark side (Σy² at cents
+    scale exceeds BIGINT near ~1e10 rows/group; DuckDB's SUM(BIGINT)
+    is already HUGEINT) — at oracle SFs every moment fits in 2^53 so
+    the DOUBLE conversions before the single division are exact in
+    both engines.
+
+    Degenerate groups (all sizes equal → zero variance) emit NULL
+    slope/intercept/r2 via the CASE guard rather than dividing by
+    zero — engine-identical."""
+    p = table(spark, sf_dir, "part")
+    m = (p.select(
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint")
+        .alias("y"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+             F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+             F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+             .alias("sxx"),
+             F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+             .alias("syy"),
+             F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+             .alias("sxy")))
+    cov = "(n * sxy - sx * sy)"
+    varx = "(n * sxx - sx * sx)"
+    vary = "(n * syy - sy * sy)"
+    return (m.select(
+        "p_brand", "n",
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE "
+            f"CAST(floor(round({cov} / CAST({varx} AS DOUBLE), 6)"
+            " * 1000000 + 0.5) AS BIGINT) END")
+        .alias("slope_cents_micros"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE "
+            f"CAST(floor(round((sy - ({cov} / CAST({varx} AS DOUBLE))"
+            " * sx) / n, 6) * 1000000 + 0.5) AS BIGINT) END")
+        .alias("intercept_cents_micros"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL ELSE "
+            f"CAST(floor(round({cov} * {cov}"
+            f" / (CAST({varx} AS DOUBLE) * {vary}), 6)"
+            " * 1000000 + 0.5) AS BIGINT) END")
+        .alias("r2_micros"))
+        .orderBy("p_brand"))
+
+
+BRAND_REGRESSION_SQL = """
+WITH m AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM (SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+        FROM part)
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL ELSE
+         CAST(floor(round((n * sxy - sx * sy)
+                          / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                    * 1000000 + 0.5) AS BIGINT) END
+         AS slope_cents_micros,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL ELSE
+         CAST(floor(round((sy - ((n * sxy - sx * sy)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sx) / n, 6)
+                    * 1000000 + 0.5) AS BIGINT) END
+         AS intercept_cents_micros,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN NULL ELSE
+         CAST(floor(round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                          / (CAST(n * sxx - sx * sx AS DOUBLE)
+                             * (n * syy - sy * sy)), 6)
+                    * 1000000 + 0.5) AS BIGINT) END
+         AS r2_micros
+FROM m
+ORDER BY p_brand
+"""
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand PARETO FRONTIER (skyline query) [EXT]: the parts not
+    dominated on (price low, size high) by any other part of the same
+    brand — the classic multi-objective "best tradeoff" operator
+    (Börzsönyi et al., ICDE 2001), composed from relational ops: 2D
+    skylines reduce to a sort + strict running max.
+
+    Shape: (1) groupBy (brand, price-cent level) → max size — the
+    only row that can be on the frontier at each price; (2) a window
+    per brand ordered by price with a 1-PRECEDING running max of
+    size: a level survives iff its size strictly exceeds every
+    cheaper level's max; (3) join back to emit the winning partkeys
+    (ties on (price, size) are all non-dominated and all kept).
+
+    Scale: the window input is the price-LEVEL table — bounded by the
+    price domain (<= 200k distinct cents per brand regardless of row
+    count), not by data size; partitioned by brand. The join back is
+    a shuffle join on (brand, price, size)."""
+    p = (table(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand", "p_size",
+                 F.floor(F.col("p_retailprice") * 100 + 0.5)
+                 .cast("bigint").alias("price_cents")))
+    levels = (p.groupBy("p_brand", "price_cents")
+              .agg(F.max("p_size").alias("level_size")))
+    w = (Window.partitionBy("p_brand").orderBy("price_cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (levels
+                .withColumn("best_cheaper",
+                            F.coalesce(F.max("level_size").over(w),
+                                       F.lit(-1)))
+                .filter(F.col("level_size") > F.col("best_cheaper"))
+                .select("p_brand", "price_cents",
+                        F.col("level_size").alias("p_size")))
+    return (p.join(frontier, ["p_brand", "price_cents", "p_size"])
+            .select("p_brand", "p_partkey", "price_cents",
+                    F.col("p_size").cast("int").alias("p_size"))
+            .orderBy("p_brand", "price_cents", "p_partkey"))
+
+
+PARETO_FRONTIER_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM part
+), levels AS (
+  SELECT p_brand, price_cents, MAX(p_size) AS level_size
+  FROM p GROUP BY 1, 2
+), frontier AS (
+  SELECT p_brand, price_cents, level_size AS p_size
+  FROM (SELECT *,
+               COALESCE(MAX(level_size) OVER (
+                 PARTITION BY p_brand ORDER BY price_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 AS best_cheaper
+        FROM levels)
+  WHERE level_size > best_cheaper
+)
+SELECT p.p_brand, p.p_partkey, p.price_cents, CAST(p.p_size AS INT) AS p_size
+FROM p JOIN frontier f
+  ON p.p_brand = f.p_brand AND p.price_cents = f.price_cents
+ AND p.p_size = f.p_size
+ORDER BY p.p_brand, p.price_cents, p.p_partkey
+"""
+
+
+def orders_peak_concurrency(spark: SparkSession, sf_dir: str,
+                            ttl_days: int = 30) -> DataFrame:
+    """PEAK CONCURRENT open orders per (priority, month) [EXT] — the
+    interval-overlap sweep: each order is active for ``ttl_days`` from
+    its order date; concurrency at day grain is the running sum of
+    (+starts − expiries), and each month reports its peak. The classic
+    max-concurrent-sessions / resource-capacity query, built WITHOUT
+    expanding each interval into its days (the naive 30x row blowup):
+    +1/−1 delta rows per order, day-level aggregation, then a
+    calendar-bounded prefix sum.
+
+    A month's peak can be INHERITED: concurrency carried in from the
+    previous month's tail exceeds every within-month delta-day value
+    whenever the first delta of the month is an expiry.  A zero-delta
+    month-start spine row per (priority, month) materializes the
+    carry-in in the running sum, so inherited peaks are counted
+    (pinned by ``test_peak_concurrency_matches_day_expansion``).
+
+    Scale: the window input is (priority x day) — bounded by the
+    calendar (~2,500 days x 5 priorities), never by order count; all
+    order-scale work is plain groupBy; the spine derives from a
+    per-priority min/max aggregate. The r6 RFM lesson does NOT apply:
+    the aggregate grouping is domain-bounded."""
+    o = table(spark, sf_dir, "orders")
+    starts = (o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("delta")))
+    ends = (o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_add(F.to_date("o_orderdate"), ttl_days).alias("day"))
+        .agg((-F.count(F.lit(1))).alias("delta")))
+    spine = (starts.unionByName(ends)
+             .groupBy("priority")
+             .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+             .select("priority", F.explode(F.expr(
+                 "sequence(trunc(d0, 'MM'), trunc(d1, 'MM'),"
+                 " interval 1 month)")).alias("day"),
+                 F.lit(0).cast("bigint").alias("delta")))
+    deltas = (starts.unionByName(ends).unionByName(spine)
+              .groupBy("priority", "day")
+              .agg(F.sum("delta").alias("delta")))
+    w = (Window.partitionBy("priority").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    daily = deltas.withColumn("active", F.sum("delta").over(w))
+    return (daily.groupBy(
+        "priority", F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(F.max("active").cast("bigint").alias("peak_active"))
+        .orderBy("priority", "month"))
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH starts AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS delta
+  FROM orders GROUP BY 1, 2
+), ends AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS day,
+         -COUNT(*) AS delta
+  FROM orders GROUP BY 1, 2
+), spine AS (
+  SELECT priority,
+         unnest(generate_series(date_trunc('month', d0),
+                                date_trunc('month', d1),
+                                INTERVAL 1 MONTH))::DATE AS day,
+         0 AS delta
+  FROM (SELECT priority, MIN(day) AS d0, MAX(day) AS d1
+        FROM (SELECT * FROM starts UNION ALL SELECT * FROM ends)
+        GROUP BY priority)
+), deltas AS (
+  SELECT priority, day, SUM(delta) AS delta
+  FROM (SELECT * FROM starts UNION ALL SELECT * FROM ends
+        UNION ALL SELECT * FROM spine)
+  GROUP BY 1, 2
+), daily AS (
+  SELECT priority, day,
+         SUM(delta) OVER (PARTITION BY priority ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS active
+  FROM deltas
+)
+SELECT priority, strftime(day, '%Y-%m') AS month,
+       CAST(MAX(active) AS BIGINT) AS peak_active
+FROM daily
+GROUP BY 1, 2
+ORDER BY priority, month
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "brand_price_size_regression": brand_price_size_regression,
+    "pareto_frontier_parts": pareto_frontier_parts,
+    "orders_peak_concurrency": orders_peak_concurrency,
+    "winsorized_price_stats": winsorized_price_stats,
     "holt_forecast_monthly": holt_forecast_monthly,
     "sql_udf_order_tiers": sql_udf_order_tiers,
     "observed_scan_metrics": observed_scan_metrics,
@@ -1754,6 +2081,10 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "brand_price_size_regression": BRAND_REGRESSION_SQL,
+    "pareto_frontier_parts": PARETO_FRONTIER_SQL,
+    "orders_peak_concurrency": PEAK_CONCURRENCY_SQL,
+    "winsorized_price_stats": WINSORIZED_SQL,
     "holt_forecast_monthly": HOLT_SQL,
     "sql_udf_order_tiers": SQL_UDF_TIERS_SQL,
     "observed_scan_metrics": OBSERVED_METRICS_SQL,

@@ -1114,7 +1114,75 @@ GROUP BY l_returnflag
 """
 
 
+def selfjoin_cardinality_planner(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION audit [EXT] — the number a planner (or an
+    engineer about to launch a dedup pass) needs BEFORE running a
+    self-join: for each candidate lineitem key, the EXACT self-join
+    output cardinality Σ c(k)² from the key histogram, plus the skew
+    facts that predict straggler tasks — max key multiplicity, the
+    heaviest key's share of join output in ppm, and the blowup ratio
+    (output rows per input row, in ppm).  One groupBy per key; the
+    histogram is the sufficient statistic, so the audit costs one
+    scan + three partial aggregations — never the join itself.
+
+    This is the measurement side of the salting/df-cap discipline the
+    dedup family applies: a key whose top-1 share is high is exactly
+    the key that needs a cap or a salt."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def audit(key: str) -> DataFrame:
+        h = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c"))
+        return (h.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.sum(F.col("c") * F.col("c")).alias("selfjoin_rows"),
+            F.max("c").alias("max_key_rows"),
+            F.max(F.col("c") * F.col("c")).alias("max_key_pairs"))
+            .select(F.lit(key).alias("join_key"), "n_keys", "n_rows",
+                    "selfjoin_rows", "max_key_rows",
+                    F.expr(ppm("max_key_pairs", "selfjoin_rows"))
+                    .alias("top_key_share_ppm"),
+                    F.expr(ppm("selfjoin_rows", "n_rows"))
+                    .alias("blowup_ppm")))
+
+    return (audit("l_orderkey")
+            .unionByName(audit("l_partkey"))
+            .unionByName(audit("l_suppkey"))
+            .orderBy("join_key"))
+
+
+SELFJOIN_CARDINALITY_SQL = """
+WITH audits AS (
+  SELECT 'l_orderkey' AS join_key, COUNT(*) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(MAX(c * c) AS BIGINT) AS max_key_pairs
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+  UNION ALL
+  SELECT 'l_partkey', COUNT(*), CAST(SUM(c) AS BIGINT),
+         CAST(SUM(c * c) AS BIGINT), CAST(MAX(c) AS BIGINT),
+         CAST(MAX(c * c) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+  UNION ALL
+  SELECT 'l_suppkey', COUNT(*), CAST(SUM(c) AS BIGINT),
+         CAST(SUM(c * c) AS BIGINT), CAST(MAX(c) AS BIGINT),
+         CAST(MAX(c * c) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
+)
+SELECT join_key, n_keys, n_rows, selfjoin_rows, max_key_rows,
+       CAST(max_key_pairs * 1000000 // selfjoin_rows AS BIGINT)
+         AS top_key_share_ppm,
+       CAST(selfjoin_rows * 1000000 // n_rows AS BIGINT) AS blowup_ppm
+FROM audits
+ORDER BY join_key
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "selfjoin_cardinality_planner": selfjoin_cardinality_planner,
     "weighted_median_price": weighted_median_price,
     "sequence_gap_audit": sequence_gap_audit,
     "systematic_sample_every_k": systematic_sample_every_k,
@@ -1136,6 +1204,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "selfjoin_cardinality_planner": SELFJOIN_CARDINALITY_SQL,
     "systematic_sample_every_k": SYSTEMATIC_SAMPLE_SQL,
     "sequence_gap_audit": SEQUENCE_GAP_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,

@@ -1272,7 +1272,195 @@ FROM c2 c LEFT JOIN per p ON c.cid = p.cid
 """
 
 
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str,
+                         n_queries: int = 5, leg_k: int = 20,
+                         rrf_k: int = 60, topk: int = 10) -> DataFrame:
+    """RECIPROCAL-RANK-FUSION hybrid retrieval [EXT] — the standard
+    way production search fuses a DENSE leg (embedding cosine) with a
+    SPARSE leg (lexical tf-idf): score(d) = Σ_legs 1/(k + rank_leg(d))
+    (Cormack et al., SIGIR'09), robust to the legs' incomparable score
+    scales because only RANKS cross the boundary.  Query docs are the
+    bounded id slice < ``n_queries``; each leg contributes its top
+    ``leg_k``; a doc missing from a leg contributes 0.  The corpus'
+    partial embedding coverage (embeddings ⊂ documents at sf0.1) is
+    exactly the real-world case hybrid fusion exists for: lexical-only
+    docs can still be retrieved.
+
+    Determinism: RRF terms are computed in INTEGER micros
+    (1e6 // (k + rank)) so the fused score is exact; both legs' ranks
+    tie-break on doc id; leg cosines follow the proven 6dp rules
+    (dense: identical-operand double; sparse: integer-milli tf-idf).
+
+    Scale: the query side of both legs is a literal id slice —
+    broadcast by construction; leg ranks are WindowGroupLimit top-k
+    partitioned by query; the fusion join is (query x ≤2·leg_k) rows.
+    No un-bounded window, no doc x doc."""
+    from spark_kafka_airflow_pipeline_spark.operators.corpusops import (
+        _word_trigrams,
+    )
+
+    # -- dense leg: exact cosine of the query slice vs all vectors ---
+    emb = _embeddings(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("emb").alias("q_emb"),
+                 V.l2_norm("emb").alias("n_q")))
+    c = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("emb").alias("c_emb"),
+                   V.l2_norm("emb").alias("n_c"))
+    dsim = F.round(V.dot(F.col("q_emb"), F.col("c_emb"))
+                   / (F.col("n_q") * F.col("n_c")), 6)
+    dw = Window.partitionBy("query_id").orderBy(
+        F.col("dcos").desc(), F.col("doc_id"))
+    dense = (c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+             .select("query_id", "doc_id", dsim.alias("dcos"))
+             .withColumn("r", F.row_number().over(dw))
+             .filter(F.col("r") <= leg_k)
+             .select("query_id", "doc_id",
+                     F.col("r").cast("int").alias("dense_rank")))
+
+    # -- sparse leg: trigram tf-idf cosine, query slice vs corpus ----
+    d = table(spark, sf_dir, "documents")
+    tf = (_word_trigrams(d)
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+               .select("doc_id", "term", "df",
+                       F.expr("tf * CAST(floor(round(ln((n_docs + 1)"
+                              " / (df + 1)) + 1, 6) * 1000 + 0.5)"
+                              " AS BIGINT)").alias("w")))
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    kept = weights.filter((F.col("df") >= 2) & (F.col("df") <= 64))
+    qk = (kept.filter(F.col("doc_id") < n_queries)
+          .select(F.col("doc_id").alias("query_id"),
+                  "term", F.col("w").alias("qw")))
+    dots = (kept.join(qk, ["term"])
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("w") * F.col("qw")).alias("dot")))
+    scos = (dots
+            .join(norms.withColumnRenamed("norm2", "nq")
+                  .withColumnRenamed("doc_id", "query_id"), "query_id")
+            .join(norms.withColumnRenamed("norm2", "nd"), "doc_id")
+            .select("query_id", "doc_id",
+                    F.round(F.col("dot") / (F.sqrt(F.col("nq").cast("double"))
+                                            * F.sqrt(F.col("nd")
+                                                     .cast("double"))), 6)
+                    .alias("scos")))
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("scos").desc(), F.col("doc_id"))
+    sparse = (scos.withColumn("r", F.row_number().over(sw))
+              .filter(F.col("r") <= leg_k)
+              .select("query_id", "doc_id",
+                      F.col("r").cast("int").alias("sparse_rank")))
+
+    # -- fuse: integer-micro reciprocal ranks ------------------------
+    fused = (dense.join(sparse, ["query_id", "doc_id"], "full_outer")
+             .select("query_id", "doc_id", "dense_rank", "sparse_rank",
+                     (F.coalesce(F.expr(f"1000000 DIV ({rrf_k}"
+                                        " + dense_rank)"), F.lit(0))
+                      + F.coalesce(F.expr(f"1000000 DIV ({rrf_k}"
+                                          " + sparse_rank)"), F.lit(0)))
+                     .cast("bigint").alias("rrf_micros")))
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micros").desc(), F.col("doc_id"))
+    return (fused.withColumn("r", F.row_number().over(fw))
+            .filter(F.col("r") <= topk)
+            .select("query_id", "doc_id", "dense_rank", "sparse_rank",
+                    "rrf_micros", F.col("r").cast("int").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+RRF_HYBRID_SQL = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), dense_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round(
+           list_reduce(list_transform(list_zip(q.emb, c.emb),
+                                      p -> p[1] * p[2]),
+                       (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(q.emb, x -> x * x),
+                               (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(c.emb, x -> x * x),
+                               (acc, x) -> acc + x))), 6) AS dcos
+  FROM emb q, emb c
+  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+), dense AS (
+  SELECT query_id, doc_id, CAST(r AS INT) AS dense_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY dcos DESC, doc_id) AS r
+        FROM dense_pairs)
+  WHERE r <= 20
+), toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                END) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weights AS (
+  SELECT doc_id, tf.term, df,
+         tf * CAST(floor(round(ln((n_docs + 1) / (df + 1)) + 1, 6)
+                         * 1000 + 0.5) AS BIGINT) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+), norms AS (
+  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
+  FROM weights GROUP BY doc_id
+), kept AS (
+  SELECT doc_id, term, w FROM weights WHERE df BETWEEN 2 AND 64
+), dots AS (
+  SELECT q.doc_id AS query_id, d.doc_id,
+         CAST(SUM(d.w * q.w) AS BIGINT) AS dot
+  FROM kept d JOIN kept q ON d.term = q.term
+  WHERE q.doc_id < 5 AND d.doc_id != q.doc_id
+  GROUP BY 1, 2
+), scosed AS (
+  SELECT dots.query_id, dots.doc_id,
+         round(dots.dot / (sqrt(CAST(nq.norm2 AS DOUBLE))
+                           * sqrt(CAST(nd.norm2 AS DOUBLE))), 6) AS scos
+  FROM dots
+  JOIN norms nq ON dots.query_id = nq.doc_id
+  JOIN norms nd ON dots.doc_id = nd.doc_id
+), sparse AS (
+  SELECT query_id, doc_id, CAST(r AS INT) AS sparse_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY scos DESC, doc_id) AS r
+        FROM scosed)
+  WHERE r <= 20
+), fused AS (
+  SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+         COALESCE(d.doc_id, s.doc_id) AS doc_id,
+         d.dense_rank, s.sparse_rank,
+         CAST(COALESCE(1000000 // (60 + d.dense_rank), 0)
+              + COALESCE(1000000 // (60 + s.sparse_rank), 0) AS BIGINT)
+           AS rrf_micros
+  FROM dense d
+  FULL OUTER JOIN sparse s
+    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, dense_rank, sparse_rank, rrf_micros,
+       CAST(r AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_micros DESC, doc_id) AS r
+      FROM fused)
+WHERE r <= 10
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "incremental_ivf_assign": incremental_ivf_assign,
     "embedding_dim_variance": embedding_dim_variance,
     "cluster_balanced_sample": cluster_balanced_sample,
@@ -1294,6 +1482,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rrf_hybrid_retrieval": RRF_HYBRID_SQL,
     "incremental_ivf_assign": INCREMENTAL_IVF_SQL,
     "embedding_dim_variance": DIM_VARIANCE_SQL,
     "cluster_balanced_sample": CLUSTER_SAMPLE_SQL,

@@ -2392,7 +2392,11 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per token (low = stereotypical text, high = rare-word-heavy).
     Rolled up per (lang, source): mean NLL and the count of docs in
     the worst tail (avg NLL > 1.25x corpus mean) — the candidates a
-    perplexity filter would drop.
+    perplexity filter would drop.  Distinct from
+    ``bigram_logprob_scores`` (the per-doc SCORER, order-sensitive
+    bigram model): this is the FILTER DECISION layer — corpus-relative
+    tail thresholding rolled up to the per-source drop counts a
+    pipeline operator actually acts on.
 
     Determinism: per-WORD nll is ln(total/c) rounded to 6dp then
     floored to integer MICROS before any per-doc sum (the bm25 ln

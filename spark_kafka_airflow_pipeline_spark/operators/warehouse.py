@@ -601,7 +601,72 @@ GROUP BY 1
 """
 
 
+def replication_checksum_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT table CHECKSUM per month bucket [EXT] — the
+    replication/migration validation primitive: two copies of a table
+    (different engines, different row order, different partitioning)
+    agree iff their per-bucket (row count, additive checksum, XOR
+    checksum) triplets agree.  Rows are canonicalized to a pipe-joined
+    string (cents for money, yyyy-MM-dd for dates), md5-hashed to a
+    60-bit integer, then combined with the two classic commutative
+    reducers: SUM (carried in DECIMAL(38,0) so it can NEVER wrap —
+    BIGINT sum would silently overflow at ~1e8 rows/bucket — reduced
+    mod the Mersenne prime 2^61-1 for a BIGINT output) and BIT_XOR
+    (self-inverse, catches the even-multiplicity errors SUM can
+    alias and vice versa).
+
+    Both reducers are mergeable and order-independent by algebra, so
+    the audit is one scan + partial aggregation at any scale, and the
+    SAME SQL runs on the DuckDB side — which is the point: the
+    checksum definition is engine-portable, so it can gate a real
+    cross-engine migration."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        .cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"))
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (o.select(F.date_format("o_orderdate", "yyyy-MM")
+                     .alias("month"), h.alias("h"))
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("CAST(sum(CAST(h AS DECIMAL(38,0)))"
+                        " % 2305843009213693951 AS BIGINT)")
+                 .alias("checksum_sum"),
+                 F.expr("bit_xor(h)").alias("checksum_xor"))
+            .orderBy("month"))
+
+
+REPLICATION_CHECKSUM_SQL = """
+WITH rows_ AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         ('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' ||
+            CAST(o_custkey AS VARCHAR) || '|' ||
+            o_orderstatus || '|' ||
+            CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS VARCHAR) || '|' ||
+            strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+            o_orderpriority), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT month, COUNT(*) AS n_rows,
+       CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+FROM rows_
+GROUP BY month
+ORDER BY month
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "replication_checksum_audit": replication_checksum_audit,
     "integrity_audit": integrity_audit,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "benford_price_audit": benford_price_audit,
@@ -614,6 +679,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "replication_checksum_audit": REPLICATION_CHECKSUM_SQL,
     "integrity_audit": INTEGRITY_AUDIT_SQL,
     "scd2_point_in_time_join": SCD2_PIT_SQL,
     "benford_price_audit": BENFORD_SQL,

@@ -989,6 +989,83 @@ GROUP BY 1, 2
 """
 
 
+def metadata_streaming_sliding(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The SLIDING-WINDOW leg of the config-driven streaming thesis
+    [EXT]: ``window(ts, '2 hours', '1 hour')`` — each event lands in
+    TWO overlapping windows — compiled purely from metadata JSON and
+    run through the same ``PipelineExecutor.run_dataflow`` path as the
+    tumbling/session/upsert legs.  Completes the declarative window
+    matrix: tumbling (1:1), session (data-driven), sliding (1:N).
+
+    Append-mode emission contract as in the tumbling leg: only windows
+    whose END the final watermark (``max(ts) - 1 hour``) has passed
+    are drained; the DuckDB oracle materializes the event->2-windows
+    assignment as a UNION ALL and applies the same cutoff, so both
+    the overlap fan-out and the emission rule are value-hash-pinned.
+    State is bounded by (live windows x type): at any watermark only
+    two window slots per type are open."""
+    ts_expr, out_root = _metadata_stream_env(spark, sf_dir, "sliding")
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+    meta = parse_metadata({"dataflows": [{
+        "name": "stream_sliding",
+        "sources": [
+            {"name": "events", "path": sf_dir, "format": "parquet",
+             "streaming": True,
+             "options": {"pathGlobFilter": "events.parquet"}},
+        ],
+        "transformations": [
+            {"name": "typed", "type": "add_fields", "params": {
+                "input": "events", "addFields": [
+                    {"name": "ts_t", "function": ts_expr}]}},
+            {"name": "marked", "type": "watermark", "params": {
+                "input": "typed", "column": "ts_t", "delay": "1 hour"}},
+            {"name": "windowed", "type": "aggregate", "params": {
+                "input": "marked",
+                "groupBy": ["window(ts_t, '2 hours', '1 hour') AS w",
+                            "event_type"],
+                "aggregates": [
+                    {"name": "n_events", "function": "COUNT(*)"},
+                    {"name": "sum_cents", "function":
+                        "CAST(SUM(CAST(floor(value * 100 + 0.5) "
+                        "AS BIGINT)) AS BIGINT)"}]}},
+            {"name": "fmt", "type": "add_fields", "params": {
+                "input": "windowed", "addFields": [{
+                    "name": "window_start",
+                    "function":
+                        "date_format(w.start, 'yyyy-MM-dd HH:mm:ss')"}]}},
+            {"name": "out", "type": "select", "params": {
+                "input": "fmt", "columns": [
+                    "window_start", "event_type", "n_events",
+                    "sum_cents"]}},
+        ],
+        "sinks": [{"input": "out", "name": "slide", "paths": [out_root],
+                   "format": "parquet", "saveMode": "append"}],
+    }]})
+    return _exec_metadata_stream(spark, meta, out_root, "slide")
+
+
+METADATA_SLIDING_SQL = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff FROM events
+), slid AS (
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) AS wstart, event_type, value
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM slid, wm
+WHERE wstart + INTERVAL 2 HOUR <= wm.cutoff
+GROUP BY 1, 2
+"""
+
+
 def metadata_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC-UPSERT leg of the config-driven streaming thesis [EXT]:
     a ``format: "upsert"`` sink (keys + orderBy declared in metadata
@@ -1150,6 +1227,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "metadata_streaming_upsert": metadata_streaming_upsert,
     "metadata_streaming_tumbling": metadata_streaming_tumbling,
+    "metadata_streaming_sliding": metadata_streaming_sliding,
     "metadata_streaming_session": metadata_streaming_session,
     "streaming_window_median": streaming_window_median,
     "streaming_python_source": streaming_python_source,
@@ -1179,6 +1257,7 @@ ORACLES: dict[str, str] = {
     "streaming_foreachbatch_upsert": STREAMING_UPSERT_SQL,
     "metadata_streaming_upsert": METADATA_UPSERT_SQL,
     "metadata_streaming_tumbling": METADATA_STREAMING_SQL,
+    "metadata_streaming_sliding": METADATA_SLIDING_SQL,
     "metadata_streaming_session": METADATA_SESSION_SQL,
     "streaming_python_source": _py_datasource_sql(),
     "streaming_window_median": STREAMING_WINDOW_MEDIAN_SQL,
