@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     corpusops,
     dedup,
+    evalops,
     events,
     graphops,
     joins_extra,
@@ -38,9 +39,9 @@ from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming 
 # most recently must land inside that window; the relational family has
 # been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
 # "What's wrong #1").
-_MODULES = (corpusops, graphops, streaming, dedup, similarity, multimodal, textops,
-            scaleops, warehouse, pipelineops, events, joins_extra,
-            tpch_extra, relational_extra, relational)
+_MODULES = (evalops, corpusops, graphops, streaming, dedup, similarity,
+            multimodal, textops, scaleops, warehouse, pipelineops, events,
+            joins_extra, tpch_extra, relational_extra, relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
 # (the driver records only the first 50 queries() entries). Round-8
@@ -106,8 +107,12 @@ _WINDOW_PRIORITY = (
 # see _WINDOW_PRIORITY note.)
 _R9_EARMARK = (
     # new in late round 8, window already full — FIRST driver check in
-    # r9 (both locally 3-SF green; simple mergeable-aggregate shapes)
+    # r9 (all locally sf0.001+sf0.01 green; plan-sweep clean)
     "replication_checksum_audit", "winsorized_price_stats",
+    "woe_iv_segment_priority", "score_auc_acctbal",
+    "gini_lorenz_customers", "acf_daily_revenue", "kaplan_meier_reorder",
+    "score_lift_gain_deciles", "score_calibration_bins",
+    "source_js_divergence", "daily_burstiness_fano", "nation_revenue_hhi",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

@@ -24,6 +24,7 @@ from spark_kafka_airflow_pipeline_spark.session import get_spark
 from spark_kafka_airflow_pipeline_spark.operators import (
     corpusops,
     dedup,
+    evalops,
     events,
     graphops,
     multimodal,
@@ -217,6 +218,17 @@ OPS = {
         relational_extra.brand_price_size_regression,
     "pareto_frontier_parts": relational_extra.pareto_frontier_parts,
     "orders_peak_concurrency": relational_extra.orders_peak_concurrency,
+    # late round-8 evalops family (orders/customer-based; the global
+    # ranking/prefix-sum primitives are the scale-critical parts)
+    "woe_iv_segment_priority": evalops.woe_iv_segment_priority,
+    "score_auc_acctbal": evalops.score_auc_acctbal,
+    "gini_lorenz_customers": evalops.gini_lorenz_customers,
+    "acf_daily_revenue": evalops.acf_daily_revenue,
+    "kaplan_meier_reorder": evalops.kaplan_meier_reorder,
+    "score_lift_gain_deciles": evalops.score_lift_gain_deciles,
+    "score_calibration_bins": evalops.score_calibration_bins,
+    "source_js_divergence": evalops.source_js_divergence,
+    "nation_revenue_hhi": evalops.nation_revenue_hhi,
 }
 
 
@@ -258,6 +270,8 @@ EVENT_OPS = {
     "session_dwell_bounce": events.session_dwell_bounce,
     "seasonal_adjusted_anomalies": events.seasonal_adjusted_anomalies,
     "watermark_delay_planner": events.watermark_delay_planner,
+    # late round-8 evalops (events-based)
+    "daily_burstiness_fano": evalops.daily_burstiness_fano,
     # round-8 additions
     "retention_triangle": events.retention_triangle,
 }

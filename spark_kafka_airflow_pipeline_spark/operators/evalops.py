@@ -1,0 +1,897 @@
+"""Model-evaluation / inequality / time-series diagnostics [EXT].
+
+The reference pipeline (``PipelineProcessor.scala:13-42``) validates and
+routes records; the day those records feed a model or a report, the
+platform needs the evaluation layer: feature-screening scores (WoE/IV),
+ranking-quality metrics (AUC via the Mann-Whitney rank-sum), inequality
+audits (Gini / Lorenz deciles), autocorrelation diagnostics on the
+revenue series (ACF), and censored time-to-event estimates
+(Kaplan-Meier). Each is expressed as Spark aggregates + the repo's
+two-phase global-ranking primitives so no un-partitioned window ever
+touches a data-sized frame, and each carries a full DuckDB oracle
+(integer/ppm arithmetic; ln/exp rounded to 6dp — the repo's proven
+cross-engine float discipline).
+
+Scale notes (100 TB):
+- WoE/IV: one orders-sized aggregate into a 5-row (segment) frame.
+- AUC: score-level aggregate, then ``scaleops.global_running_sum``
+  (range-repartition prefix sum) — the rank-sum needs a global
+  cumulative count, never a global sort on one task.
+- Gini: ``global_row_number`` + exact-ntile arithmetic (the r6-RFM
+  lesson); the only global structure is the partition-offset broadcast.
+- ACF / Kaplan-Meier: windows run over CALENDAR-BOUNDED level frames
+  (daily aggregate; gap-day levels) — bounded at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import (
+    QueryFn,
+    ppm,
+    table,
+)
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# 1. Weight of Evidence / Information Value
+# ---------------------------------------------------------------------------
+
+def woe_iv_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE / IV feature screening — the credit-scoring standard for
+    "does this categorical feature separate the target?": target is
+    order urgency (priority 1-URGENT/2-HIGH vs rest), feature is the
+    customer market segment. Per segment: WoE = ln((pos_i/P)/(neg_i/N))
+    and the IV contribution (pos_i/P - neg_i/N) * WoE.
+
+    Determinism: WoE is ln of an exact integer cross-ratio
+    (pos_i*N)/(neg_i*P) computed in double and rounded 6dp; IV reuses
+    the ROUNDED WoE so both engines multiply identical doubles. All
+    segments carry both classes at every SF (priorities are uniform).
+
+    Scale: orders x broadcast(customer-dim join) -> 5-row aggregate;
+    totals are a 1-row broadcast. Nothing beyond one fact-sized
+    shuffle keyed on the segment."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    flagged = (o.join(c, o.o_custkey == c.c_custkey)
+               .select("c_mktsegment",
+                       F.expr("CASE WHEN o_orderpriority IN "
+                              "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END")
+                       .alias("is_pos")))
+    seg = (flagged.groupBy("c_mktsegment")
+           .agg(F.sum("is_pos").alias("n_pos"),
+                F.sum(F.expr("1 - is_pos")).alias("n_neg")))
+    tot = seg.agg(F.sum("n_pos").alias("p_tot"),
+                  F.sum("n_neg").alias("n_tot"))
+    woe = ("round(ln((CAST(n_pos AS DOUBLE) * n_tot) / "
+           "(CAST(n_neg AS DOUBLE) * p_tot)), 6)")
+    return (seg.crossJoin(F.broadcast(tot))
+            .select("c_mktsegment",
+                    F.col("n_pos").cast("bigint").alias("n_pos"),
+                    F.col("n_neg").cast("bigint").alias("n_neg"),
+                    F.expr(woe).alias("woe_r6"),
+                    F.expr(f"round((CAST(n_pos AS DOUBLE) / p_tot - "
+                           f"CAST(n_neg AS DOUBLE) / n_tot) * {woe}, 6)")
+                    .alias("iv_r6")))
+
+
+WOE_IV_SQL = """
+WITH flagged AS (
+  SELECT c_mktsegment,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS is_pos
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, SUM(is_pos) AS n_pos,
+         SUM(1 - is_pos) AS n_neg
+  FROM flagged GROUP BY 1
+), tot AS (
+  SELECT SUM(n_pos) AS p_tot, SUM(n_neg) AS n_tot FROM seg
+)
+SELECT c_mktsegment,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       round(ln((CAST(n_pos AS DOUBLE) * n_tot) /
+                (CAST(n_neg AS DOUBLE) * p_tot)), 6) AS woe_r6,
+       round((CAST(n_pos AS DOUBLE) / p_tot -
+              CAST(n_neg AS DOUBLE) / n_tot) *
+             round(ln((CAST(n_pos AS DOUBLE) * n_tot) /
+                      (CAST(n_neg AS DOUBLE) * p_tot)), 6), 6) AS iv_r6
+FROM seg CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. AUC via the Mann-Whitney rank-sum (distributed, tie-correct)
+# ---------------------------------------------------------------------------
+
+def score_auc_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric evaluation: AUC of "account balance predicts
+    whether the customer ever places a 1-URGENT order", via the
+    Mann-Whitney identity AUC = P(s_pos > s_neg) + P(s_pos = s_neg)/2.
+
+    Tie-correct integer form over score LEVELS: with per-level counts
+    (pos_i, neg_i) and the exclusive negative prefix cumneg_i,
+    2*AUC*P*N = sum_i pos_i * (2*cumneg_i + neg_i) — all integers, so
+    the metric is value-hash exact (auc_ppm = floor of the ppm ratio).
+
+    Scale: the level frame is data-sized (near-distinct balances), so
+    the prefix count uses ``global_running_sum`` — range-repartition +
+    offset broadcast, never an un-partitioned window (the r6 RFM
+    class). DECIMAL(38,0) keeps 2*P*N*10^6 exact at any row count."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_running_sum,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+           .select(F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+                   .alias("score"),
+                   F.expr("CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END")
+                   .alias("is_pos")))
+    lev = (lab.groupBy("score")
+           .agg(F.sum("is_pos").alias("pos"),
+                F.sum(F.expr("1 - is_pos")).alias("neg")))
+    run = global_running_sum(lev, "neg", F.col("score"), out="cumneg_incl")
+    num2 = (run.agg(
+        F.sum(F.expr("CAST(pos AS DECIMAL(19,0)) * "
+                     "CAST(2 * (cumneg_incl - neg) + neg AS DECIMAL(19,0))"))
+        .cast("decimal(38,0)").alias("num2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_levels")))
+    return (num2.select(
+        "n_pos", "n_neg", "n_levels",
+        F.expr(ppm("num2", "2 * CAST(n_pos AS DECIMAL(19,0)) * "
+                           "CAST(n_neg AS DECIMAL(19,0))"))
+        .alias("auc_ppm"))
+        .withColumn("gini_ppm",
+                    F.expr("2 * auc_ppm - 1000000").cast("bigint")))
+
+
+AUC_SQL = """
+WITH lab AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS is_pos
+  FROM customer
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') u
+    ON c_custkey = u.o_custkey
+), lev AS (
+  SELECT score, SUM(is_pos) AS pos, SUM(1 - is_pos) AS neg
+  FROM lab GROUP BY score
+), run AS (
+  SELECT *, SUM(neg) OVER (ORDER BY score
+                           ROWS UNBOUNDED PRECEDING) AS cumneg_incl
+  FROM lev
+), agg AS (
+  SELECT SUM(pos * (2 * (cumneg_incl - neg) + neg)) AS num2,
+         SUM(pos) AS n_pos, SUM(neg) AS n_neg, COUNT(*) AS n_levels
+  FROM run
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(n_levels AS BIGINT) AS n_levels,
+       CAST(num2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
+       CAST(2 * (num2 * 1000000 // (2 * n_pos * n_neg)) - 1000000
+            AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Gini coefficient + Lorenz deciles of customer revenue
+# ---------------------------------------------------------------------------
+
+def gini_lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Gini coefficient of per-customer
+    revenue (zero-order customers included at 0) plus the Lorenz curve
+    at decile grain — "the bottom 10% of customers hold cum_share_ppm
+    of revenue". Gini uses the rank identity
+    G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) over the ascending
+    total order (cents, custkey) — all-integer, hence hash-exact.
+
+    Scale: the rank comes from ``scaleops.global_row_number``
+    (range-repartition two-phase, r6-RFM-safe); deciles are exact-ntile
+    ARITHMETIC on (rank, n); the only window runs over the 10-row
+    decile frame. DECIMAL(38,0) holds rank*cents sums at any SF."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_row_number,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.coalesce(F.sum(F.expr(_CENTS)), F.lit(0))
+                .cast("bigint").alias("cents")))
+    ranked = global_row_number(per, F.col("cents").asc(),
+                               F.col("c_custkey").asc(), out="rn")
+    tot = per.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("cents").cast("decimal(19,0)").alias("tot_cents"))
+    wt = ranked.crossJoin(F.broadcast(tot))
+    gini = (wt.agg(
+        F.sum(F.expr("CAST(rn AS DECIMAL(19,0)) * "
+                     "CAST(cents AS DECIMAL(19,0))"))
+        .cast("decimal(38,0)").alias("s_rnx"),
+        F.first("n").alias("n"), F.first("tot_cents").alias("tot"))
+        .select(F.expr(
+            ppm("2 * s_rnx - (n + 1) * tot",
+                "CAST(n AS DECIMAL(19,0)) * tot")).alias("gini_ppm")))
+    # exact ntile(10) arithmetic on (global rank, n) — the RFM primitive
+    dec = wt.withColumn("decile", F.expr(
+        "CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
+        "THEN (rn + n DIV 10) DIV (n DIV 10 + 1) "
+        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) "
+        "+ n DIV 10 - 1) DIV (n DIV 10) END AS INT)"))
+    per_dec = (dec.groupBy("decile")
+               .agg(F.count(F.lit(1)).alias("n_customers"),
+                    F.sum("cents").cast("bigint").alias("decile_cents"),
+                    F.first("tot_cents").alias("tot")))
+    w10 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (per_dec
+            .withColumn("cum_cents", F.sum("decile_cents").over(w10))
+            .select("decile", "n_customers", "decile_cents",
+                    F.expr(ppm("cum_cents", "tot")).alias("cum_share_ppm"))
+            .crossJoin(F.broadcast(gini)))
+
+
+GINI_SQL = """
+WITH per AS (
+  SELECT c_custkey,
+         CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)), 0) AS BIGINT) AS cents
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS rn,
+         NTILE(10) OVER (ORDER BY cents, c_custkey) AS decile
+  FROM per
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS tot_cents FROM per
+), gini AS (
+  SELECT CAST((2 * SUM(CAST(rn AS HUGEINT) * cents)
+               - (n + 1) * tot_cents) * 1000000
+              // (n * tot_cents) AS BIGINT) AS gini_ppm
+  FROM ranked CROSS JOIN tot GROUP BY n, tot_cents
+), per_dec AS (
+  SELECT decile, COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM ranked GROUP BY decile
+)
+SELECT decile, n_customers, decile_cents,
+       CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+            * 1000000 // tot_cents AS BIGINT) AS cum_share_ppm,
+       gini_ppm
+FROM per_dec CROSS JOIN tot CROSS JOIN gini
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Autocorrelation function of the daily-revenue series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 10
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily order revenue at lags 1..10 —
+    the seasonality/memory diagnostic run before any forecast
+    (complements ``holt_forecast_monthly`` / ``orders_seasonality_index``
+    with the model-free view).
+
+    Exact integer moments: with n days, S = sum(x), the centered value
+    scaled by n is c_t = n*x_t - S (an integer); r_k =
+    sum(c_t*c_{t+k}) / sum(c_t^2) — the n^2 factors cancel, so both
+    engines form IDENTICAL DECIMAL(38,0) numerators/denominators and
+    only the final ratio is floated (rounded 6dp). Positions t are
+    row_number over the day sequence, so calendar gaps do not produce
+    phantom zero days.
+
+    Scale: one orders-sized aggregate into a CALENDAR-BOUNDED daily
+    frame (~2.5k rows at any SF); the position window and lag self-join
+    run on that bounded frame. DECIMAL(19,0) per-factor casts keep the
+    (38,0) products exact at 100 TB daily-revenue magnitudes."""
+    o = table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.expr(_CENTS)).cast("decimal(19,0)").alias("x")))
+    tot = daily.agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+                    F.sum("x").cast("decimal(19,0)").alias("s"))
+    # bounded frame: row_number over the day-grain aggregate
+    pos = (daily.crossJoin(F.broadcast(tot))
+           .select(F.row_number().over(Window.orderBy("day")).alias("t"),
+                   F.expr("CAST(n * x - s AS DECIMAL(19,0))").alias("c")))
+    den = pos.agg(F.sum(F.expr("c * c")).cast("decimal(38,0)")
+                  .alias("den"))
+    a = pos.select("t", F.col("c").alias("ca"),
+                   F.explode(F.array(*[F.lit(k) for k in
+                                       range(1, ACF_MAX_LAG + 1)]))
+                   .alias("lag"))
+    b = pos.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    return (a.join(b, a.t + a.lag == b.tb)
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.expr("ca * cb")).cast("decimal(38,0)")
+                 .alias("num"))
+            .crossJoin(F.broadcast(den))
+            .select(F.col("lag").cast("int").alias("lag"), "n_pairs",
+                    F.expr("round(CAST(num AS DOUBLE) / "
+                           "CAST(den AS DOUBLE), 6)").alias("acf_r6")))
+
+
+ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS DECIMAL(19,0)) AS x
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+         CAST(SUM(x) AS DECIMAL(19,0)) AS s
+  FROM daily
+), pos AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+         CAST(n * x - s AS DECIMAL(19,0)) AS c
+  FROM daily CROSS JOIN tot
+), den AS (
+  SELECT CAST(SUM(c * c) AS DECIMAL(38,0)) AS den FROM pos
+), lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG + 1})) AS lag)
+SELECT CAST(a.lag AS INT) AS lag, COUNT(*) AS n_pairs,
+       round(CAST(CAST(SUM(a.c * b.c) AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(den AS DOUBLE), 6) AS acf_r6
+FROM (SELECT pos.*, lag FROM pos CROSS JOIN lags) a
+JOIN pos b ON a.t + a.lag = b.t
+CROSS JOIN den
+GROUP BY a.lag, den
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Kaplan-Meier time-to-reorder with right-censoring
+# ---------------------------------------------------------------------------
+
+def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of customer time-to-reorder —
+    the censoring-correct answer to "how long until a customer comes
+    back?" (a plain average over repeat customers is biased: customers
+    who never reordered are evidence, not missing data). Subject =
+    customer with >= 1 order; event = second order, at t = days between
+    first and second order dates; subjects with no second order are
+    right-censored at (corpus max date - first date).
+
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times, computed
+    as exp of the cumulative sum of round(ln(1 - d/n), 6) — the repo's
+    proven cross-engine ln/exp discipline, so the curve is value-hash
+    pinned. A terminal level with d = n_risk (survival hits zero) maps
+    to 0.0 explicitly (ln(0) never evaluated); nothing follows it.
+
+    Scale: one partitioned-by-customer rank window finds first/second
+    orders (one shuffle); the KM table itself lives on the gap-day
+    level frame — CALENDAR-BOUNDED (~thousands of levels at any SF),
+    so its ordering windows are bounded-frame by construction."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate",
+                                              "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    fs = (o.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= 2)
+          .groupBy("o_custkey")
+          .agg(F.min(F.when(F.col("rn") == 1, F.col("o_orderdate")))
+               .alias("first_dt"),
+               F.min(F.when(F.col("rn") == 2, F.col("o_orderdate")))
+               .alias("second_dt")))
+    cmax = o.agg(F.max("o_orderdate").alias("cmax"))
+    obs = (fs.crossJoin(F.broadcast(cmax))
+           .select(F.coalesce(F.datediff("second_dt", "first_dt"),
+                              F.datediff("cmax", "first_dt"))
+                   .alias("t_days"),
+                   F.expr("CASE WHEN second_dt IS NULL THEN 0 ELSE 1 END")
+                   .alias("is_event")))
+    lev = (obs.groupBy("t_days")
+           .agg(F.sum("is_event").alias("d"),
+                F.sum(F.expr("1 - is_event")).alias("cens")))
+    n_tot = lev.agg(F.sum(F.expr("d + cens")).alias("n_tot"))
+    wlev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    km = (lev.crossJoin(F.broadcast(n_tot))
+          .withColumn("n_risk",
+                      F.expr("n_tot - (SUM(d + cens) OVER (ORDER BY t_days "
+                             "ROWS UNBOUNDED PRECEDING) - (d + cens))")
+                      .cast("bigint"))
+          .withColumn("ln_term",
+                      F.expr("CASE WHEN d > 0 AND d < n_risk THEN "
+                             "round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6) "
+                             "END"))
+          .withColumn("cum_ln", F.sum("ln_term").over(wlev)))
+    return (km.filter(F.col("d") >= 1)
+            .select(F.col("t_days").cast("int").alias("t_days"),
+                    "n_risk",
+                    F.col("d").cast("bigint").alias("d_events"),
+                    F.col("cens").cast("bigint").alias("n_censored"),
+                    F.expr("CASE WHEN d >= n_risk THEN 0.0 ELSE "
+                           "round(exp(coalesce(cum_ln, 0.0)), 6) END")
+                    .alias("surv_r6")))
+
+
+KM_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), fs AS (
+  SELECT o_custkey,
+         MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS first_dt,
+         MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_dt
+  FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+), cmax AS (SELECT MAX(o_orderdate) AS cmax FROM orders),
+obs AS (
+  SELECT COALESCE(date_diff('day', CAST(first_dt AS DATE),
+                            CAST(second_dt AS DATE)),
+                  date_diff('day', CAST(first_dt AS DATE),
+                            CAST(cmax AS DATE))) AS t_days,
+         CASE WHEN second_dt IS NULL THEN 0 ELSE 1 END AS is_event
+  FROM fs CROSS JOIN cmax
+), lev AS (
+  SELECT t_days, SUM(is_event) AS d, SUM(1 - is_event) AS cens
+  FROM obs GROUP BY t_days
+), n_tot AS (SELECT SUM(d + cens) AS n_tot FROM lev),
+km AS (
+  SELECT t_days, d, cens,
+         CAST(n_tot - (SUM(d + cens) OVER (ORDER BY t_days
+                       ROWS UNBOUNDED PRECEDING) - (d + cens))
+              AS BIGINT) AS n_risk
+  FROM lev CROSS JOIN n_tot
+), terms AS (
+  SELECT *, CASE WHEN d > 0 AND d < n_risk THEN
+                 round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+            END AS ln_term
+  FROM km
+), cum AS (
+  SELECT *, SUM(ln_term) OVER (ORDER BY t_days
+                               ROWS UNBOUNDED PRECEDING) AS cum_ln
+  FROM terms
+)
+SELECT CAST(t_days AS INT) AS t_days, n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(cens AS BIGINT) AS n_censored,
+       CASE WHEN d >= n_risk THEN 0.0
+            ELSE round(exp(COALESCE(cum_ln, 0.0)), 6) END AS surv_r6
+FROM cum WHERE d >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Cumulative gains / lift by score decile
+# ---------------------------------------------------------------------------
+
+def score_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table — the campaign-targeting companion
+    to ``score_auc_acctbal``: rank customers by account balance
+    (best first), cut into deciles, and report per decile the cumulative
+    share of all positives captured (gain) and the precision multiple
+    over the base rate (lift). Target: customer ever places a 1-URGENT
+    order.
+
+    All-integer: gain_ppm = cum_pos*1e6 DIV P and lift_ppm =
+    (cum_pos*N)*1e6 DIV (cum_rows*P) — hash-exact, no floats.
+
+    Scale: the rank is ``global_row_number`` over (score DESC, custkey)
+    — range-repartition two-phase, never one task; deciles are the
+    exact-ntile ARITHMETIC on (rank, n) (bit-equal to SQL NTILE, the
+    r6-RFM-safe form); the only window runs over the 10-row frame."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_row_number,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+           .select("c_custkey",
+                   F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+                   .alias("score"),
+                   F.expr("CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END")
+                   .alias("is_pos")))
+    ranked = global_row_number(lab, F.col("score").desc(),
+                               F.col("c_custkey").asc(), out="rn")
+    tot = lab.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("is_pos").cast("bigint").alias("p"))
+    dec = (ranked.crossJoin(F.broadcast(tot))
+           .withColumn("decile", F.expr(
+               "CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
+               "THEN (rn + n DIV 10) DIV (n DIV 10 + 1) "
+               "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) "
+               "+ n DIV 10 - 1) DIV (n DIV 10) END AS INT)")))
+    per = (dec.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("is_pos").cast("bigint").alias("n_pos"),
+                F.first("n").alias("n"), F.first("p").alias("p")))
+    w10 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (per.withColumn("cum_rows", F.sum("n_rows").over(w10))
+            .withColumn("cum_pos", F.sum("n_pos").over(w10))
+            .select("decile", "n_rows", "n_pos",
+                    F.expr(ppm("cum_pos", "p")).alias("gain_ppm"),
+                    F.expr(ppm("CAST(cum_pos AS DECIMAL(19,0)) * n",
+                               "CAST(cum_rows AS DECIMAL(19,0)) * p"))
+                    .alias("lift_ppm")))
+
+
+LIFT_SQL = """
+WITH lab AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS is_pos
+  FROM customer
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') u
+    ON c_custkey = u.o_custkey
+), ranked AS (
+  SELECT is_pos,
+         NTILE(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+  FROM lab
+), tot AS (SELECT COUNT(*) AS n, SUM(is_pos) AS p FROM lab),
+per AS (
+  SELECT decile, COUNT(*) AS n_rows, SUM(is_pos) AS n_pos
+  FROM ranked GROUP BY decile
+)
+SELECT decile, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000000 // p AS BIGINT) AS gain_ppm,
+       CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * n * 1000000
+            // (SUM(n_rows) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                * p) AS BIGINT) AS lift_ppm
+FROM per CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Calibration / reliability bins
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table — does a higher account balance actually mean
+    a higher urgent-order propensity? Scores are cut into 10 EQUAL-WIDTH
+    integer-cents bins over the observed [min, max] range and each bin
+    reports its observed positive rate beside the corpus base rate (the
+    reliability-diagram data a calibration review plots).
+
+    Bin id is pure integer arithmetic — (score-mn)*10 DIV (mx-mn+1) —
+    so binning is hash-exact; empty bins carry no row (documented).
+
+    Scale: one customer-sized aggregate after a broadcast of the 1-row
+    (min, max, base-rate) frame; no windows, no data-sized joins beyond
+    the one distinct-semijoin the label needs."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+           .select(F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+                   .alias("score"),
+                   F.expr("CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END")
+                   .alias("is_pos")))
+    rng = lab.agg(F.min("score").alias("mn"), F.max("score").alias("mx"),
+                  F.count(F.lit(1)).alias("n_all"),
+                  F.sum("is_pos").alias("p_all"))
+    return (lab.crossJoin(F.broadcast(rng))
+            .withColumn("bin", F.expr(
+                f"CAST((score - mn) * {CALIB_BINS} DIV (mx - mn + 1) "
+                "AS INT)"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("is_pos").cast("bigint").alias("n_pos"),
+                 F.first("n_all").alias("n_all"),
+                 F.first("p_all").alias("p_all"))
+            .select("bin", "n_rows", "n_pos",
+                    F.expr(ppm("n_pos", "n_rows")).alias("pos_rate_ppm"),
+                    F.expr(ppm("p_all", "n_all")).alias("base_rate_ppm")))
+
+
+CALIB_SQL = f"""
+WITH lab AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS is_pos
+  FROM customer
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') u
+    ON c_custkey = u.o_custkey
+), rng AS (
+  SELECT MIN(score) AS mn, MAX(score) AS mx,
+         COUNT(*) AS n_all, SUM(is_pos) AS p_all
+  FROM lab
+)
+SELECT CAST((score - mn) * {CALIB_BINS} // (mx - mn + 1) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(is_pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(p_all * 1000000 // n_all AS BIGINT) AS base_rate_ppm
+FROM lab CROSS JOIN rng
+GROUP BY 1, p_all, n_all
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+_LN2_MICROS = 693147  # round(ln(2), 6) * 1e6 — the absent-term KL term
+
+
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the corpus-mixture diagnostic
+    ("which sources are interchangeable, which bring novel text?") run
+    before weighting a pre-training mix. 0 = identical distributions,
+    ln(2) = disjoint vocabularies.
+
+    Decomposition that needs ONLY the shared-term join: for a term in
+    both sources, KL terms use the exact integer ratio 2·c1·t2 /
+    (c1·t2 + c2·t1); a term present in one source only contributes
+    p·ln2 exactly, so those fold into (t1 − shared_mass1)·ln2 — no
+    full-outer join, no per-source vocab materialization twice.
+
+    Portability (the entropy-op idiom): each term's ln is rounded 6dp
+    and scaled to integer micros BEFORE the count-weighted BIGINT sum;
+    the per-pair normalization (S1/t1 + S2/t2)/2 is one DECIMAL(38,0)
+    integer division. Products c·t are formed in DECIMAL(38,0) (BIGINT
+    c·t overflows at ~1e12-token sources).
+
+    Scale: one (source, term) hash aggregate, a term-keyed self-join
+    (<= C(n_sources,2) rows per term — sources are a bounded set), a
+    190-row pair aggregate. Never doc x doc, never term x term."""
+    from spark_kafka_airflow_pipeline_spark.operators.corpusops import (
+        _tokens,
+    )
+
+    tf = (_tokens(table(spark, sf_dir, "documents"))
+          .select("source", F.explode("toks").alias("w"))
+          .groupBy("source", "w")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    tots = tf.groupBy("source").agg(F.sum("cnt").alias("t"))
+    a = tf.select(F.col("source").alias("sa"), "w", F.col("cnt").alias("ca"))
+    b = tf.select(F.col("source").alias("sb"), F.col("w").alias("wb"),
+                  F.col("cnt").alias("cb"))
+    ta = tots.select(F.col("source").alias("sa"), F.col("t").alias("ta"))
+    tb = tots.select(F.col("source").alias("sb"), F.col("t").alias("tb"))
+    shared = (a.join(b, (a.w == b.wb) & (a.sa < b.sb))
+              .join(F.broadcast(ta), "sa").join(F.broadcast(tb), "sb")
+              .select("sa", "sb", "ca", "cb", "ta", "tb",
+                      F.expr("CAST(ca AS DECIMAL(38,0)) * tb").alias("xa"),
+                      F.expr("CAST(cb AS DECIMAL(38,0)) * ta").alias("xb")))
+    mic = ("CAST(floor(round(ln(2.0 * CAST({x} AS DOUBLE) / "
+           "CAST(xa + xb AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT)")
+    per_pair = (shared
+                .select("sa", "sb", "ca", "cb", "ta", "tb",
+                        F.expr(f"ca * {mic.format(x='xa')}").alias("ma"),
+                        F.expr(f"cb * {mic.format(x='xb')}").alias("mb"))
+                .groupBy("sa", "sb")
+                .agg(F.count(F.lit(1)).alias("shared_terms"),
+                     F.first("ta").alias("ta"), F.first("tb").alias("tb"),
+                     F.sum("ma").alias("s_a"), F.sum("mb").alias("s_b"),
+                     F.sum("ca").alias("shc_a"), F.sum("cb").alias("shc_b")))
+    return (per_pair.select(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
+        F.col("shared_terms").cast("bigint").alias("shared_terms"),
+        F.expr(
+            f"CAST((CAST(s_a + (ta - shc_a) * {_LN2_MICROS} "
+            f"AS DECIMAL(38,0)) * tb "
+            f" + CAST(s_b + (tb - shc_b) * {_LN2_MICROS} "
+            f"AS DECIMAL(38,0)) * ta) "
+            "DIV (2 * CAST(ta AS DECIMAL(38,0)) * tb) AS BIGINT)")
+        .alias("jsd_micronats")))
+
+
+JSD_SQL = rf"""
+WITH tf AS (
+  SELECT source, w, COUNT(*) AS cnt
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY source, w
+), tots AS (
+  SELECT source, SUM(cnt) AS t FROM tf GROUP BY source
+), shared AS (
+  -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands degrades to
+  -- float division (the theil_sen gotcha), breaking the exact floor
+  SELECT a.source AS sa, b.source AS sb, a.cnt AS ca, b.cnt AS cb,
+         ta.t AS ta, tb.t AS tb,
+         CAST(a.cnt AS HUGEINT) * tb.t AS xa,
+         CAST(b.cnt AS HUGEINT) * ta.t AS xb
+  FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+  JOIN tots ta ON ta.source = a.source
+  JOIN tots tb ON tb.source = b.source
+), per_pair AS (
+  SELECT sa, sb, COUNT(*) AS shared_terms,
+         MAX(ta) AS ta, MAX(tb) AS tb,
+         SUM(ca * CAST(floor(round(ln(2.0 * CAST(xa AS DOUBLE)
+               / CAST(xa + xb AS DOUBLE)), 6) * 1000000.0 + 0.5)
+             AS BIGINT)) AS s_a,
+         SUM(cb * CAST(floor(round(ln(2.0 * CAST(xb AS DOUBLE)
+               / CAST(xa + xb AS DOUBLE)), 6) * 1000000.0 + 0.5)
+             AS BIGINT)) AS s_b,
+         SUM(ca) AS shc_a, SUM(cb) AS shc_b
+  FROM shared GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(shared_terms AS BIGINT) AS shared_terms,
+       CAST((CAST(s_a + (ta - shc_a) * {_LN2_MICROS} AS HUGEINT) * tb
+             + CAST(s_b + (tb - shc_b) * {_LN2_MICROS} AS HUGEINT) * ta)
+            // (2 * CAST(ta AS HUGEINT) * tb) AS BIGINT)
+       AS jsd_micronats
+FROM per_pair
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Fano factor / burstiness of daily event arrivals
+# ---------------------------------------------------------------------------
+
+def daily_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion diagnostics of the per-type daily event-arrival
+    process: the Fano factor (variance/mean of daily counts; 1 =
+    Poisson, >1 = over-dispersed/bursty) and the Goh-Barabasi
+    burstiness index B = (sigma - mu)/(sigma + mu) in [-1, 1). The
+    capacity-planning answer to "are these arrivals smooth or bursty?".
+
+    Exactness: over days with counts x_i, num = n*sum(x^2) - sum(x)^2
+    is an exact integer; Fano = num/(n*sum(x)) and sigma = sqrt(num)/n
+    — sqrt is IEEE-correctly-rounded (engine-identical), so B =
+    (sqrt(num) - s)/(sqrt(num) + s) rounds 6dp identically. Days with
+    zero events of a type are NOT in the frame (observed-day
+    convention, documented; a spine-join variant is one F.sequence
+    away).
+
+    Scale: one events-sized aggregate to the calendar-bounded
+    (type x day) frame, then a per-type aggregate of integer moments —
+    all mergeable, no windows."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    return (daily.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("x").cast("bigint").alias("n_events"),
+                 F.sum(F.expr("x * x")).alias("ssq"))
+            .select("event_type", "n_days", "n_events",
+                    F.expr("round(CAST(n_days * ssq - n_events * n_events "
+                           "AS DOUBLE) / CAST(n_days * n_events AS DOUBLE)"
+                           ", 6)").alias("fano_r6"),
+                    F.expr("round((sqrt(CAST(n_days * ssq - n_events * "
+                           "n_events AS DOUBLE)) - n_events) / "
+                           "(sqrt(CAST(n_days * ssq - n_events * n_events "
+                           "AS DOUBLE)) + n_events), 6)")
+                    .alias("burstiness_r6")))
+
+
+FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS n_events, SUM(x * x) AS ssq
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days, n_events,
+       round(CAST(n_days * ssq - n_events * n_events AS DOUBLE)
+             / CAST(n_days * n_events AS DOUBLE), 6) AS fano_r6,
+       round((sqrt(CAST(n_days * ssq - n_events * n_events AS DOUBLE))
+              - n_events)
+             / (sqrt(CAST(n_days * ssq - n_events * n_events AS DOUBLE))
+                + n_events), 6) AS burstiness_r6
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Herfindahl-Hirschman revenue concentration per nation
+# ---------------------------------------------------------------------------
+
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit per nation: the Herfindahl-Hirschman
+    index of customer revenue shares (sum of squared shares; 1e6 ppm =
+    monopoly), the implied effective customer count 1/HHI, and the top
+    customer's share — the antitrust-style complement to the Gini/
+    Lorenz view (HHI weights the head, Gini the whole curve).
+
+    All-integer: HHI_ppm = sum(c^2)*1e6 DIV sum(c)^2 with both products
+    in DECIMAL(38,0) (a 100 TB customer's cents^2 alone is ~1e22).
+
+    Scale: customer-revenue aggregate (one orders shuffle), broadcast
+    nation dim join, 25-row output. Zero-revenue nations are dropped
+    (division guard; cannot occur in TPC-H data, documented)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey", "c_nationkey")
+           .agg(F.coalesce(F.sum(F.expr(_CENTS)), F.lit(0))
+                .cast("bigint").alias("cents")))
+    return (per.join(F.broadcast(n), per.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").cast("bigint").alias("tot_cents"),
+                 F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+                 .alias("ssq"),
+                 F.max("cents").alias("max_cents"))
+            .filter(F.col("tot_cents") > 0)
+            .select(F.col("n_name").alias("nation"), "n_customers",
+                    "tot_cents",
+                    F.expr("CAST(CAST(ssq AS DECIMAL(38,0)) * 1000000 DIV "
+                           "(CAST(tot_cents AS DECIMAL(38,0)) * tot_cents) "
+                           "AS BIGINT)").alias("hhi_ppm"),
+                    F.expr("CAST(CAST(tot_cents AS DECIMAL(38,0)) "
+                           "* tot_cents * 1000 DIV ssq AS BIGINT)")
+                    .alias("effective_customers_x1000"),
+                    F.expr(ppm("max_cents", "tot_cents"))
+                    .alias("top_share_ppm")))
+
+
+HHI_SQL = """
+WITH per AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)), 0) AS BIGINT) AS cents
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_nationkey
+), agg AS (
+  SELECT n_name AS nation, COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS tot_cents,
+         SUM(CAST(cents AS HUGEINT) * cents) AS ssq,
+         MAX(cents) AS max_cents
+  FROM per JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT nation, CAST(n_customers AS BIGINT) AS n_customers, tot_cents,
+       CAST(ssq * 1000000 // (CAST(tot_cents AS HUGEINT) * tot_cents)
+            AS BIGINT) AS hhi_ppm,
+       CAST(CAST(tot_cents AS HUGEINT) * tot_cents * 1000 // ssq
+            AS BIGINT) AS effective_customers_x1000,
+       CAST(max_cents * 1000000 // tot_cents AS BIGINT) AS top_share_ppm
+FROM agg WHERE tot_cents > 0
+"""
+
+
+QUERIES: dict[str, QueryFn] = {
+    "woe_iv_segment_priority": woe_iv_segment_priority,
+    "score_auc_acctbal": score_auc_acctbal,
+    "gini_lorenz_customers": gini_lorenz_customers,
+    "acf_daily_revenue": acf_daily_revenue,
+    "kaplan_meier_reorder": kaplan_meier_reorder,
+    "score_lift_gain_deciles": score_lift_gain_deciles,
+    "score_calibration_bins": score_calibration_bins,
+    "source_js_divergence": source_js_divergence,
+    "daily_burstiness_fano": daily_burstiness_fano,
+    "nation_revenue_hhi": nation_revenue_hhi,
+}
+
+ORACLES: dict[str, str] = {
+    "woe_iv_segment_priority": WOE_IV_SQL,
+    "score_auc_acctbal": AUC_SQL,
+    "gini_lorenz_customers": GINI_SQL,
+    "acf_daily_revenue": ACF_SQL,
+    "kaplan_meier_reorder": KM_SQL,
+    "score_lift_gain_deciles": LIFT_SQL,
+    "score_calibration_bins": CALIB_SQL,
+    "source_js_divergence": JSD_SQL,
+    "daily_burstiness_fano": FANO_SQL,
+    "nation_revenue_hhi": HHI_SQL,
+}

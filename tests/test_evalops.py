@@ -1,0 +1,285 @@
+"""Semantic tests for the evalops family (WoE/IV, AUC, Gini/Lorenz,
+ACF, Kaplan-Meier): each operator is replayed independently in plain
+Python/numpy from the raw parquet rows at sf0.001, so the tests pin the
+STATISTIC, not just the SQL-oracle agreement (which the auto-param
+parity suite already covers)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from spark_kafka_airflow_pipeline_spark.operators import evalops
+
+
+def _orders(sf_dir):
+    return pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+
+
+def _customers(sf_dir):
+    return pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+
+
+def _cents(price: float) -> int:
+    return math.floor(price * 100 + 0.5)
+
+
+def test_woe_iv_recompute(spark, sf_dir):
+    """WoE/IV per segment replayed from raw counts; identities:
+    sum over segments of (pos_share - neg_share) = 0, IV >= 0 term-wise
+    only when shares and WoE agree in sign (true by construction)."""
+    rows = {r.c_mktsegment: r
+            for r in evalops.woe_iv_segment_priority(spark, sf_dir).collect()}
+    seg_c = {c["c_custkey"]: c["c_mktsegment"] for c in _customers(sf_dir)}
+    pos, neg = {}, {}
+    for o in _orders(sf_dir):
+        s = seg_c[o["o_custkey"]]
+        if o["o_orderpriority"] in ("1-URGENT", "2-HIGH"):
+            pos[s] = pos.get(s, 0) + 1
+        else:
+            neg[s] = neg.get(s, 0) + 1
+    p_tot, n_tot = sum(pos.values()), sum(neg.values())
+    assert set(rows) == set(pos) | set(neg)
+    for s, r in rows.items():
+        assert (r.n_pos, r.n_neg) == (pos[s], neg[s])
+        woe = round(math.log((pos[s] * n_tot) / (neg[s] * p_tot)), 6)
+        assert r.woe_r6 == pytest.approx(woe, abs=1e-9)
+        assert r.iv_r6 == pytest.approx(
+            round((pos[s] / p_tot - neg[s] / n_tot) * woe, 6), abs=1e-9)
+
+
+def test_auc_matches_bruteforce_pairs(spark, sf_dir):
+    """auc_ppm equals the brute-force Mann-Whitney over all pos x neg
+    pairs (wins + half-ties), floored to ppm."""
+    got = evalops.score_auc_acctbal(spark, sf_dir).collect()[0]
+    urgent = {o["o_custkey"] for o in _orders(sf_dir)
+              if o["o_orderpriority"] == "1-URGENT"}
+    scores = [(_cents(c["c_acctbal"]), c["c_custkey"] in urgent)
+              for c in _customers(sf_dir)]
+    pos = sorted(s for s, p in scores if p)
+    neg = sorted(s for s, p in scores if not p)
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    wins2 = 0  # 2*(wins + ties/2), exact integer
+    for sp in pos:  # sf0.001: 1500x~800 pairs — fine brute force
+        for sn in neg:
+            wins2 += 2 if sp > sn else (1 if sp == sn else 0)
+    assert got.auc_ppm == wins2 * 10**6 // (2 * len(pos) * len(neg))
+    assert got.gini_ppm == 2 * got.auc_ppm - 10**6
+
+
+def test_gini_lorenz_matches_python(spark, sf_dir):
+    """gini_ppm equals the rank-identity replay; Lorenz deciles
+    partition all customers, cum shares are monotone and end at ~1e6
+    (floor division can shave <= 1 ppm)."""
+    out = evalops.gini_lorenz_customers(spark, sf_dir).collect()
+    per = {c["c_custkey"]: 0 for c in _customers(sf_dir)}
+    for o in _orders(sf_dir):
+        per[o["o_custkey"]] += _cents(o["o_totalprice"])
+    xs = [v for _, v in sorted(per.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, tot = len(xs), sum(xs)
+    s_rnx = sum(r * x for r, x in enumerate(xs, start=1))
+    want_gini = (2 * s_rnx - (n + 1) * tot) * 10**6 // (n * tot)
+    assert {r.gini_ppm for r in out} == {want_gini}
+    assert sorted(r.decile for r in out) == list(range(1, 11))
+    assert sum(r.n_customers for r in out) == n
+    assert sum(r.decile_cents for r in out) == tot
+    shares = [r.cum_share_ppm for r in sorted(out, key=lambda r: r.decile)]
+    assert shares == sorted(shares)
+    assert 10**6 - 1 <= shares[-1] <= 10**6
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    """acf_r6 equals the exact-integer replay of the n-scaled centered
+    autocorrelation over the day-ordered revenue sequence."""
+    out = {r.lag: r for r in evalops.acf_daily_revenue(spark, sf_dir).collect()}
+    daily = {}
+    for o in _orders(sf_dir):
+        daily[o["o_orderdate"]] = (daily.get(o["o_orderdate"], 0)
+                                   + _cents(o["o_totalprice"]))
+    xs = [daily[d] for d in sorted(daily)]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]  # exact ints
+    den = sum(v * v for v in c)
+    assert set(out) == set(range(1, evalops.ACF_MAX_LAG + 1))
+    for k in range(1, evalops.ACF_MAX_LAG + 1):
+        num = sum(c[t] * c[t + k] for t in range(n - k))
+        assert out[k].n_pairs == n - k
+        assert out[k].acf_r6 == pytest.approx(round(num / den, 6), abs=1e-9)
+    # lag-0 sanity is implicit (den>0); |r_k| must be a correlation
+    assert all(abs(r.acf_r6) <= 1.0 for r in out.values())
+
+
+def test_kaplan_meier_matches_python(spark, sf_dir):
+    """The survival curve equals the textbook product-limit replay
+    (with the repo's 6dp-ln accumulation); censored-only levels carry
+    no output row but DO shrink the risk set."""
+    out = {r.t_days: r
+           for r in evalops.kaplan_meier_reorder(spark, sf_dir).collect()}
+    firsts: dict[int, list] = {}
+    for o in _orders(sf_dir):
+        firsts.setdefault(o["o_custkey"], []).append(
+            (o["o_orderdate"], o["o_orderkey"]))
+    cmax = max(o["o_orderdate"] for o in _orders(sf_dir))
+    levels: dict[int, list[int]] = {}
+    for dates in firsts.values():
+        dates.sort()
+        if len(dates) >= 2:
+            t, e = (dates[1][0] - dates[0][0]).days, 1
+        else:
+            t, e = (cmax - dates[0][0]).days, 0
+        d, c = levels.setdefault(t, [0, 0])
+        levels[t] = [d + e, c + (1 - e)]
+    n_risk = sum(d + c for d, c in levels.values())
+    cum_ln, surv = 0.0, {}
+    for t in sorted(levels):
+        d, c = levels[t]
+        if 0 < d < n_risk:
+            cum_ln += round(math.log(1.0 - d / n_risk), 6)
+            surv[t] = (n_risk, d, c, round(math.exp(cum_ln), 6))
+        elif d >= n_risk and d > 0:
+            surv[t] = (n_risk, d, c, 0.0)
+        n_risk -= d + c
+    assert set(out) == set(surv)
+    for t, (nr, d, c, s) in surv.items():
+        r = out[t]
+        assert (r.n_risk, r.d_events, r.n_censored) == (nr, d, c)
+        assert r.surv_r6 == pytest.approx(s, abs=1e-9)
+    # survival is non-increasing over event times
+    ts = sorted(out)
+    assert all(out[a].surv_r6 >= out[b].surv_r6
+               for a, b in zip(ts, ts[1:]))
+
+
+def test_lift_gain_deciles_replay(spark, sf_dir):
+    """Gains/lift replayed by brute-force sort in Python; decile 10's
+    gain must be exactly 1e6 (all positives captured) and lift_ppm must
+    end at ~1e6 (whole population = base rate)."""
+    out = {r.decile: r
+           for r in evalops.score_lift_gain_deciles(spark, sf_dir).collect()}
+    urgent = {o["o_custkey"] for o in _orders(sf_dir)
+              if o["o_orderpriority"] == "1-URGENT"}
+    lab = sorted(((_cents(c["c_acctbal"]), c["c_custkey"],
+                   c["c_custkey"] in urgent) for c in _customers(sf_dir)),
+                 key=lambda r: (-r[0], r[1]))
+    n, p = len(lab), sum(1 for r in lab if r[2])
+    q, rmd = divmod(n, 10)
+    sizes = [q + 1 if d <= rmd else q for d in range(1, 11)]  # NTILE
+    pos_per, i = [], 0
+    for sz in sizes:
+        pos_per.append(sum(1 for r in lab[i:i + sz] if r[2]))
+        i += sz
+    cum_r = cum_p = 0
+    for d in range(1, 11):
+        cum_r += sizes[d - 1]
+        cum_p += pos_per[d - 1]
+        r = out[d]
+        assert (r.n_rows, r.n_pos) == (sizes[d - 1], pos_per[d - 1])
+        assert r.gain_ppm == cum_p * 10**6 // p
+        assert r.lift_ppm == cum_p * n * 10**6 // (cum_r * p)
+    assert out[10].gain_ppm == 10**6
+    assert out[10].lift_ppm == 10**6
+
+
+def test_calibration_bins_partition_population(spark, sf_dir):
+    """Bins partition all customers; per-bin rates replayed exactly;
+    base rate identical on every row."""
+    out = evalops.score_calibration_bins(spark, sf_dir).collect()
+    urgent = {o["o_custkey"] for o in _orders(sf_dir)
+              if o["o_orderpriority"] == "1-URGENT"}
+    scores = [(_cents(c["c_acctbal"]), c["c_custkey"] in urgent)
+              for c in _customers(sf_dir)]
+    mn, mx = min(s for s, _ in scores), max(s for s, _ in scores)
+    bins: dict[int, list[int]] = {}
+    for s, p in scores:
+        b = (s - mn) * evalops.CALIB_BINS // (mx - mn + 1)
+        t = bins.setdefault(b, [0, 0])
+        t[0] += 1
+        t[1] += int(p)
+    assert {r.bin for r in out} == set(bins)
+    assert sum(r.n_rows for r in out) == len(scores)
+    base = sum(p for _, p in bins.values()) * 10**6 // len(scores)
+    for r in out:
+        nr, np_ = bins[r.bin]
+        assert (r.n_rows, r.n_pos) == (nr, np_)
+        assert r.pos_rate_ppm == np_ * 10**6 // nr
+        assert r.base_rate_ppm == base
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    """JSD(p, p) = 0; disjoint vocabularies give exactly ln(2) micros;
+    and every pair lands in [0, ln2]."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a", "en", "s1", 7), (2, "a b c a", "en", "s2", 7),
+         (3, "x y z", "en", "s3", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {(r.source_a, r.source_b): r
+               for r in evalops.source_js_divergence(spark, td).collect()}
+    assert out[("s1", "s2")].jsd_micronats == 0
+    assert out[("s1", "s2")].shared_terms == 3
+    # disjoint: no shared terms -> no join row -> pair absent by design
+    assert ("s1", "s3") not in out
+    # bounds on the real corpus pairs
+    real = evalops.source_js_divergence(
+        spark, "/root/testdata/sf0.001").collect()
+    assert all(0 <= r.jsd_micronats <= 693148 for r in real)
+    assert len(real) == 190  # C(20,2) source pairs all share some term
+
+
+def test_fano_matches_python(spark, sf_dir):
+    """Fano/burstiness replayed from raw daily counts; a Poisson-ish
+    process has fano near its sample value, and B in [-1, 1)."""
+    out = {r.event_type: r
+           for r in evalops.daily_burstiness_fano(spark, sf_dir).collect()}
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "ts"]).to_pylist()
+    daily: dict[tuple, int] = {}
+    for e in ev:
+        daily[(e["event_type"], e["ts"].date())] = daily.get(
+            (e["event_type"], e["ts"].date()), 0) + 1
+    per: dict[str, list[int]] = {}
+    for (t, _), x in daily.items():
+        per.setdefault(t, []).append(x)
+    assert set(out) == set(per)
+    for t, xs in per.items():
+        n, s, ssq = len(xs), sum(xs), sum(x * x for x in xs)
+        num = n * ssq - s * s
+        r = out[t]
+        assert (r.n_days, r.n_events) == (n, s)
+        assert r.fano_r6 == pytest.approx(round(num / (n * s), 6), abs=1e-9)
+        want_b = round((math.sqrt(num) - s) / (math.sqrt(num) + s), 6)
+        assert r.burstiness_r6 == pytest.approx(want_b, abs=1e-9)
+        assert -1.0 <= r.burstiness_r6 < 1.0
+
+
+def test_hhi_replay_and_bounds(spark, sf_dir):
+    """HHI replayed per nation; bounds: 1e6/n <= HHI_ppm <= 1e6 and
+    effective_customers <= n_customers."""
+    out = {r.nation: r
+           for r in evalops.nation_revenue_hhi(spark, sf_dir).collect()}
+    nat = {c["c_custkey"]: c["c_nationkey"] for c in _customers(sf_dir)}
+    nname = {n["n_nationkey"]: n["n_name"] for n in pq.read_table(
+        f"{sf_dir}/nation.parquet").to_pylist()}
+    per: dict[int, int] = {k: 0 for k in nat}
+    for o in _orders(sf_dir):
+        per[o["o_custkey"]] += _cents(o["o_totalprice"])
+    by_nation: dict[str, list[int]] = {}
+    for ck, cents in per.items():
+        by_nation.setdefault(nname[nat[ck]], []).append(cents)
+    for nn, xs in by_nation.items():
+        tot, ssq = sum(xs), sum(x * x for x in xs)
+        if tot == 0:
+            assert nn not in out
+            continue
+        r = out[nn]
+        assert r.n_customers == len(xs)
+        assert r.tot_cents == tot
+        assert r.hhi_ppm == ssq * 10**6 // (tot * tot)
+        assert r.effective_customers_x1000 == tot * tot * 1000 // ssq
+        assert r.top_share_ppm == max(xs) * 10**6 // tot
+        assert 10**6 // len(xs) <= r.hhi_ppm <= 10**6
+        assert r.effective_customers_x1000 <= len(xs) * 1000
