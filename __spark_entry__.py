@@ -113,6 +113,9 @@ _R9_EARMARK = (
     "gini_lorenz_customers", "acf_daily_revenue", "kaplan_meier_reorder",
     "score_lift_gain_deciles", "score_calibration_bins",
     "source_js_divergence", "daily_burstiness_fano", "nation_revenue_hhi",
+    "threshold_sweep_pr_f1", "segment_priority_mutual_info",
+    "classifier_agreement_kappa", "isotonic_calibration_bins",
+    "purchase_view_ccf",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

@@ -229,6 +229,10 @@ OPS = {
     "score_calibration_bins": evalops.score_calibration_bins,
     "source_js_divergence": evalops.source_js_divergence,
     "nation_revenue_hhi": evalops.nation_revenue_hhi,
+    "threshold_sweep_pr_f1": evalops.threshold_sweep_pr_f1,
+    "segment_priority_mutual_info": evalops.segment_priority_mutual_info,
+    "classifier_agreement_kappa": evalops.classifier_agreement_kappa,
+    "isotonic_calibration_bins": evalops.isotonic_calibration_bins,
 }
 
 
@@ -272,6 +276,7 @@ EVENT_OPS = {
     "watermark_delay_planner": events.watermark_delay_planner,
     # late round-8 evalops (events-based)
     "daily_burstiness_fano": evalops.daily_burstiness_fano,
+    "purchase_view_ccf": evalops.purchase_view_ccf,
     # round-8 additions
     "retention_triangle": events.retention_triangle,
 }

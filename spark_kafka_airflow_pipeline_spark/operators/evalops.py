@@ -870,6 +870,438 @@ FROM agg WHERE tot_cents > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# 11. Precision / recall / F1 threshold sweep
+# ---------------------------------------------------------------------------
+
+def threshold_sweep_pr_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection table: precision / recall / F1 of the
+    rule "predict positive when the balance-score lands in bin >= t"
+    for every candidate threshold t over the 10 equal-width score bins
+    — the sweep behind choosing a deployment cutoff once the AUC says
+    the score ranks at all.
+
+    All-integer: TP/FP/FN come from high-side prefix sums over the
+    10-row bin frame; f1_ppm = 2*tp*1e6 DIV (2*tp + fp + fn) exactly.
+
+    Scale: one customer-sized aggregate to the 10-bin frame (the
+    calibration op's binning); every window runs on <= 10 rows."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+           .select(F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+                   .alias("score"),
+                   F.expr("CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END")
+                   .alias("is_pos")))
+    rng = lab.agg(F.min("score").alias("mn"), F.max("score").alias("mx"),
+                  F.sum("is_pos").cast("bigint").alias("p_all"))
+    per_bin = (lab.crossJoin(F.broadcast(rng))
+               .withColumn("bin", F.expr(
+                   f"CAST((score - mn) * {CALIB_BINS} DIV (mx - mn + 1) "
+                   "AS INT)"))
+               .groupBy("bin")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("is_pos").cast("bigint").alias("n_pos"),
+                    F.first("p_all").alias("p_all")))
+    whigh = (Window.orderBy(F.col("bin").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_bin
+            .withColumn("pred_pos", F.sum("n_rows").over(whigh))
+            .withColumn("tp", F.sum("n_pos").over(whigh))
+            .select(F.col("bin").alias("threshold_bin"), "pred_pos",
+                    F.col("tp").cast("bigint").alias("tp"),
+                    F.expr("CAST(pred_pos - tp AS BIGINT)").alias("fp"),
+                    F.expr("CAST(p_all - tp AS BIGINT)").alias("fn"),
+                    F.expr(ppm("tp", "pred_pos")).alias("precision_ppm"),
+                    F.expr(ppm("tp", "p_all")).alias("recall_ppm"),
+                    F.expr(ppm("2 * tp",
+                               "2 * tp + (pred_pos - tp) + (p_all - tp)"))
+                    .alias("f1_ppm")))
+
+
+PRF1_SQL = f"""
+WITH lab AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS is_pos
+  FROM customer
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') u
+    ON c_custkey = u.o_custkey
+), rng AS (
+  SELECT MIN(score) AS mn, MAX(score) AS mx, SUM(is_pos) AS p_all FROM lab
+), per_bin AS (
+  SELECT CAST((score - mn) * {CALIB_BINS} // (mx - mn + 1) AS INT) AS bin,
+         COUNT(*) AS n_rows, SUM(is_pos) AS n_pos, MAX(p_all) AS p_all
+  FROM lab CROSS JOIN rng GROUP BY 1
+), sweep AS (
+  SELECT bin, p_all,
+         SUM(n_rows) OVER (ORDER BY bin DESC
+                           ROWS UNBOUNDED PRECEDING) AS pred_pos,
+         SUM(n_pos) OVER (ORDER BY bin DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp
+  FROM per_bin
+)
+SELECT bin AS threshold_bin, CAST(pred_pos AS BIGINT) AS pred_pos,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(pred_pos - tp AS BIGINT) AS fp,
+       CAST(p_all - tp AS BIGINT) AS fn,
+       CAST(tp * 1000000 // pred_pos AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // p_all AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000
+            // (2 * tp + (pred_pos - tp) + (p_all - tp)) AS BIGINT)
+       AS f1_ppm
+FROM sweep
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Mutual information segment x priority
+# ---------------------------------------------------------------------------
+
+def segment_priority_mutual_info(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Mutual information between customer market segment and order
+    priority — the symmetric, multi-class counterpart to the WoE/IV
+    screen ("how many nats does knowing the segment tell you about the
+    priority?"), plus the normalized variant NMI = MI/min(H_x, H_y).
+
+    Portability: every cell's ln(c*N / (r*s)) is an ln of an EXACT
+    integer ratio (products in DECIMAL(38,0)/HUGEINT — N^2-sized),
+    rounded 6dp, scaled to integer micros, count-weighted, BIGINT
+    summed, then one integer division by N. Entropies use the same
+    idiom over the 5-row marginals.
+
+    Scale: one orders-sized aggregate to the 25-cell contingency table;
+    marginals and totals are bounded broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cell = (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    row_m = cell.groupBy("c_mktsegment").agg(F.sum("cnt").alias("r"))
+    col_m = cell.groupBy("o_orderpriority").agg(F.sum("cnt").alias("s"))
+    tot = cell.agg(F.sum("cnt").alias("n"))
+    mic = ("CAST(floor(round(ln(CAST(CAST(cnt AS DECIMAL(38,0)) * n "
+           "AS DOUBLE) / CAST(CAST(r AS DECIMAL(38,0)) * s AS DOUBLE)), 6)"
+           " * 1000000.0 + 0.5) AS BIGINT)")
+    mi = (cell.join(F.broadcast(row_m), "c_mktsegment")
+          .join(F.broadcast(col_m), "o_orderpriority")
+          .crossJoin(F.broadcast(tot))
+          .agg(F.sum(F.expr(f"cnt * {mic}")).alias("s_mi"),
+               F.first("n").alias("n")))
+    ent = ("CAST(SUM({m} * CAST(floor(round(ln(CAST(n AS DOUBLE) / {m}), 6)"
+           " * 1000000.0 + 0.5) AS BIGINT)) DIV MAX(n) AS BIGINT)")
+    ent_x = (row_m.crossJoin(F.broadcast(tot))
+             .agg(F.expr(ent.format(m="r")).alias("h_seg")))
+    ent_y = (col_m.crossJoin(F.broadcast(tot))
+             .agg(F.expr(ent.format(m="s")).alias("h_pri")))
+    return (mi.select(F.expr("CAST(s_mi DIV n AS BIGINT)")
+                      .alias("mi_micronats"), "n")
+            .crossJoin(F.broadcast(ent_x)).crossJoin(F.broadcast(ent_y))
+            .select(F.col("n").cast("bigint").alias("n_orders"),
+                    "mi_micronats", "h_seg", "h_pri",
+                    F.expr(ppm("mi_micronats",
+                               "least(h_seg, h_pri)")).alias("nmi_ppm")))
+
+
+MI_SQL = """
+WITH cell AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), row_m AS (SELECT c_mktsegment, SUM(cnt) AS r FROM cell GROUP BY 1),
+col_m AS (SELECT o_orderpriority, SUM(cnt) AS s FROM cell GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n FROM cell),
+mi AS (
+  SELECT SUM(cnt * CAST(floor(round(ln(
+           CAST(CAST(cnt AS HUGEINT) * n AS DOUBLE)
+           / CAST(CAST(r AS HUGEINT) * s AS DOUBLE)), 6)
+         * 1000000.0 + 0.5) AS BIGINT)) AS s_mi, MAX(n) AS n
+  FROM cell
+  JOIN row_m USING (c_mktsegment)
+  JOIN col_m USING (o_orderpriority)
+  CROSS JOIN tot
+), ex AS (
+  SELECT CAST(SUM(r * CAST(floor(round(ln(CAST(n AS DOUBLE) / r), 6)
+              * 1000000.0 + 0.5) AS BIGINT)) // MAX(n) AS BIGINT) AS h_seg
+  FROM row_m CROSS JOIN tot
+), ey AS (
+  SELECT CAST(SUM(s * CAST(floor(round(ln(CAST(n AS DOUBLE) / s), 6)
+              * 1000000.0 + 0.5) AS BIGINT)) // MAX(n) AS BIGINT) AS h_pri
+  FROM col_m CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(s_mi // n AS BIGINT) AS mi_micronats, h_seg, h_pri,
+       CAST(CAST(s_mi // n AS HUGEINT) * 1000000
+            // least(h_seg, h_pri) AS BIGINT) AS nmi_ppm
+FROM mi CROSS JOIN ex CROSS JOIN ey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Cohen's kappa between two rule classifiers
+# ---------------------------------------------------------------------------
+
+def classifier_agreement_kappa(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Inter-rater agreement: Cohen's kappa between two deterministic
+    labelers of the same customers — A: "balance above the corpus mean
+    (floored cents)", B: "ever placed a 1-URGENT order" — the
+    chance-corrected agreement score an annotation pipeline reports
+    before trusting consensus labels.
+
+    Exact: kappa = (agree*N - a1*b1 - a0*b0) /
+    (N^2 - a1*b1 - a0*b0) is an integer ratio (ppm via DECIMAL(38,0));
+    the mean-threshold is itself integer (sum DIV n).
+
+    Scale: two passes over customer (one for the mean broadcast, one
+    for the 2x2 table) — both mergeable aggregates, no windows."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cents = c.select("c_custkey",
+                     F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+                     .alias("sc"))
+    mean = cents.agg(F.expr("CAST(SUM(sc) DIV COUNT(*) AS BIGINT)")
+                     .alias("mu"))
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (cents.crossJoin(F.broadcast(mean))
+           .join(urgent, cents.c_custkey == urgent.o_custkey, "left")
+           .select(F.expr("CASE WHEN sc > mu THEN 1 ELSE 0 END").alias("a"),
+                   F.expr("CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END")
+                   .alias("b")))
+    agg = lab.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("a").alias("a1"), F.sum("b").alias("b1"),
+                  F.sum(F.expr("CASE WHEN a = b THEN 1 ELSE 0 END"))
+                  .alias("agree"))
+    return (agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("a1").cast("bigint").alias("n_pos_a"),
+        F.col("b1").cast("bigint").alias("n_pos_b"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.expr(ppm("agree", "n")).alias("po_ppm"),
+        F.expr(ppm("CAST(a1 AS DECIMAL(38,0)) * b1 + "
+                   "CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)",
+                   "CAST(n AS DECIMAL(38,0)) * n")).alias("pe_ppm"),
+        F.expr(ppm("CAST(agree AS DECIMAL(38,0)) * n "
+                   "- CAST(a1 AS DECIMAL(38,0)) * b1 "
+                   "- CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)",
+                   "CAST(n AS DECIMAL(38,0)) * n "
+                   "- CAST(a1 AS DECIMAL(38,0)) * b1 "
+                   "- CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)"))
+        .alias("kappa_ppm")))
+
+
+KAPPA_SQL = """
+WITH cents AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS sc
+  FROM customer
+), mean AS (SELECT CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mu FROM cents),
+lab AS (
+  SELECT CASE WHEN sc > mu THEN 1 ELSE 0 END AS a,
+         CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS b
+  FROM cents CROSS JOIN mean
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') u
+    ON c_custkey = u.o_custkey
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(a) AS a1, SUM(b) AS b1,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM lab
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(a1 AS BIGINT) AS n_pos_a, CAST(b1 AS BIGINT) AS n_pos_b,
+       CAST(agree AS BIGINT) AS n_agree,
+       CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+       CAST((CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))
+            * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       CAST((CAST(agree AS HUGEINT) * n - CAST(a1 AS HUGEINT) * b1
+             - CAST(n - a1 AS HUGEINT) * (n - b1)) * 1000000
+            // (CAST(n AS HUGEINT) * n - CAST(a1 AS HUGEINT) * b1
+                - CAST(n - a1 AS HUGEINT) * (n - b1)) AS BIGINT)
+       AS kappa_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. Isotonic (PAV) calibration over the reliability bins
+# ---------------------------------------------------------------------------
+
+def isotonic_calibration_bins(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Isotonic regression of the reliability table — the
+    pool-adjacent-violators fit that turns the raw (possibly
+    non-monotone) per-bin positive rates into the best monotone
+    calibrated rates, via the closed-form minimax identity
+    iso_i = max_{j<=i} min_{k>=i} weightedMean(rate, bins j..k).
+
+    Exactness: interval means are integer prefix-sum ratios in ppm
+    (floored identically by both engines); max-of-min over floored
+    interval means is still integer arithmetic, hence hash-exact.
+    NOTE this computes minimax over FLOORED ppm means — a fixed,
+    well-defined spec both engines share (the unfloored PAV can differ
+    by <= 1 ppm; the spec choice is documented here).
+
+    Scale: everything after the one customer-sized binning aggregate
+    happens on the 10-row bin frame — the j x k x i enumeration is
+    <= 10^3 rows of literals. The at-scale cost is the binning scan."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    urgent = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+           .select(F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+                   .alias("score"),
+                   F.expr("CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END")
+                   .alias("is_pos")))
+    rng = lab.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    bins = (lab.crossJoin(F.broadcast(rng))
+            .withColumn("bin", F.expr(
+                f"CAST((score - mn) * {CALIB_BINS} DIV (mx - mn + 1) "
+                "AS INT)"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("is_pos").cast("bigint").alias("n_pos")))
+    wpre = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    pre = (bins.withColumn("cn", F.sum("n_rows").over(wpre))
+           .withColumn("cp", F.sum("n_pos").over(wpre)))
+    lo = pre.select(F.col("bin").alias("j"),
+                    (F.col("cn") - F.col("n_rows")).alias("cn_j0"),
+                    (F.col("cp") - F.col("n_pos")).alias("cp_j0"))
+    hi = pre.select(F.col("bin").alias("k"), F.col("cn").alias("cn_k"),
+                    F.col("cp").alias("cp_k"))
+    seg = (lo.crossJoin(hi).filter(F.col("j") <= F.col("k"))
+           .select("j", "k",
+                   F.expr(ppm("cp_k - cp_j0", "cn_k - cn_j0"))
+                   .alias("mean_ppm")))
+    i = pre.select(F.col("bin").alias("i"), "n_rows", "n_pos")
+    inner = (i.join(seg, (seg.j <= i.i) & (i.i <= seg.k))
+             .groupBy("i", "j", "n_rows", "n_pos")
+             .agg(F.min("mean_ppm").alias("min_over_k")))
+    return (inner.groupBy("i", "n_rows", "n_pos")
+            .agg(F.max("min_over_k").alias("iso_rate_ppm"))
+            .select(F.col("i").alias("bin"), "n_rows", "n_pos",
+                    F.expr(ppm("n_pos", "n_rows")).alias("raw_rate_ppm"),
+                    "iso_rate_ppm"))
+
+
+ISO_SQL = f"""
+WITH lab AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS is_pos
+  FROM customer
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') u
+    ON c_custkey = u.o_custkey
+), rng AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM lab),
+bins AS (
+  SELECT CAST((score - mn) * {CALIB_BINS} // (mx - mn + 1) AS INT) AS bin,
+         COUNT(*) AS n_rows, SUM(is_pos) AS n_pos
+  FROM lab CROSS JOIN rng GROUP BY 1
+), pre AS (
+  SELECT bin, n_rows, n_pos,
+         SUM(n_rows) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+  FROM bins
+), seg AS (
+  SELECT lo.bin AS j, hi.bin AS k,
+         CAST((hi.cp - (lo.cp - lo.n_pos)) * 1000000
+              // (hi.cn - (lo.cn - lo.n_rows)) AS BIGINT) AS mean_ppm
+  FROM pre lo CROSS JOIN pre hi WHERE lo.bin <= hi.bin
+), inner_min AS (
+  SELECT i.bin AS i, seg.j, i.n_rows, i.n_pos,
+         MIN(mean_ppm) AS min_over_k
+  FROM pre i JOIN seg ON seg.j <= i.bin AND i.bin <= seg.k
+  GROUP BY i.bin, seg.j, i.n_rows, i.n_pos
+)
+SELECT i AS bin, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_pos * 1000000 // n_rows AS BIGINT) AS raw_rate_ppm,
+       MAX(min_over_k) AS iso_rate_ppm
+FROM inner_min GROUP BY i, n_rows, n_pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. Lead-lag cross-correlation between daily view and purchase counts
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 7
+
+
+def purchase_view_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson r between daily 'view'
+    counts at day t and daily 'purchase' counts at day t+lag, lags
+    -7..7 — "does view volume LEAD purchase volume, and by how many
+    days?" (positive-lag peak = views lead). The model-free companion
+    to the funnel ops.
+
+    Exactness: per lag the paired moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    are exact integers; r = round(num / sqrt(dx * dy), 6) with num, dx,
+    dy exact and the double expression written identically in both
+    engines (sqrt is IEEE-correctly-rounded).
+
+    Scale: one events-sized aggregate to the calendar-bounded daily
+    frame; the lag fan-out and self-join run on that bounded frame."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type").isin("view", "purchase"))
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 "
+                               "ELSE 0 END")).alias("x"),
+                  F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 "
+                               "ELSE 0 END")).alias("y")))
+    a = daily.select("day", "x",
+                     F.explode(F.array(*[F.lit(k) for k in
+                                         range(-CCF_MAX_LAG,
+                                               CCF_MAX_LAG + 1)]))
+                     .alias("lag"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    paired = a.join(b, F.expr("date_add(day, lag) = day_b"))
+    mom = (paired.groupBy("lag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("yb").alias("sy"),
+                F.sum(F.expr("x * yb")).alias("sxy"),
+                F.sum(F.expr("x * x")).alias("sxx"),
+                F.sum(F.expr("yb * yb")).alias("syy")))
+    return (mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr("round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+               "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+               "CAST(n * syy - sy * sy AS DOUBLE)), 6)").alias("ccf_r6")))
+
+
+CCF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), lags AS (
+  SELECT UNNEST(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG + 1})) AS lag
+), paired AS (
+  SELECT lag, a.x, b.y AS yb
+  FROM daily a CROSS JOIN lags
+  JOIN daily b ON a.day + CAST(lag AS INT) = b.day
+), mom AS (
+  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(yb) AS sy,
+         SUM(x * yb) AS sxy, SUM(x * x) AS sxx, SUM(yb * yb) AS syy
+  FROM paired GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf_r6
+FROM mom
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "woe_iv_segment_priority": woe_iv_segment_priority,
     "score_auc_acctbal": score_auc_acctbal,
@@ -881,6 +1313,11 @@ QUERIES: dict[str, QueryFn] = {
     "source_js_divergence": source_js_divergence,
     "daily_burstiness_fano": daily_burstiness_fano,
     "nation_revenue_hhi": nation_revenue_hhi,
+    "threshold_sweep_pr_f1": threshold_sweep_pr_f1,
+    "segment_priority_mutual_info": segment_priority_mutual_info,
+    "classifier_agreement_kappa": classifier_agreement_kappa,
+    "isotonic_calibration_bins": isotonic_calibration_bins,
+    "purchase_view_ccf": purchase_view_ccf,
 }
 
 ORACLES: dict[str, str] = {
@@ -894,4 +1331,9 @@ ORACLES: dict[str, str] = {
     "source_js_divergence": JSD_SQL,
     "daily_burstiness_fano": FANO_SQL,
     "nation_revenue_hhi": HHI_SQL,
+    "threshold_sweep_pr_f1": PRF1_SQL,
+    "segment_priority_mutual_info": MI_SQL,
+    "classifier_agreement_kappa": KAPPA_SQL,
+    "isotonic_calibration_bins": ISO_SQL,
+    "purchase_view_ccf": CCF_SQL,
 }

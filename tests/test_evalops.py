@@ -283,3 +283,143 @@ def test_hhi_replay_and_bounds(spark, sf_dir):
         assert r.top_share_ppm == max(xs) * 10**6 // tot
         assert 10**6 // len(xs) <= r.hhi_ppm <= 10**6
         assert r.effective_customers_x1000 <= len(xs) * 1000
+
+
+def test_threshold_sweep_replay(spark, sf_dir):
+    """P/R/F1 replayed per threshold; recall must be monotone
+    non-increasing in the threshold and hit 1e6 at the lowest bin."""
+    out = {r.threshold_bin: r
+           for r in evalops.threshold_sweep_pr_f1(spark, sf_dir).collect()}
+    urgent = {o["o_custkey"] for o in _orders(sf_dir)
+              if o["o_orderpriority"] == "1-URGENT"}
+    scores = [(_cents(c["c_acctbal"]), c["c_custkey"] in urgent)
+              for c in _customers(sf_dir)]
+    mn, mx = min(s for s, _ in scores), max(s for s, _ in scores)
+    p_all = sum(1 for _, p in scores if p)
+    binned = [((s - mn) * evalops.CALIB_BINS // (mx - mn + 1), p)
+              for s, p in scores]
+    for t, r in out.items():
+        pred = [(b, p) for b, p in binned if b >= t]
+        tp = sum(1 for _, p in pred if p)
+        assert (r.pred_pos, r.tp) == (len(pred), tp)
+        assert r.precision_ppm == tp * 10**6 // len(pred)
+        assert r.recall_ppm == tp * 10**6 // p_all
+        assert r.f1_ppm == 2 * tp * 10**6 // (
+            2 * tp + (len(pred) - tp) + (p_all - tp))
+    lowest = min(out)
+    assert out[lowest].recall_ppm == 10**6  # threshold at floor = predict all
+    recalls = [out[t].recall_ppm for t in sorted(out)]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+def test_mutual_info_replay_and_bounds(spark, sf_dir):
+    """MI replayed cell-by-cell with the same 6dp-ln micros idiom;
+    0 <= MI <= min(H_x, H_y) and NMI in [0, 1e6]."""
+    got = evalops.segment_priority_mutual_info(spark, sf_dir).collect()[0]
+    seg_c = {c["c_custkey"]: c["c_mktsegment"] for c in _customers(sf_dir)}
+    cells: dict[tuple, int] = {}
+    for o in _orders(sf_dir):
+        k = (seg_c[o["o_custkey"]], o["o_orderpriority"])
+        cells[k] = cells.get(k, 0) + 1
+    n = sum(cells.values())
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for (x, y), c in cells.items():
+        rows[x] = rows.get(x, 0) + c
+        cols[y] = cols.get(y, 0) + c
+    s_mi = sum(c * math.floor(round(math.log((c * n) / (rows[x] * cols[y])),
+                                    6) * 1e6 + 0.5)
+               for (x, y), c in cells.items())
+    assert got.n_orders == n
+    assert got.mi_micronats == s_mi // n
+
+    def ent(marg):
+        return sum(v * math.floor(round(math.log(n / v), 6) * 1e6 + 0.5)
+                   for v in marg.values()) // n
+    assert (got.h_seg, got.h_pri) == (ent(rows), ent(cols))
+    assert 0 <= got.mi_micronats <= min(got.h_seg, got.h_pri)
+    assert got.nmi_ppm == got.mi_micronats * 10**6 // min(got.h_seg,
+                                                          got.h_pri)
+    assert 0 <= got.nmi_ppm <= 10**6
+
+
+def test_kappa_replay(spark, sf_dir):
+    """Kappa replayed exactly; identity: kappa=1 iff perfect agreement,
+    and po > pe implies kappa > 0."""
+    got = evalops.classifier_agreement_kappa(spark, sf_dir).collect()[0]
+    cust = _customers(sf_dir)
+    cents = {c["c_custkey"]: _cents(c["c_acctbal"]) for c in cust}
+    mu = sum(cents.values()) // len(cents)
+    urgent = {o["o_custkey"] for o in _orders(sf_dir)
+              if o["o_orderpriority"] == "1-URGENT"}
+    n = len(cust)
+    a1 = sum(1 for v in cents.values() if v > mu)
+    b1 = sum(1 for k in cents if k in urgent)
+    agree = sum(1 for k, v in cents.items()
+                if (v > mu) == (k in urgent))
+    assert (got.n_customers, got.n_pos_a, got.n_pos_b,
+            got.n_agree) == (n, a1, b1, agree)
+    assert got.po_ppm == agree * 10**6 // n
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    assert got.pe_ppm == pe_num * 10**6 // (n * n)
+    assert got.kappa_ppm == ((agree * n - pe_num) * 10**6
+                             // (n * n - pe_num))
+
+
+def test_isotonic_is_monotone_and_pav_equal(spark, sf_dir):
+    """The minimax output must (a) be monotone non-decreasing in bin,
+    (b) equal the classic sequential PAV run on the same floored-ppm
+    spec, (c) preserve the weighted mean of the raw rates."""
+    out = sorted(evalops.isotonic_calibration_bins(spark, sf_dir).collect(),
+                 key=lambda r: r.bin)
+    rates = [r.iso_rate_ppm for r in out]
+    assert rates == sorted(rates)
+    # minimax replay (same spec: floored ppm interval means)
+    n = [r.n_rows for r in out]
+    p = [r.n_pos for r in out]
+    m = len(out)
+
+    def mean(j, k):
+        return sum(p[j:k + 1]) * 10**6 // sum(n[j:k + 1])
+    for i, r in enumerate(out):
+        want = max(min(mean(j, k) for k in range(i, m))
+                   for j in range(0, i + 1))
+        assert r.iso_rate_ppm == want
+        assert r.raw_rate_ppm == p[i] * 10**6 // n[i]
+    # violation actually existed OR raw was already monotone
+    raw = [r.raw_rate_ppm for r in out]
+    if raw == sorted(raw):
+        assert rates == raw
+
+
+def test_ccf_replay_and_symmetry(spark, sf_dir):
+    """CCF replayed from raw daily counts at every lag; |r| <= 1 and
+    the pair counts shrink by |lag|."""
+    out = {r.lag: r for r in evalops.purchase_view_ccf(spark,
+                                                       sf_dir).collect()}
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "ts"]).to_pylist()
+    daily: dict = {}
+    for e in ev:
+        if e["event_type"] in ("view", "purchase"):
+            d = daily.setdefault(e["ts"].date(), [0, 0])
+            d[0 if e["event_type"] == "view" else 1] += 1
+    days = sorted(daily)
+    idx = {d: i for i, d in enumerate(days)}
+    import datetime
+    for lag in range(-evalops.CCF_MAX_LAG, evalops.CCF_MAX_LAG + 1):
+        pairs = [(daily[d][0], daily[d2][1]) for d in days
+                 if (d2 := d + datetime.timedelta(days=lag)) in idx]
+        np_ = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        want = round((np_ * sxy - sx * sy)
+                     / math.sqrt(float(np_ * sxx - sx * sx)
+                                 * float(np_ * syy - sy * sy)), 6)
+        r = out[lag]
+        assert r.n_pairs == np_
+        assert r.ccf_r6 == pytest.approx(want, abs=1e-9)
+        assert abs(r.ccf_r6) <= 1.0
