@@ -22,6 +22,7 @@ from spark_kafka_airflow_pipeline_spark.operators import (  # noqa: E402
     events,
     graphops,
     joins_extra,
+    lakeops,
     multimodal,
     pipelineops,
     relational,
@@ -39,9 +40,10 @@ from spark_kafka_airflow_pipeline_spark.streaming import pipelines as streaming 
 # most recently must land inside that window; the relational family has
 # been driver-green since round 1-2 and sits at the tail (VERDICT.md r2,
 # "What's wrong #1").
-_MODULES = (evalops, corpusops, graphops, streaming, dedup, similarity,
-            multimodal, textops, scaleops, warehouse, pipelineops, events,
-            joins_extra, tpch_extra, relational_extra, relational)
+_MODULES = (evalops, lakeops, corpusops, graphops, streaming, dedup,
+            similarity, multimodal, textops, scaleops, warehouse,
+            pipelineops, events, joins_extra, tpch_extra, relational_extra,
+            relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
 # (the driver records only the first 50 queries() entries). Round-8
@@ -116,6 +118,8 @@ _R9_EARMARK = (
     "threshold_sweep_pr_f1", "segment_priority_mutual_info",
     "classifier_agreement_kappa", "isotonic_calibration_bins",
     "purchase_view_ccf",
+    "compaction_bin_plan", "zorder_clustering_audit",
+    "bloom_filter_fpr_planner", "feature_hashing_collision_audit",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

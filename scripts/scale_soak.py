@@ -27,6 +27,7 @@ from spark_kafka_airflow_pipeline_spark.operators import (
     evalops,
     events,
     graphops,
+    lakeops,
     multimodal,
     relational_extra,
     scaleops,
@@ -233,6 +234,12 @@ OPS = {
     "segment_priority_mutual_info": evalops.segment_priority_mutual_info,
     "classifier_agreement_kappa": evalops.classifier_agreement_kappa,
     "isotonic_calibration_bins": evalops.isotonic_calibration_bins,
+    # late round-8 lakeops (physical-design planners)
+    "compaction_bin_plan": lakeops.compaction_bin_plan,
+    "zorder_clustering_audit": lakeops.zorder_clustering_audit,
+    "bloom_filter_fpr_planner": lakeops.bloom_filter_fpr_planner,
+    "feature_hashing_collision_audit":
+        lakeops.feature_hashing_collision_audit,
 }
 
 

@@ -1,0 +1,384 @@
+"""Physical-design / lakehouse-maintenance planners and audits [EXT].
+
+The reference writes plain file sinks (``PipelineProcessor.scala:
+122-140``); at 100 TB the table BEHIND those sinks needs maintenance
+planning: small-file compaction bins, multi-dimensional (Z-order)
+clustering audits, bloom-filter sizing for the join-pruning path, and
+hashing-trick collision audits for the feature pipeline. Each operator
+here is the PLANNER/AUDIT — a bounded, fully-oracled table a
+maintenance job or a human reads — never the rewrite itself.
+
+Scale notes (100 TB):
+- compaction: one fact-sized aggregate to the calendar-bounded
+  (month x priority) partition frame; the running sum and binning run
+  on that bounded frame.
+- zorder: bucket ids are PURE ARITHMETIC on each row (no global sort,
+  no window) — Morton interleave via DIV/%/multiply, then a per-file
+  min/max aggregate.
+- bloom planner: one distinct-count aggregate + a literal
+  bits-per-key fan-out.
+- feature hashing: one vocab-sized aggregate; buckets via the repo's
+  md5-hex-int idiom (portable to DuckDB's strpos hex decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_kafka_airflow_pipeline_spark.operators.base import (
+    QueryFn,
+    ppm,
+    table,
+)
+
+# ---------------------------------------------------------------------------
+# 1. Small-file compaction bin plan
+# ---------------------------------------------------------------------------
+
+COMPACT_OUT_FILES = 8
+EST_ROW_BYTES = 128  # planning estimate; the plan shape is what matters
+
+
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: treat each (order-month,
+    priority) partition as one input file (rows x an estimated row
+    width), lay the files out in partition order, and cut the sequence
+    into ~COMPACT_OUT_FILES equal-byte output bins — the plan a
+    compaction job executes to fix the many-small-files problem
+    without destroying partition locality (adjacent months stay
+    adjacent).
+
+    All-integer: target = ceil(total/8); bin = exclusive-prefix-bytes
+    DIV target, so bins are contiguous in the (month, priority) order
+    and deterministic.
+
+    Scale: one orders-sized aggregate to the calendar-bounded
+    (month x priority) frame (~hundreds of rows at any SF); the
+    running sum windows over that bounded frame only."""
+    o = table(spark, sf_dir, "orders")
+    files = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                       .alias("month"),
+                       F.col("o_orderpriority").alias("priority"))
+             .agg(F.count(F.lit(1)).alias("n_rows"))
+             .withColumn("est_bytes",
+                         F.expr(f"n_rows * {EST_ROW_BYTES}")))
+    tot = files.agg(F.sum("est_bytes").alias("total"))
+    w = Window.orderBy("month", "priority").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    planned = (files.crossJoin(F.broadcast(tot))
+               .withColumn("cum", F.sum("est_bytes").over(w))
+               .withColumn("target", F.expr(
+                   f"(total + {COMPACT_OUT_FILES} - 1) "
+                   f"DIV {COMPACT_OUT_FILES}"))
+               .withColumn("bin", F.expr(
+                   "CAST((cum - est_bytes) DIV target AS INT)")))
+    return (planned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+                 F.sum("n_rows").cast("bigint").alias("bin_rows"),
+                 F.sum("est_bytes").cast("bigint").alias("bin_bytes"),
+                 F.min("month").alias("min_month"),
+                 F.max("month").alias("max_month")))
+
+
+COMPACT_SQL = f"""
+WITH files AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         o_orderpriority AS priority, COUNT(*) AS n_rows,
+         COUNT(*) * {EST_ROW_BYTES} AS est_bytes
+  FROM orders GROUP BY 1, 2
+), tot AS (SELECT SUM(est_bytes) AS total FROM files),
+planned AS (
+  SELECT *,
+         SUM(est_bytes) OVER (ORDER BY month, priority
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         (total + {COMPACT_OUT_FILES} - 1) // {COMPACT_OUT_FILES} AS target
+  FROM files CROSS JOIN tot
+)
+SELECT CAST((cum - est_bytes) // target AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_input_files,
+       CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+       CAST(SUM(est_bytes) AS BIGINT) AS bin_bytes,
+       MIN(month) AS min_month, MAX(month) AS max_month
+FROM planned GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Z-order vs linear clustering audit
+# ---------------------------------------------------------------------------
+
+ZBITS = 10            # 10 bits per dimension -> 20-bit Morton code
+ZFILES = 16
+
+
+def _morton_expr(x: str, y: str, div: str = "DIV") -> str:
+    """20-bit Morton interleave of two 10-bit ints via integer
+    division/%/multiply only — identical arithmetic in Spark SQL
+    (``div='DIV'``) and DuckDB (``div='//'``); no reliance on
+    shift-operator parsing differences."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({x}) {div} {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y}) {div} {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: would Z-ordering orders on (custkey, order
+    date) beat a linear custkey sort for two-dimensional pruning? Both
+    layouts assign each row to one of ZFILES files by PURE ARITHMETIC
+    (Morton-code range split vs custkey range split over the same
+    folded 10-bit domains), then the per-file min/max span of EACH
+    dimension is summed — the skip-index width a reader must scan. A
+    good multi-dim layout shrinks sum_span_y at a modest sum_span_x
+    cost; the linear layout leaves span_y at full width in every file.
+
+    Determinism: folding (key % 1024, days-since-epoch % 1024) and the
+    Morton interleave are integer-only, so file ids — and every span —
+    are hash-exact.
+
+    Scale: zero windows and zero joins — file ids are computed per-row
+    (one scan), then one (scheme, file) min/max aggregate. This is the
+    audit's whole point: the layout DECISION needs no global sort."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("o_custkey % 1024").alias("x"),
+        F.expr("datediff(o_orderdate, DATE '1992-01-01') % 1024")
+        .alias("y"))
+    m = _morton_expr("x", "y")
+    z = o.select(F.lit("zorder").alias("scheme"),
+                 F.expr(f"CAST({m} * {ZFILES} DIV {1 << (2 * ZBITS)} "
+                        "AS INT)").alias("file_id"), "x", "y")
+    lin = o.select(F.lit("linear").alias("scheme"),
+                   F.expr(f"CAST(x * {ZFILES} DIV 1024 AS INT)")
+                   .alias("file_id"), "x", "y")
+    per_file = (z.unionByName(lin)
+                .groupBy("scheme", "file_id")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     (F.max("x") - F.min("x")).alias("span_x"),
+                     (F.max("y") - F.min("y")).alias("span_y")))
+    return (per_file.groupBy("scheme")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                 F.sum("n_rows").cast("bigint").alias("n_rows"),
+                 F.sum("span_x").cast("bigint").alias("sum_span_x"),
+                 F.sum("span_y").cast("bigint").alias("sum_span_y"),
+                 F.max("span_x").cast("bigint").alias("max_span_x"),
+                 F.max("span_y").cast("bigint").alias("max_span_y")))
+
+
+ZORDER_SQL = f"""
+WITH base AS (
+  SELECT o_custkey % 1024 AS x,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           % 1024 AS y
+  FROM orders
+), tagged AS (
+  SELECT 'zorder' AS scheme,
+         CAST({_morton_expr('x', 'y', div='//')} * {ZFILES}
+              // {1 << (2 * ZBITS)} AS INT) AS file_id, x, y
+  FROM base
+  UNION ALL
+  SELECT 'linear' AS scheme,
+         CAST(x * {ZFILES} // 1024 AS INT) AS file_id, x, y
+  FROM base
+), per_file AS (
+  SELECT scheme, file_id, COUNT(*) AS n_rows,
+         MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y
+  FROM tagged GROUP BY scheme, file_id
+)
+SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(span_x) AS BIGINT) AS sum_span_x,
+       CAST(SUM(span_y) AS BIGINT) AS sum_span_y,
+       CAST(MAX(span_x) AS BIGINT) AS max_span_x,
+       CAST(MAX(span_y) AS BIGINT) AS max_span_y
+FROM per_file GROUP BY scheme
+"""
+
+# DuckDB's // on plain BIGINT is exact integer floor division — the
+# DECIMAL degradation gotcha does not apply here (all operands BIGINT).
+
+
+# ---------------------------------------------------------------------------
+# 3. Bloom-filter sizing planner
+# ---------------------------------------------------------------------------
+
+BLOOM_BPK = (8, 12, 16, 20)
+
+
+def bloom_filter_fpr_planner(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing table for the orderkey join-pruning path:
+    for candidate bits-per-key budgets, the optimal hash count
+    k = round(bpk*ln2), the resulting false-positive rate
+    (1 - e^(-k/bpk))^k, and the expected number of false-positive probe
+    rows — the capacity-vs-IO tradeoff a runtime-filter planner reads
+    before injecting a bloom into the scan (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter sizing question).
+
+    Portability: fpr is exp(k * ln(1 - e^(-k/bpk))) with BOTH
+    transcendental steps rounded 6dp before reuse (the repo's ln/exp
+    discipline); expected fp rows = probe_rows * fp_ppm DIV 1e6 — all
+    integer once the rate is pinned.
+
+    Scale: one approx-free distinct count on the build side + one
+    count on the probe side (both mergeable), then a 4-row literal
+    fan-out. At 100 TB the exact countDistinct would swap to HLL —
+    same topology, documented."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    build = li.agg(F.countDistinct("l_orderkey").alias("n_keys"))
+    probe = o.agg(F.count(F.lit(1)).alias("probe_rows"))
+    bpk = spark.range(1).select(
+        F.explode(F.array(*[F.lit(b) for b in BLOOM_BPK])).alias("bpk"))
+    fpr = ("round(exp(k_hashes * round(ln(1.0 - "
+           "round(exp(-CAST(k_hashes AS DOUBLE) / bpk), 6)), 6)), 6)")
+    return (bpk.crossJoin(F.broadcast(build))
+            .crossJoin(F.broadcast(probe))
+            .withColumn("k_hashes", F.expr(
+                "CAST(floor(bpk * 0.693147 + 0.5) AS INT)"))
+            .withColumn("fpr_r6", F.expr(fpr))
+            .withColumn("fp_ppm", F.expr(
+                "CAST(floor(fpr_r6 * 1000000.0 + 0.5) AS BIGINT)"))
+            .select(F.col("bpk").cast("int").alias("bits_per_key"),
+                    F.col("n_keys").cast("bigint").alias("n_keys"),
+                    F.expr("CAST(n_keys * bpk AS BIGINT)").alias("m_bits"),
+                    "k_hashes", "fpr_r6",
+                    F.expr("CAST(CAST(probe_rows AS DECIMAL(38,0)) * fp_ppm"
+                           " DIV 1000000 AS BIGINT)")
+                    .alias("expected_fp_rows")))
+
+
+BLOOM_SQL = f"""
+WITH build AS (SELECT COUNT(DISTINCT l_orderkey) AS n_keys FROM lineitem),
+probe AS (SELECT COUNT(*) AS probe_rows FROM orders),
+bpks AS (SELECT UNNEST(ARRAY{list(BLOOM_BPK)}) AS bpk),
+sized AS (
+  SELECT bpk, n_keys, probe_rows,
+         CAST(floor(bpk * 0.693147 + 0.5) AS INT) AS k_hashes
+  FROM bpks CROSS JOIN build CROSS JOIN probe
+), rated AS (
+  SELECT *,
+         round(exp(k_hashes * round(ln(1.0 -
+               round(exp(-CAST(k_hashes AS DOUBLE) / bpk), 6)), 6)), 6)
+           AS fpr_r6
+  FROM sized
+)
+SELECT CAST(bpk AS INT) AS bits_per_key,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_keys * bpk AS BIGINT) AS m_bits,
+       k_hashes, fpr_r6,
+       CAST(CAST(probe_rows AS HUGEINT)
+            * CAST(floor(fpr_r6 * 1000000.0 + 0.5) AS BIGINT)
+            // 1000000 AS BIGINT) AS expected_fp_rows
+FROM rated
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Feature-hashing (hashing trick) collision audit
+# ---------------------------------------------------------------------------
+
+HASH_BUCKET_SIZES = (256, 1024, 4096)
+
+
+def feature_hashing_collision_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Hashing-trick sizing audit: hash the corpus vocabulary into
+    2^k feature buckets (k = 8/10/12) and report, per size, how many
+    terms collide and — the part that matters for model quality — what
+    share of total TOKEN MASS sits in collided buckets (a collision on
+    two rare terms is noise; on two frequent terms it is signal loss).
+
+    Buckets come from the repo's portable md5-hex-int idiom (first 6
+    hex chars as an integer, mod the bucket count) — deterministic and
+    bit-identical in DuckDB's strpos hex decode.
+
+    Scale: one (term) aggregate over the token stream, a literal
+    3-way size fan-out, then two bounded aggregates keyed on
+    (n_buckets, bucket). Vocab-sized throughout — never doc x doc."""
+    from spark_kafka_airflow_pipeline_spark.operators.corpusops import (
+        _tokens,
+    )
+
+    vocab = (_tokens(table(spark, sf_dir, "documents"))
+             .select(F.explode("toks").alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    # literal-array explode, not a crossJoin — same 3-way fan-out with
+    # zero join nodes in the plan
+    hashed = (vocab
+              .select("w", "cnt",
+                      F.explode(F.array(*[F.lit(s) for s in
+                                          HASH_BUCKET_SIZES]))
+                      .alias("n_buckets"))
+              .withColumn("bucket", F.expr(
+                  "CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) "
+                  "% n_buckets")))
+    per_bucket = (hashed.groupBy("n_buckets", "bucket")
+                  .agg(F.count(F.lit(1)).alias("n_terms_b"),
+                       F.sum("cnt").alias("mass_b")))
+    return (per_bucket.groupBy("n_buckets")
+            .agg(F.sum("n_terms_b").cast("bigint").alias("n_terms"),
+                 F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+                 F.sum(F.expr("CASE WHEN n_terms_b > 1 THEN n_terms_b "
+                              "ELSE 0 END")).cast("bigint")
+                 .alias("collided_terms"),
+                 F.sum(F.expr("CASE WHEN n_terms_b > 1 THEN mass_b "
+                              "ELSE 0 END")).alias("collided_mass"),
+                 F.sum("mass_b").alias("total_mass"),
+                 F.max("n_terms_b").cast("bigint")
+                 .alias("max_bucket_terms"))
+            .select(F.col("n_buckets").cast("int").alias("n_buckets"),
+                    "n_terms", "buckets_used", "collided_terms",
+                    "max_bucket_terms",
+                    F.expr(ppm("collided_mass", "total_mass"))
+                    .alias("collided_mass_ppm")))
+
+
+def _hashing_sql() -> str:
+    u = ("(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}" for i in range(6)) + ")")
+    return rf"""
+WITH vocab AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+), hashed AS (
+  SELECT n_buckets, {u} % n_buckets AS bucket, cnt
+  FROM vocab
+  CROSS JOIN (SELECT UNNEST(ARRAY{list(HASH_BUCKET_SIZES)}) AS n_buckets)
+), per_bucket AS (
+  SELECT n_buckets, bucket, COUNT(*) AS n_terms_b, SUM(cnt) AS mass_b
+  FROM hashed GROUP BY 1, 2
+)
+SELECT CAST(n_buckets AS INT) AS n_buckets,
+       CAST(SUM(n_terms_b) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CASE WHEN n_terms_b > 1 THEN n_terms_b ELSE 0 END)
+            AS BIGINT) AS collided_terms,
+       CAST(MAX(n_terms_b) AS BIGINT) AS max_bucket_terms,
+       CAST(SUM(CASE WHEN n_terms_b > 1 THEN mass_b ELSE 0 END) * 1000000
+            // SUM(mass_b) AS BIGINT) AS collided_mass_ppm
+FROM per_bucket GROUP BY n_buckets
+"""
+
+
+HASHING_SQL = _hashing_sql()
+
+
+QUERIES: dict[str, QueryFn] = {
+    "compaction_bin_plan": compaction_bin_plan,
+    "zorder_clustering_audit": zorder_clustering_audit,
+    "bloom_filter_fpr_planner": bloom_filter_fpr_planner,
+    "feature_hashing_collision_audit": feature_hashing_collision_audit,
+}
+
+ORACLES: dict[str, str] = {
+    "compaction_bin_plan": COMPACT_SQL,
+    "zorder_clustering_audit": ZORDER_SQL,
+    "bloom_filter_fpr_planner": BLOOM_SQL,
+    "feature_hashing_collision_audit": HASHING_SQL,
+}
