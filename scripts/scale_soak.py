@@ -291,6 +291,7 @@ EVENT_OPS = {
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # optional op-name filter for quiet reruns
     out = REPO / ".scratch" / f"soak_sf{n}"
     spark = get_spark(app_name="scale-soak")
     if not (out / "documents.parquet").exists():
@@ -304,6 +305,8 @@ def main() -> None:
 
     result: dict[str, dict[str, float]] = {}
     for name, fn in {**OPS, **EVENT_OPS}.items():
+        if only and name not in only:
+            continue
         fn(spark, BASE).count()  # warm codegen on the small scale
         t = time.perf_counter()
         rows_1x = fn(spark, BASE).count()

@@ -215,8 +215,12 @@ def gini_lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("cents")))
     ranked = global_row_number(per, F.col("cents").asc(),
                                F.col("c_custkey").asc(), out="rn")
-    tot = per.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("cents").cast("decimal(19,0)").alias("tot_cents"))
+    # totals from the PERSISTED ranked frame — aggregating `per` again
+    # would recompute the whole customer-revenue join+groupBy (the 10x
+    # soak showed the doubled scan)
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("cents").cast("decimal(19,0)")
+                     .alias("tot_cents"))
     wt = ranked.crossJoin(F.broadcast(tot))
     gini = (wt.agg(
         F.sum(F.expr("CAST(rn AS DECIMAL(19,0)) * "
@@ -506,8 +510,10 @@ def score_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("is_pos")))
     ranked = global_row_number(lab, F.col("score").desc(),
                                F.col("c_custkey").asc(), out="rn")
-    tot = lab.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("is_pos").cast("bigint").alias("p"))
+    # totals from the persisted ranked frame (not `lab` — see the
+    # gini_lorenz_customers scan-doubling note)
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("is_pos").cast("bigint").alias("p"))
     dec = (ranked.crossJoin(F.broadcast(tot))
            .withColumn("decile", F.expr(
                "CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
