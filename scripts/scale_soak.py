@@ -240,6 +240,9 @@ OPS = {
     "bloom_filter_fpr_planner": lakeops.bloom_filter_fpr_planner,
     "feature_hashing_collision_audit":
         lakeops.feature_hashing_collision_audit,
+    "label_propagation_communities":
+        graphops.label_propagation_communities,
+    "l_diversity_audit": textops.l_diversity_audit,
 }
 
 

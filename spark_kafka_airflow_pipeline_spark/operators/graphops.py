@@ -448,11 +448,104 @@ WHERE rn <= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+
+
+def label_propagation_over_undirected(und, rounds: int = LPA_ROUNDS):
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    SYMMETRIC distinct (src, dst) edge frame, with the deterministic
+    tie-break (highest neighbor-label frequency, then LOWEST label) so
+    every round — and hence the final community assignment — is
+    hash-exact and engine-replayable. Returns (node, lbl).
+
+    Scale: each round is one edge-keyed join + one (node, lbl) hash
+    aggregate + one per-node rank window PARTITIONED BY node —
+    data-sized but fully parallel. Frames are localCheckpoint-ed per
+    round (the pagerank/BFS lineage discipline): without it, round T
+    re-executes all T-1 prior shuffles per reference."""
+    labels = (und.select(F.col("src").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        msgs = (und.join(labels, und.dst == labels.node)
+                .select(und.src.alias("n"), "lbl"))
+        counts = msgs.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("n").orderBy(F.col("c").desc(),
+                                            F.col("lbl").asc())
+        labels = (counts.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("n").alias("node"), "lbl")
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def label_propagation_communities(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Community detection over the supplier co-occurrence graph via
+    LPA_ROUNDS rounds of synchronous label propagation — the standard
+    near-linear community algorithm (GraphX ships the same under
+    ``lib.LabelPropagation``), made deterministic by the min-label
+    tie-break. Output: one row per surviving community label with its
+    member count (bounded by the supplier dim).
+
+    Oracle: the SAME algorithm unrolled as LPA_ROUNDS chained CTEs —
+    synchronous rounds are pure SQL once the round count is fixed.
+
+    Scale: per round one join on the sparsified top-k edge list +
+    one aggregate; supplier nodes are a fixed-size dim, and the edge
+    list is degree-capped at k per source (``_supplier_topk_edges``),
+    so rounds cost O(edges), never O(n^2)."""
+    topk = _supplier_topk_edges(spark, sf_dir).select("src", "dst")
+    und = (topk.unionByName(topk.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    labels = label_propagation_over_undirected(und)
+    return (labels.groupBy(F.col("lbl").alias("community_label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members")))
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT u.src AS node, l.lbl, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY u.src
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+    FROM und u JOIN {prev} l ON u.dst = l.node
+    GROUP BY u.src, l.lbl)
+  WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_EDGES_SQL},
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL SELECT dst AS src, src AS dst FROM edges)
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+{", ".join(rounds)}
+SELECT lbl AS community_label, COUNT(*) AS n_members
+FROM {prev} GROUP BY lbl
+"""
+
+
+LPA_SQL = _lpa_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "link_prediction_jaccard": link_prediction_jaccard,
     "pagerank_supplier_rank": pagerank_supplier_rank,
     "triangle_count_suppliers": triangle_count_suppliers,
     "supplier_bfs_hops": supplier_bfs_hops,
+    "label_propagation_communities": label_propagation_communities,
 }
 
 ORACLES: dict[str, str] = {
@@ -460,4 +553,5 @@ ORACLES: dict[str, str] = {
     "pagerank_supplier_rank": PAGERANK_SQL,
     "triangle_count_suppliers": TRIANGLE_SQL,
     "supplier_bfs_hops": BFS_SQL,
+    "label_propagation_communities": LPA_SQL,
 }

@@ -2358,6 +2358,62 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(ppm("n_docs", "n_total")).alias("doc_share_ppm")))
 
 
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit [EXT] — k-anonymity's required companion
+    (Machanavajjhala et al. 2007): a large equivalence class is still
+    unsafe if every member shares the SENSITIVE value (homogeneity
+    attack). QI = (source, length bucket); sensitive attribute = lang.
+    Per class, l = distinct sensitive values; classes roll into fixed
+    diversity bands with doc shares — the second gate a privacy review
+    runs right after ``k_anonymity_audit``.
+
+    Scale: one QI groupBy computing (count, countDistinct) in a single
+    aggregate, then a bounded 3-band rollup. Same topology as the
+    k-anonymity op."""
+    d = table(spark, sf_dir, "documents")
+    groups = (d.groupBy("source", F.expr("n_chars DIV 100")
+                        .alias("len_bucket"))
+              .agg(F.count(F.lit(1)).alias("gsize"),
+                   F.countDistinct("lang").alias("l")))
+    banded = groups.select(
+        F.expr("CASE WHEN l = 1 THEN '1_homogeneous' "
+               "WHEN l = 2 THEN '2_low(2)' "
+               "ELSE '3_diverse(3+)' END").alias("diversity_band"),
+        "gsize", "l")
+    tot = banded.agg(F.sum("gsize").alias("n_total"))
+    return (banded.groupBy("diversity_band")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("gsize").alias("n_docs"),
+                 F.min("l").cast("bigint").alias("min_l"))
+            .crossJoin(F.broadcast(tot))
+            .select("diversity_band", "n_groups", "n_docs", "min_l",
+                    F.expr(ppm("n_docs", "n_total")).alias("doc_share_ppm")))
+
+
+L_DIVERSITY_SQL = """
+WITH groups AS (
+  SELECT source, n_chars // 100 AS len_bucket,
+         COUNT(*) AS gsize, COUNT(DISTINCT lang) AS l
+  FROM documents GROUP BY 1, 2
+), banded AS (
+  SELECT CASE WHEN l = 1 THEN '1_homogeneous'
+              WHEN l = 2 THEN '2_low(2)'
+              ELSE '3_diverse(3+)' END AS diversity_band,
+         gsize, l
+  FROM groups
+), tot AS (
+  SELECT CAST(SUM(gsize) AS BIGINT) AS n_total FROM banded
+)
+SELECT b.diversity_band, COUNT(*) AS n_groups,
+       CAST(SUM(b.gsize) AS BIGINT) AS n_docs,
+       CAST(MIN(b.l) AS BIGINT) AS min_l,
+       CAST(SUM(b.gsize) * 1000000 // t.n_total AS BIGINT)
+         AS doc_share_ppm
+FROM banded b CROSS JOIN tot t
+GROUP BY b.diversity_band, t.n_total
+"""
+
+
 K_ANONYMITY_SQL = """
 WITH groups AS (
   SELECT lang, source, n_chars // 100 AS len_bucket,
@@ -2483,6 +2539,7 @@ ORDER BY lang, source
 QUERIES: dict[str, QueryFn] = {
     "unigram_lm_quality": unigram_lm_quality,
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
     "cv_fold_balance": cv_fold_balance,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "boilerplate_line_share": boilerplate_line_share,
@@ -2532,6 +2589,7 @@ ORACLES: dict[str, str] = {
     "sparse_cosine_pairs": SPARSE_COSINE_SQL,
     "cv_fold_balance": CV_FOLD_SQL,
     "k_anonymity_audit": K_ANONYMITY_SQL,
+    "l_diversity_audit": L_DIVERSITY_SQL,
     "flesch_reading_ease": FLESCH_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap": WINNOW_OVERLAP_SQL,

@@ -156,3 +156,49 @@ def test_bfs_kernel_matches_python_reference(spark):
         got = {r.sk: r.hop for r in
                graphops.bfs_hops_over_edges(df).collect()}
         assert got == want, (seed, got, want)
+
+
+def test_lpa_kernel_matches_python_reference(spark):
+    """Synchronous LPA with the (max frequency, min label) tie-break
+    replayed in pure Python over a random-but-seeded symmetric graph
+    must agree with the Spark kernel round for round."""
+    import random
+
+    rng = random.Random(82)
+    n = 24
+    undirected = set()
+    for _ in range(60):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            undirected.add((min(a, b), max(a, b)))
+    sym = sorted(undirected | {(b, a) for a, b in undirected})
+    und = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.lbl for r in
+           graphops.label_propagation_over_undirected(und).collect()}
+
+    nbrs: dict[int, list[int]] = {}
+    for a, b in sym:
+        nbrs.setdefault(a, []).append(b)
+    labels = {v: v for v in nbrs}
+    for _ in range(graphops.LPA_ROUNDS):
+        nxt = {}
+        for v, ns in nbrs.items():
+            freq: dict[int, int] = {}
+            for u in ns:
+                freq[labels[u]] = freq.get(labels[u], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    assert got == labels
+
+
+def test_lpa_communities_partition_suppliers(spark, sf_dir):
+    """Community member counts must sum to the number of non-isolated
+    suppliers, and every community label must itself be a node id."""
+    out = graphops.label_propagation_communities(spark, sf_dir).collect()
+    topk = graphops._supplier_topk_edges(spark, sf_dir)
+    nodes = {r.src for r in topk.select("src").distinct().collect()} | \
+            {r.dst for r in topk.select("dst").distinct().collect()}
+    assert sum(r.n_members for r in out) == len(nodes)
+    assert all(r.community_label in nodes for r in out)
+    assert all(r.n_members >= 1 for r in out)

@@ -372,3 +372,37 @@ def test_sorted_neighborhood_pairs_verified(spark, sf_dir):
         assert r.union_sz == len(a) + len(b) - inter
         assert r.jaccard_ppm == inter * 1_000_000 // (len(a | b))
         assert r.jaccard_ppm >= 200_000
+
+
+def test_l_diversity_replay(spark, sf_dir):
+    """Diversity bands replayed from raw QI classes; invariant: the
+    same classes k_anonymity groups, minus the lang dimension, so doc
+    totals across bands equal the corpus size."""
+    import pyarrow.parquet as pq
+    from spark_kafka_airflow_pipeline_spark.operators.textops import (
+        l_diversity_audit,
+    )
+
+    out = {r.diversity_band: r
+           for r in l_diversity_audit(spark, sf_dir).collect()}
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars", "lang"]).to_pylist()
+    classes: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for d in docs:
+        k = (d["source"], d["n_chars"] // 100)
+        classes.setdefault(k, set()).add(d["lang"])
+        sizes[k] = sizes.get(k, 0) + 1
+    bands: dict[str, list[int]] = {}
+    for k, langs in classes.items():
+        l = len(langs)
+        band = ("1_homogeneous" if l == 1
+                else "2_low(2)" if l == 2 else "3_diverse(3+)")
+        g, n, ml = bands.setdefault(band, [0, 0, 10**9])
+        bands[band] = [g + 1, n + sizes[k], min(ml, l)]
+    assert set(out) == set(bands)
+    assert sum(r.n_docs for r in out.values()) == len(docs)
+    for band, (g, n, ml) in bands.items():
+        r = out[band]
+        assert (r.n_groups, r.n_docs, r.min_l) == (g, n, ml)
+        assert r.doc_share_ppm == n * 10**6 // len(docs)
