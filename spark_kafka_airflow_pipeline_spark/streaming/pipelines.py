@@ -1223,7 +1223,128 @@ WHERE rn = 1
 """
 
 
+DRIFT_BINS = 10
+DRIFT_PSI_ALERT_PICO = 100_000_000_000  # PSI 0.1 in pico-units
+
+
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online data-quality monitor [EXT]: the STREAMING leg of
+    ``events_drift_psi`` — per sealed 1-hour window, the Population
+    Stability Index of the event-value distribution against a STATIC
+    baseline (the stream's first 24 hours), with the standard
+    PSI > 0.1 alert flag. This is the drift monitor a production
+    pipeline runs beside ingestion: tiny state (window x 10 bins),
+    alerts emitted as windows seal.
+
+    Topology honesty: the streaming stage keeps ONLY the (window, bin)
+    counting — bounded state, append-mode emission on watermark (the
+    sealed-windows-only rule is value-hash-pinned by the oracle's
+    cutoff, as in ``metadata_streaming_tumbling``); the PSI arithmetic
+    against the 10-row broadcast baseline is the stateless per-batch
+    map a foreachBatch sink would apply, run here on the drained
+    histogram so the whole monitor is one comparable DataFrame.
+
+    Exactness: the ``events_drift_psi`` integer-pico idiom — +1
+    smoothing over the fixed 10-bin spine, integer-ppm shares with the
+    >= 1 ln clamp, 6dp-rounded ln in integer micros, BIGINT sum."""
+    stream = _events_stream(spark, sf_dir)
+    binned = (stream.withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"),
+                       F.expr(f"CAST(LEAST(floor(value / 100), "
+                              f"{DRIFT_BINS - 1}) AS INT)").alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                      .alias("window_start"), "bin", "n"))
+    hist = _drain_to_memory(binned, "append")
+
+    # ---- stateless post-drain PSI (the foreachBatch map) ----
+    e = table(spark, sf_dir, "events")
+    t0 = e.agg(F.min("ts").alias("t0"))
+    base = (e.crossJoin(F.broadcast(t0))
+            .filter(F.expr("ts < t0 + INTERVAL 24 HOURS"))
+            .groupBy(F.expr(f"CAST(LEAST(floor(value / 100), "
+                            f"{DRIFT_BINS - 1}) AS INT)").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("bn")))
+    bins_lit = F.array(*[F.lit(i) for i in range(DRIFT_BINS)])
+    bspine = (spark.range(1).select(F.explode(bins_lit).alias("bin"))
+              .join(base, "bin", "left")
+              .select("bin", F.coalesce("bn", F.lit(0)).alias("bn")))
+    btot = bspine.agg(F.sum(F.expr(f"bn + 1")).alias("tb"))
+    baseline = (bspine.crossJoin(F.broadcast(btot))
+                .select("bin", F.expr("(bn + 1) * 1000000 DIV tb")
+                        .alias("q_ppm")))
+    wspine = (hist.select(F.col("window_start").alias("ws")).distinct()
+              .select("ws", F.explode(bins_lit).alias("sbin")))
+    wcounts = (wspine.join(hist, (wspine.ws == hist.window_start)
+                           & (wspine.sbin == hist.bin), "left")
+               .select(F.col("ws").alias("window_start"),
+                       F.col("sbin").alias("bin"),
+                       F.coalesce("n", F.lit(0)).alias("n")))
+    # per-window totals: a window PARTITIONED BY the calendar-bounded
+    # window key over the fixed 10-bin frame
+    wk = Window.partitionBy("window_start")
+    terms = (wcounts
+             .withColumn("tw", F.sum(F.expr("n + 1")).over(wk))
+             .withColumn("p_ppm", F.expr("(n + 1) * 1000000 DIV tw"))
+             .join(F.broadcast(baseline), "bin")
+             .withColumn("t", F.expr(
+                 "(p_ppm - q_ppm) * CAST(floor(round(ln("
+                 "GREATEST(p_ppm, 1) * 1.0 / GREATEST(q_ppm, 1)), 6)"
+                 " * 1000000.0 + 0.5) AS BIGINT)")))
+    return (terms.groupBy("window_start")
+            .agg(F.sum("n").cast("bigint").alias("n_events"),
+                 F.sum("t").cast("bigint").alias("psi_pico"))
+            .withColumn("drift_alert", F.expr(
+                f"CAST(psi_pico > {DRIFT_PSI_ALERT_PICO} AS INT)")))
+
+
+STREAMING_DRIFT_SQL = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff, MIN(ts) AS t0 FROM events
+), spine AS (SELECT UNNEST(range(0, {DRIFT_BINS})) AS bin),
+base AS (
+  SELECT CAST(LEAST(floor(value / 100), {DRIFT_BINS - 1}) AS INT) AS bin,
+         COUNT(*) AS bn
+  FROM events, wm WHERE ts < t0 + INTERVAL 24 HOURS GROUP BY 1
+), bq AS (
+  SELECT spine.bin, COALESCE(bn, 0) + 1 AS b1
+  FROM spine LEFT JOIN base ON spine.bin = base.bin
+), baseline AS (
+  SELECT bin, b1 * 1000000 // (SELECT SUM(b1) FROM bq) AS q_ppm FROM bq
+), sealed AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         CAST(LEAST(floor(value / 100), {DRIFT_BINS - 1}) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM events, wm
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.cutoff
+  GROUP BY 1, 2
+), wc AS (
+  SELECT w.window_start, s.bin, COALESCE(n, 0) AS n
+  FROM (SELECT DISTINCT window_start FROM sealed) w
+  CROSS JOIN spine s
+  LEFT JOIN sealed ON sealed.window_start = w.window_start
+                  AND sealed.bin = s.bin
+), terms AS (
+  SELECT window_start, n,
+         (p_ppm - q_ppm) * CAST(floor(round(ln(
+            GREATEST(p_ppm, 1) * 1.0 / GREATEST(q_ppm, 1)), 6)
+            * 1000000.0 + 0.5) AS BIGINT) AS t
+  FROM (SELECT window_start, bin, n,
+               (n + 1) * 1000000
+                 // SUM(n + 1) OVER (PARTITION BY window_start) AS p_ppm
+        FROM wc)
+  JOIN baseline USING (bin)
+)
+SELECT window_start, CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(t) AS BIGINT) AS psi_pico,
+       CAST(SUM(t) > {DRIFT_PSI_ALERT_PICO} AS INT) AS drift_alert
+FROM terms GROUP BY window_start
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "streaming_drift_monitor": streaming_drift_monitor,
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "metadata_streaming_upsert": metadata_streaming_upsert,
     "metadata_streaming_tumbling": metadata_streaming_tumbling,
@@ -1254,6 +1375,7 @@ def _py_datasource_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "streaming_drift_monitor": STREAMING_DRIFT_SQL,
     "streaming_foreachbatch_upsert": STREAMING_UPSERT_SQL,
     "metadata_streaming_upsert": METADATA_UPSERT_SQL,
     "metadata_streaming_tumbling": METADATA_STREAMING_SQL,

@@ -406,3 +406,63 @@ def test_l_diversity_replay(spark, sf_dir):
         r = out[band]
         assert (r.n_groups, r.n_docs, r.min_l) == (g, n, ml)
         assert r.doc_share_ppm == n * 10**6 // len(docs)
+
+
+def test_streaming_drift_monitor_planted_shift(spark, tmp_path):
+    """A planted distribution shift must raise the alert: baseline day
+    has values in bin 0; a later sealed window sits entirely in bin 9
+    -> PSI blows past 0.1. A window matching the baseline stays quiet.
+    Also pins the sealed-window rule: the final (unsealed) hour must
+    not emit."""
+    import datetime
+
+    from spark_kafka_airflow_pipeline_spark.streaming.pipelines import (
+        streaming_drift_monitor,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # row counts sized so the +1 smoothing over 10 bins is negligible
+    # (the realistic regime; 20-row windows would alert on smoothing
+    # mass alone)
+    # baseline: first 24h, all values ~50 (bin 0)
+    for h in range(24):
+        for i in range(50):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=i),
+                         1, "view", 50.0, "{}"))
+            eid += 1
+    # day 2, hour 0: matches baseline (bin 0) -> no alert
+    for i in range(300):
+        rows.append((eid, t0 + datetime.timedelta(days=1, minutes=i % 60,
+                                                  seconds=i // 60),
+                     1, "view", 50.0, "{}"))
+        eid += 1
+    # day 2, hour 1: all in bin 9 -> alert
+    for i in range(300):
+        rows.append((eid, t0 + datetime.timedelta(days=1, hours=1,
+                                                  minutes=i % 60,
+                                                  seconds=i // 60),
+                     1, "view", 950.0, "{}"))
+        eid += 1
+    # day 2, hour 3: tail sentinel — must NOT emit (not sealed: the
+    # final watermark is max_ts - 1h, and this is the last hour)
+    rows.append((eid, t0 + datetime.timedelta(days=1, hours=3),
+                 1, "view", 950.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # the stream source globs for a FILE named events.parquet (the
+    # testdata layout) — write one part file and rename it
+    staging = tmp_path / "staging"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    part.rename(tmp_path / "events.parquet")
+    out = {r.window_start: r
+           for r in streaming_drift_monitor(spark, str(tmp_path)).collect()}
+    assert out["2024-01-02 00:00:00"].drift_alert == 0
+    assert out["2024-01-02 01:00:00"].drift_alert == 1
+    assert "2024-01-02 03:00:00" not in out  # unsealed tail held back
+    # the shifted window's PSI really is large, not borderline
+    assert out["2024-01-02 01:00:00"].psi_pico > 10 * out[
+        "2024-01-02 00:00:00"].psi_pico
