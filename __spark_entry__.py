@@ -121,7 +121,9 @@ _R9_EARMARK = (
     "compaction_bin_plan", "zorder_clustering_audit",
     "bloom_filter_fpr_planner", "feature_hashing_collision_audit",
     "label_propagation_communities", "l_diversity_audit",
-    "streaming_drift_monitor",
+    "streaming_drift_monitor", "attribution_position_based",
+    "ndcg_retrieval_eval", "walk_forward_cv_splits",
+    "laplace_noise_planner",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

@@ -243,6 +243,8 @@ OPS = {
     "label_propagation_communities":
         graphops.label_propagation_communities,
     "l_diversity_audit": textops.l_diversity_audit,
+    "ndcg_retrieval_eval": evalops.ndcg_retrieval_eval,
+    "walk_forward_cv_splits": evalops.walk_forward_cv_splits,
 }
 
 
@@ -287,6 +289,7 @@ EVENT_OPS = {
     # late round-8 evalops (events-based)
     "daily_burstiness_fano": evalops.daily_burstiness_fano,
     "purchase_view_ccf": evalops.purchase_view_ccf,
+    "attribution_position_based": events.attribution_position_based,
     # round-8 additions
     "retention_triangle": events.retention_triangle,
 }

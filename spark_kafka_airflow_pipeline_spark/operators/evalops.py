@@ -1308,6 +1308,257 @@ FROM mom
 """
 
 
+# ---------------------------------------------------------------------------
+# 16. NDCG@10 of the lexical retrieval stack
+# ---------------------------------------------------------------------------
+
+#: 1e6 / log2(rank+1), precomputed so NO transcendental runs at query
+#: time — the whole DCG is integer arithmetic in both engines.
+NDCG_DISC = {1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853,
+             6: 356207, 7: 333333, 8: 315465, 9: 301030, 10: 289065}
+NDCG_TERMS = ("dup", "vector", "scan")
+
+
+def _disc_case(rank_col: str) -> str:
+    return ("CASE " + " ".join(f"WHEN {rank_col} = {r} THEN {d}"
+                               for r, d in NDCG_DISC.items())
+            + " ELSE 0 END")
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the retrieval stack: NDCG@10 of
+    the ``bm25_topk`` ranking against graded relevance = number of
+    DISTINCT query terms a document contains (1..3; gain 2^g - 1) —
+    the standard eval a search team runs before swapping scorers
+    (complements ``ann_recall_report``'s recall view with
+    position-weighted gain).
+
+    All-integer: gains are {1,3,7}; discounts are precomputed
+    1e6/log2(rank+1) literals (no transcendental at query time);
+    DCG/IDCG are BIGINT sums and NDCG is one ppm division.
+
+    Scale: reuses the bm25 pipeline (docs-with-hits frame); the ideal
+    ranking's top-10 window runs on the same bounded frame with the
+    raw-rank-before-cast WindowGroupLimit discipline."""
+    from spark_kafka_airflow_pipeline_spark.operators.textops import (
+        bm25_topk,
+    )
+
+    sys10 = bm25_topk(spark, sf_dir).select("doc_id", "rank")
+    toks = (table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                    .alias("term"))
+            .filter(F.col("term").isin(*NDCG_TERMS)))
+    grades = (toks.groupBy("doc_id")
+              .agg(F.countDistinct("term").alias("g"))
+              .withColumn("gain", F.expr("CAST(pow(2, g) - 1 AS BIGINT)")))
+    dcg = (sys10.join(grades, "doc_id")
+           .agg(F.sum(F.expr(f"gain * ({_disc_case('rank')})"))
+                .cast("bigint").alias("dcg_micro")))
+    wi = Window.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+    ideal = (grades.withColumn("irank", F.row_number().over(wi))
+             .filter(F.col("irank") <= 10)
+             .agg(F.sum(F.expr(f"gain * ({_disc_case('irank')})"))
+                  .cast("bigint").alias("idcg_micro")))
+    n_judged = grades.agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_judged"))
+    return (dcg.crossJoin(F.broadcast(ideal))
+            .crossJoin(F.broadcast(n_judged))
+            .select("n_judged", "dcg_micro", "idcg_micro",
+                    F.expr(ppm("dcg_micro", "idcg_micro"))
+                    .alias("ndcg10_ppm")))
+
+
+NDCG_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {NDCG_TERMS!r}
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(floor(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * ((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micro
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats JOIN dfreq ON tf.term = dfreq.term
+  GROUP BY tf.doc_id
+), sys10 AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+              AS INT) AS rank
+  FROM scored QUALIFY rank <= 10
+), grades AS (
+  SELECT doc_id, CAST(pow(2, COUNT(DISTINCT term)) - 1 AS BIGINT) AS gain
+  FROM toks WHERE term IN {NDCG_TERMS!r} GROUP BY doc_id
+), dcg AS (
+  SELECT CAST(SUM(gain * ({_disc_case('rank')})) AS BIGINT) AS dcg_micro
+  FROM sys10 JOIN grades USING (doc_id)
+), ideal AS (
+  SELECT CAST(SUM(gain * ({_disc_case('irank')})) AS BIGINT) AS idcg_micro
+  FROM (SELECT gain,
+               CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id)
+                    AS INT) AS irank
+        FROM grades QUALIFY irank <= 10)
+), nj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_judged FROM grades)
+SELECT n_judged, dcg_micro, idcg_micro,
+       CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg10_ppm
+FROM dcg CROSS JOIN ideal CROSS JOIN nj
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. Walk-forward (expanding-window) CV split planner
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+CV_TEST_MONTHS = 3
+
+
+def walk_forward_cv_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series cross-validation planner: CV_FOLDS expanding-window
+    backtest folds over the order-month sequence — each fold trains on
+    everything up to its split month and tests on the next
+    CV_TEST_MONTHS, the leak-free alternative to random folds for
+    temporal data (complements ``cv_fold_balance``'s hash dealing).
+    Output per fold: month boundaries + exact train/test row counts.
+
+    All-integer: fold boundaries are month-INDEX arithmetic
+    (train_end_idx_i = m - 3*(folds - i + 1), so the LAST fold's test
+    window ends exactly at the final month); row counts come from
+    prefix sums over the calendar-bounded month frame.
+
+    Scale: one orders-sized aggregate to the month frame; the index
+    and prefix windows run on that bounded frame; the fold fan-out is
+    a 5-row literal cross of a bounded aggregate."""
+    o = table(spark, sf_dir, "orders")
+    months = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("month"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    wm = Window.orderBy("month")
+    wcum = wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = (months.withColumn("mi", F.row_number().over(wm))
+           .withColumn("cum", F.sum("n_rows").over(wcum)))
+    m_tot = idx.agg(F.max("mi").alias("m"))
+    folds = spark.range(1, CV_FOLDS + 1).select(
+        F.col("id").cast("int").alias("fold"))
+    bounds = (folds.crossJoin(F.broadcast(m_tot))
+              .select("fold",
+                      F.expr(f"m - {CV_TEST_MONTHS} "
+                             f"* ({CV_FOLDS} - fold + 1)")
+                      .alias("te_idx")))
+    b = (bounds.join(F.broadcast(idx.select(
+            F.col("mi").alias("te_idx"), F.col("month").alias("train_end"),
+            F.col("cum").alias("train_rows"))), "te_idx")
+         .join(F.broadcast(idx.select(
+            F.expr(f"mi - {CV_TEST_MONTHS}").alias("te_idx"),
+            F.col("month").alias("test_end"),
+            F.col("cum").alias("cum_test_end"))), "te_idx"))
+    return (b.select("fold", "train_end", "train_rows", "test_end",
+                     F.expr("CAST(cum_test_end - train_rows AS BIGINT)")
+                     .alias("test_rows"))
+            .withColumn("train_rows",
+                        F.col("train_rows").cast("bigint")))
+
+
+WALK_FORWARD_SQL = f"""
+WITH months AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT month, n_rows,
+         ROW_NUMBER() OVER (ORDER BY month) AS mi,
+         SUM(n_rows) OVER (ORDER BY month
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM months
+), m_tot AS (SELECT MAX(mi) AS m FROM idx),
+folds AS (SELECT UNNEST(range(1, {CV_FOLDS + 1})) AS fold),
+bounds AS (
+  SELECT CAST(fold AS INT) AS fold,
+         m - {CV_TEST_MONTHS} * ({CV_FOLDS} - fold + 1) AS te_idx
+  FROM folds CROSS JOIN m_tot
+)
+SELECT fold, tr.month AS train_end,
+       CAST(tr.cum AS BIGINT) AS train_rows,
+       te.month AS test_end,
+       CAST(te.cum - tr.cum AS BIGINT) AS test_rows
+FROM bounds
+JOIN idx tr ON tr.mi = bounds.te_idx
+JOIN idx te ON te.mi = bounds.te_idx + {CV_TEST_MONTHS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. Differential-privacy (Laplace) noise planner
+# ---------------------------------------------------------------------------
+
+DP_EPSILONS = ("0.1", "0.5", "1.0", "2.0")
+_LN20_R6 = 2.995732  # round(ln(1/0.05), 6): 95% Laplace tail bound
+
+
+def laplace_noise_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy budget table for a COUNT release (the
+    third leg of the privacy trio beside ``k_anonymity_audit`` /
+    ``l_diversity_audit``): for candidate epsilon budgets, the Laplace
+    scale b = sensitivity/epsilon (sensitivity 1 for counts), the 95%
+    confidence half-width b*ln(20), and that half-width as ppm of the
+    actual corpus count — the utility-vs-privacy tradeoff a data
+    steward reads before releasing statistics.
+
+    Determinism: epsilons and ln(20) are 6dp literals; the only data
+    dependence is one count; the ppm is integer arithmetic on the
+    micro-scaled half-width.
+
+    Scale: one mergeable count + a 4-row literal fan-out."""
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    eps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(e) for e in DP_EPSILONS]))
+        .alias("epsilon_s"))
+    return (eps.crossJoin(F.broadcast(n))
+            .withColumn("scale_b_r6", F.expr(
+                "round(1.0 / CAST(epsilon_s AS DOUBLE), 6)"))
+            .withColumn("ci95_half_r6", F.expr(
+                f"round(round(1.0 / CAST(epsilon_s AS DOUBLE), 6) "
+                f"* {_LN20_R6}, 6)"))
+            .select(F.col("epsilon_s").alias("epsilon"),
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    "scale_b_r6", "ci95_half_r6",
+                    F.expr(ppm(
+                        "CAST(floor(round(round(1.0 / CAST(epsilon_s AS "
+                        f"DOUBLE), 6) * {_LN20_R6}, 6) * 1000000.0 + 0.5) "
+                        "AS BIGINT)", "n_rows")).alias("rel_ci95_ppm")))
+
+
+LAPLACE_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM documents),
+eps AS (SELECT UNNEST(ARRAY['0.1', '0.5', '1.0', '2.0']) AS epsilon)
+SELECT epsilon, CAST(n_rows AS BIGINT) AS n_rows,
+       round(1.0 / CAST(epsilon AS DOUBLE), 6) AS scale_b_r6,
+       round(round(1.0 / CAST(epsilon AS DOUBLE), 6) * {_LN20_R6}, 6)
+         AS ci95_half_r6,
+       CAST(CAST(floor(round(round(1.0 / CAST(epsilon AS DOUBLE), 6)
+            * {_LN20_R6}, 6) * 1000000.0 + 0.5) AS BIGINT)
+            * 1000000 // n_rows AS BIGINT) AS rel_ci95_ppm
+FROM eps CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "woe_iv_segment_priority": woe_iv_segment_priority,
     "score_auc_acctbal": score_auc_acctbal,
@@ -1324,6 +1575,9 @@ QUERIES: dict[str, QueryFn] = {
     "classifier_agreement_kappa": classifier_agreement_kappa,
     "isotonic_calibration_bins": isotonic_calibration_bins,
     "purchase_view_ccf": purchase_view_ccf,
+    "ndcg_retrieval_eval": ndcg_retrieval_eval,
+    "walk_forward_cv_splits": walk_forward_cv_splits,
+    "laplace_noise_planner": laplace_noise_planner,
 }
 
 ORACLES: dict[str, str] = {
@@ -1342,4 +1596,7 @@ ORACLES: dict[str, str] = {
     "classifier_agreement_kappa": KAPPA_SQL,
     "isotonic_calibration_bins": ISO_SQL,
     "purchase_view_ccf": CCF_SQL,
+    "ndcg_retrieval_eval": NDCG_SQL,
+    "walk_forward_cv_splits": WALK_FORWARD_SQL,
+    "laplace_noise_planner": LAPLACE_SQL,
 }

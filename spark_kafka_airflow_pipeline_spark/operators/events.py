@@ -2189,6 +2189,127 @@ GROUP BY 1
 """
 
 
+def attribution_position_based(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution [EXT] — the
+    standard companion to ``attribution_last_touch``: each purchase's
+    revenue is split across ALL its journey touches, 40% to the first,
+    40% to the last, 20% shared by the middles (k=1 -> 100%, k=2 ->
+    50/50). A journey = the touches whose NEXT purchase (same user) is
+    this one and that fall inside the 7-day lookback; touchless
+    purchases credit 'direct'.
+
+    Exactness spec (documented, both engines): shares are integer ppm;
+    each middle gets ``200000 DIV m`` and the division remainder goes
+    to the LAST touch, so every journey's shares sum to exactly 1e6
+    and channel revenue is conserved in micro-cents.
+
+    Spark-first shape: no touch x purchase range join — one user_id
+    shuffle; a FORWARD-looking window carries each event's next
+    purchase (id, ts, cents); journeys group on (user, purchase id);
+    first/last/middle come from one rank + one count over the
+    journey-partitioned window. All windows partition on
+    user/journey keys."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    w_next = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(1, Window.unboundedFollowing))
+    is_p = F.col("event_type") == "purchase"
+    carried = e.withColumns({
+        "np_id": F.first(F.when(is_p, F.col("event_id")),
+                         ignorenulls=True).over(w_next),
+        "np_ts": F.first(F.when(is_p, F.col("ts").cast("double")),
+                         ignorenulls=True).over(w_next)})
+    touches = (carried
+               .filter(F.col("event_type").isin(*_TOUCH_TYPES)
+                       & F.col("np_id").isNotNull()
+                       & (F.col("np_ts") - F.col("ts").cast("double")
+                          <= ATTRIB_LOOKBACK_S)))
+    wj = Window.partitionBy("user_id", "np_id").orderBy("ts", "event_id")
+    wjn = Window.partitionBy("user_id", "np_id")
+    placed = (touches
+              .withColumn("pos", F.row_number().over(wj))
+              .withColumn("k", F.count(F.lit(1)).over(wjn)))
+    shares = placed.withColumn("share_ppm", F.expr(
+        "CASE WHEN k = 1 THEN 1000000 "
+        "WHEN k = 2 THEN 500000 "
+        "WHEN pos = 1 THEN 400000 "
+        "WHEN pos = k THEN 400000 + (200000 - (k - 2) "
+        "* (200000 DIV (k - 2))) "
+        "ELSE 200000 DIV (k - 2) END"))
+    purchases = (e.filter(is_p)
+                 .select(F.col("event_id").alias("p_id"),
+                         F.floor(F.col("value") * 100 + 0.5)
+                         .cast("bigint").alias("cents")))
+    credited = (shares.join(purchases, shares.np_id == purchases.p_id)
+                .select(F.col("event_type").alias("channel"),
+                        F.expr("CAST(share_ppm AS BIGINT) * cents")
+                        .alias("micro")))
+    direct = (carried.filter(is_p)
+              .join(placed.select(F.col("np_id").alias("j_id")).distinct(),
+                    F.col("event_id") == F.col("j_id"), "left_anti")
+              .select(F.lit("direct").alias("channel"),
+                      F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) "
+                             "* 1000000").alias("micro")))
+    return (credited.unionByName(direct)
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+                 F.sum("micro").cast("bigint")
+                 .alias("revenue_microcents")))
+
+
+ATTRIBUTION_POSITION_SQL = f"""
+WITH carried AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN event_id END IGNORE NULLS)
+           OVER wn AS np_id,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN epoch(ts) END IGNORE NULLS)
+           OVER wn AS np_ts
+  FROM events
+  WINDOW wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), touches AS (
+  SELECT user_id, event_id, ts, event_type, np_id
+  FROM carried
+  WHERE event_type IN {_TOUCH_TYPES!r} AND np_id IS NOT NULL
+    AND np_ts - epoch(ts) <= {ATTRIB_LOOKBACK_S}
+), placed AS (
+  SELECT event_type, np_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, np_id
+                            ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, np_id) AS k
+  FROM touches
+), shares AS (
+  SELECT event_type AS channel, np_id,
+         CASE WHEN k = 1 THEN 1000000
+              WHEN k = 2 THEN 500000
+              WHEN pos = 1 THEN 400000
+              WHEN pos = k THEN 400000 + (200000 - (k - 2)
+                   * (200000 // (k - 2)))
+              ELSE 200000 // (k - 2) END AS share_ppm
+  FROM placed
+), purchases AS (
+  SELECT event_id AS p_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), credited AS (
+  SELECT channel, CAST(share_ppm AS BIGINT) * cents AS micro
+  FROM shares JOIN purchases ON np_id = p_id
+  UNION ALL
+  SELECT 'direct' AS channel,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000 AS micro
+  FROM carried
+  WHERE event_type = 'purchase'
+    AND event_id NOT IN (SELECT DISTINCT np_id FROM placed)
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(micro) AS BIGINT) AS revenue_microcents
+FROM credited GROUP BY channel
+"""
+
+
 def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort RETENTION TRIANGLE [EXT] — the month-over-month grid
     every growth dashboard starts from: users are cohorted by their
@@ -2262,6 +2383,7 @@ QUERIES: dict[str, QueryFn] = {
     "retention_triangle": retention_triangle,
     "dau_wau_stickiness": dau_wau_stickiness,
     "attribution_last_touch": attribution_last_touch,
+    "attribution_position_based": attribution_position_based,
     "theil_sen_trend": theil_sen_trend,
     "value_drift_continuous": value_drift_continuous,
     "decayed_type_popularity": decayed_type_popularity,
@@ -2304,6 +2426,7 @@ ORACLES: dict[str, str] = {
     "retention_triangle": RETENTION_TRIANGLE_SQL,
     "dau_wau_stickiness": DAU_WAU_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
+    "attribution_position_based": ATTRIBUTION_POSITION_SQL,
     "theil_sen_trend": THEIL_SEN_SQL,
     "value_drift_continuous": VALUE_DRIFT_SQL,
     "decayed_type_popularity": DECAYED_POP_SQL,

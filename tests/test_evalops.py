@@ -423,3 +423,71 @@ def test_ccf_replay_and_symmetry(spark, sf_dir):
         assert r.n_pairs == np_
         assert r.ccf_r6 == pytest.approx(want, abs=1e-9)
         assert abs(r.ccf_r6) <= 1.0
+
+
+def test_ndcg_replay_and_bounds(spark, sf_dir):
+    """NDCG replayed with the same integer discounts; bounds: 0 <
+    ndcg <= 1e6, and IDCG >= DCG always."""
+    got = evalops.ndcg_retrieval_eval(spark, sf_dir).collect()[0]
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    grades = {}
+    for d in docs:
+        toks = set(d["text"].lower().strip().split())
+        g = len(toks & set(evalops.NDCG_TERMS))
+        if g:
+            grades[d["doc_id"]] = 2 ** g - 1
+    assert got.n_judged == len(grades)
+    ideal = sorted(grades.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    idcg = sum(g * evalops.NDCG_DISC[i]
+               for i, (_, g) in enumerate(ideal, start=1))
+    assert got.idcg_micro == idcg
+    assert 0 < got.dcg_micro <= got.idcg_micro
+    assert got.ndcg10_ppm == got.dcg_micro * 10**6 // got.idcg_micro
+    assert 0 < got.ndcg10_ppm <= 10**6
+
+
+def test_walk_forward_folds_are_leak_free(spark, sf_dir):
+    """Each fold's train window must end strictly before its test
+    window; folds expand monotonically; test windows tile the tail
+    with no overlap; counts replayed from raw months."""
+    out = sorted(evalops.walk_forward_cv_splits(spark, sf_dir).collect(),
+                 key=lambda r: r.fold)
+    assert [r.fold for r in out] == list(range(1, evalops.CV_FOLDS + 1))
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate"]).to_pylist()
+    per_month: dict[str, int] = {}
+    for o in orders:
+        per_month[o["o_orderdate"].strftime("%Y-%m")] = per_month.get(
+            o["o_orderdate"].strftime("%Y-%m"), 0) + 1
+    months = sorted(per_month)
+    for r in out:
+        assert r.train_end < r.test_end
+        ti = months.index(r.train_end)
+        te = months.index(r.test_end)
+        assert te - ti == evalops.CV_TEST_MONTHS
+        assert r.train_rows == sum(per_month[m] for m in months[:ti + 1])
+        assert r.test_rows == sum(per_month[m]
+                                  for m in months[ti + 1:te + 1])
+    for a, b in zip(out, out[1:]):
+        assert b.train_end > a.train_end
+        assert b.train_end == a.test_end  # tiling: next train absorbs test
+
+
+def test_laplace_planner_matches_formula(spark, sf_dir):
+    """Scale/CI replayed with the 6dp ladder; wider epsilon -> tighter
+    CI; relative error is ppm of the true count."""
+    out = {r.epsilon: r
+           for r in evalops.laplace_noise_planner(spark, sf_dir).collect()}
+    n = len(pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]).to_pylist())
+    for eps_s in evalops.DP_EPSILONS:
+        r = out[eps_s]
+        b = round(1.0 / float(eps_s), 6)
+        ci = round(b * evalops._LN20_R6, 6)
+        assert r.n_rows == n
+        assert r.scale_b_r6 == pytest.approx(b, abs=1e-12)
+        assert r.ci95_half_r6 == pytest.approx(ci, abs=1e-12)
+        assert r.rel_ci95_ppm == math.floor(ci * 1e6 + 0.5) * 10**6 // n
+    cis = [out[e].ci95_half_r6 for e in sorted(out, key=float)]
+    assert cis == sorted(cis, reverse=True)

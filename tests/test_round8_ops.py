@@ -466,3 +466,23 @@ def test_streaming_drift_monitor_planted_shift(spark, tmp_path):
     # the shifted window's PSI really is large, not borderline
     assert out["2024-01-02 01:00:00"].psi_pico > 10 * out[
         "2024-01-02 00:00:00"].psi_pico
+
+
+def test_position_attribution_conserves_revenue(spark, sf_dir):
+    """U-shaped shares must conserve revenue exactly: total credited
+    micro-cents across channels (incl. 'direct') equals total purchase
+    cents x 1e6 — the remainder-to-last-touch spec guarantees it."""
+    import pyarrow.parquet as pq
+    from spark_kafka_airflow_pipeline_spark.operators.events import (
+        attribution_position_based,
+    )
+
+    out = attribution_position_based(spark, sf_dir).collect()
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "value"]).to_pylist()
+    import math
+    total_cents = sum(math.floor(e["value"] * 100 + 0.5) for e in ev
+                      if e["event_type"] == "purchase")
+    assert sum(r.revenue_microcents for r in out) == total_cents * 10**6
+    assert {r.channel for r in out} <= {"click", "signup", "view",
+                                        "direct"}
