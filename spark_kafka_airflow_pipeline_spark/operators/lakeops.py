@@ -126,7 +126,11 @@ def _morton_expr(x: str, y: str, div: str = "DIV") -> str:
 
 def zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-layout audit: would Z-ordering orders on (custkey, order
-    date) beat a linear custkey sort for two-dimensional pruning? Both
+    date) beat a linear custkey sort for two-dimensional pruning?
+    (``scaleops.zorder_layout`` WRITES the z-tile manifest; this op
+    answers the prior question — is the z layout worth it versus the
+    single-column sort — by measuring both layouts' skip-index
+    widths.) Both
     layouts assign each row to one of ZFILES files by PURE ARITHMETIC
     (Morton-code range split vs custkey range split over the same
     folded 10-bit domains), then the per-file min/max span of EACH
