@@ -245,6 +245,7 @@ OPS = {
     "l_diversity_audit": textops.l_diversity_audit,
     "ndcg_retrieval_eval": evalops.ndcg_retrieval_eval,
     "walk_forward_cv_splits": evalops.walk_forward_cv_splits,
+    "recursive_cte_reach_curve": graphops.recursive_cte_reach_curve,
 }
 
 

@@ -202,3 +202,22 @@ def test_lpa_communities_partition_suppliers(spark, sf_dir):
     assert sum(r.n_members for r in out) == len(nodes)
     assert all(r.community_label in nodes for r in out)
     assert all(r.n_members >= 1 for r in out)
+
+
+def test_rcte_curve_matches_bfs(spark, sf_dir):
+    """The recursive-CTE growth curve must agree with the frontier
+    BFS's per-node hops (same graph, same seed, depths 0..3):
+    reachable(d) == |{hop <= d}| and newly(d) == |{hop == d}|; the
+    curve is non-decreasing and starts at the seed alone."""
+    curve = {r.depth: r for r in
+             graphops.recursive_cte_reach_curve(spark, sf_dir).collect()}
+    hops = {r.s_suppkey: r.hop
+            for r in graphops.supplier_bfs_hops(spark, sf_dir).collect()}
+    for d in range(graphops.RCTE_MAX_DEPTH + 1):
+        want_reach = sum(1 for h in hops.values() if h <= d)
+        want_new = sum(1 for h in hops.values() if h == d)
+        assert (curve[d].reachable, curve[d].newly_reached) == (
+            want_reach, want_new)
+    assert curve[0].reachable == 1  # the seed
+    rs = [curve[d].reachable for d in sorted(curve)]
+    assert rs == sorted(rs)
