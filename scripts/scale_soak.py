@@ -246,6 +246,7 @@ OPS = {
     "ndcg_retrieval_eval": evalops.ndcg_retrieval_eval,
     "walk_forward_cv_splits": evalops.walk_forward_cv_splits,
     "recursive_cte_reach_curve": graphops.recursive_cte_reach_curve,
+    "multimodal_shard_plan": multimodal.multimodal_shard_plan,
 }
 
 

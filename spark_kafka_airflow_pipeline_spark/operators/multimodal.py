@@ -368,7 +368,70 @@ FROM ph
 """
 
 
+MM_SHARDS = 16
+
+
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPU-inference SHARD packing plan [EXT]: lay the media payloads
+    out in doc_id order and cut the sequence into MM_SHARDS
+    byte-balanced shards — the manifest a batch-inference job consumes
+    so every worker gets ~equal bytes (not equal item counts: media
+    items vary 100x in size). The lakeops ``compaction_bin_plan`` does
+    this over a CALENDAR-BOUNDED frame with a plain window; payloads
+    are a DATA-SIZED frame, so the prefix sum here is the two-phase
+    ``global_running_sum`` (range-repartition + offset broadcast) —
+    the r6-RFM-safe form, demonstrated on the multimodal leg.
+
+    All-integer: shard = (running - bytes) DIV ceil(total/16); per
+    shard: item count, bytes, min/max doc id (the fetch range).
+
+    Scale: one scan for lengths, the two-phase prefix sum, a 16-row
+    aggregate. No un-partitioned window at any size."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_running_sum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    items = d.select("doc_id",
+                     F.expr("octet_length(encode(text, 'UTF-8'))")
+                     .cast("bigint").alias("nbytes"))
+    run = global_running_sum(items, "nbytes", F.col("doc_id").asc(),
+                             out="running")
+    tot = run.agg(F.sum("nbytes").alias("total"))
+    planned = (run.crossJoin(F.broadcast(tot))
+               .withColumn("shard", F.expr(
+                   f"CAST((running - nbytes) DIV "
+                   f"((total + {MM_SHARDS} - 1) DIV {MM_SHARDS}) "
+                   "AS INT)")))
+    return (planned.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
+MM_SHARD_SQL = f"""
+WITH items AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+  FROM documents
+), run AS (
+  SELECT doc_id, nbytes,
+         SUM(nbytes) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running
+  FROM items
+), tot AS (SELECT SUM(nbytes) AS total FROM items)
+SELECT CAST((running - nbytes)
+            // ((total + {MM_SHARDS} - 1) // {MM_SHARDS}) AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM run CROSS JOIN tot
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "multimodal_shard_plan": multimodal_shard_plan,
     "multimodal_phash": multimodal_phash,
     "multimodal_features": multimodal_features,
     "multimodal_arrow_features": multimodal_arrow_features,
@@ -378,6 +441,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "multimodal_shard_plan": MM_SHARD_SQL,
     "multimodal_phash": MULTIMODAL_PHASH_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_arrow_features": MULTIMODAL_SQL,

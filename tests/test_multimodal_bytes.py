@@ -63,3 +63,28 @@ def test_kernel_ground_truth(fn, spark, nonascii_dir):
         assert rows[i]["n_bytes"] == len(b)
         assert rows[i]["first_byte"] == (b[0] if b else -1)
         assert rows[i]["checksum_mod"] == (sum(b) % 251)
+
+
+def test_shard_plan_partitions_and_balances(spark, sf_dir):
+    """Shards must partition every item, be contiguous in doc_id order
+    (fetch ranges never interleave), and stay under target + one max
+    item."""
+    import pyarrow.parquet as pq
+
+    from spark_kafka_airflow_pipeline_spark.operators.multimodal import (
+        MM_SHARDS,
+        multimodal_shard_plan,
+    )
+
+    out = sorted(multimodal_shard_plan(spark, sf_dir).collect(),
+                 key=lambda r: r.shard)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    sizes = {d["doc_id"]: len(d["text"].encode("utf-8")) for d in docs}
+    total = sum(sizes.values())
+    target = -(-total // MM_SHARDS)
+    assert sum(r.n_items for r in out) == len(sizes)
+    assert sum(r.shard_bytes for r in out) == total
+    for a, b in zip(out, out[1:]):
+        assert a.max_doc_id < b.min_doc_id
+    assert all(r.shard_bytes <= target + max(sizes.values()) for r in out)
