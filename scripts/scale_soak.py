@@ -247,6 +247,7 @@ OPS = {
     "walk_forward_cv_splits": evalops.walk_forward_cv_splits,
     "recursive_cte_reach_curve": graphops.recursive_cte_reach_curve,
     "multimodal_shard_plan": multimodal.multimodal_shard_plan,
+    "blocking_quality_report": dedup.blocking_quality_report,
 }
 
 

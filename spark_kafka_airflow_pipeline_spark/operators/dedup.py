@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.functions import text as T
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,6 +688,84 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str,
     return md5_minhash_verified_pairs(d, threshold)
 
 
+def md5_band_candidates(d: DataFrame) -> DataFrame:
+    """The md5-portable LSH CANDIDATE set over a prepared
+    ``(doc_id, grams)`` frame — the banding front half of
+    ``md5_minhash_verified_pairs``, factored out so blocking-quality
+    audits can measure the candidate set itself. Returns distinct
+    (doc_a < doc_b) pairs."""
+    g = d.select("doc_id", F.explode("grams").alias("g"))
+    h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    hp = h_raw % _MH_P
+    sig = g.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * hp + F.lit(b)) % _MH_P).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_COEFFS)])
+    bands = None
+    for i in range(0, 8, 2):
+        band = sig.select(
+            "doc_id",
+            F.concat_ws(":", F.lit(i // 2),
+                        F.col(f"h{i}"), F.col(f"h{i + 1}")).alias("bk"))
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit [EXT] — the record-linkage-standard
+    REDUCTION RATIO / PAIR COMPLETENESS evaluation of the LSH banding
+    (Christen 2012): against the resolvable ground truth of exact
+    near-duplicates (canonical-fingerprint equality, the
+    ``dedup_fingerprint`` relation), how many of the C(N,2) possible
+    comparisons does banding avoid (RR), and what fraction of the true
+    duplicate pairs does the candidate set still contain (PC)? The
+    one-row report that justifies a blocking scheme before anyone
+    trusts its dedup output.
+
+    All-integer: truth pairs = sum C(k,2) over fingerprint clusters;
+    total pairs N(N-1)/2 in DECIMAL(38,0) (BIGINT overflows at ~4e9
+    docs); RR/PC in ppm. PC is NULL when the corpus has no exact-dup
+    truth (stated; both engines agree on the NULL).
+
+    Scale: fingerprint groupBy + the banded candidate join (never
+    doc x doc) + one candidate-sized fingerprint equality join."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "text",
+                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+    fp = d.select("doc_id", T.fingerprint("text").alias("fp"))
+    truth = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
+             .agg(F.sum(F.expr("k * (k - 1) DIV 2")).cast("bigint")
+                  .alias("truth_pairs")))
+    cand = md5_band_candidates(d.select("doc_id", "grams"))
+    found = (cand
+             .join(fp.withColumnsRenamed({"doc_id": "doc_a", "fp": "fa"}),
+                   "doc_a")
+             .join(fp.withColumnsRenamed({"doc_id": "doc_b", "fp": "fb"}),
+                   "doc_b")
+             .agg(F.count(F.lit(1)).alias("candidate_pairs"),
+                  F.sum(F.expr("CASE WHEN fa = fb THEN 1 ELSE 0 END"))
+                  .cast("bigint").alias("truth_found")))
+    n = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (n.crossJoin(F.broadcast(truth)).crossJoin(F.broadcast(found))
+            .select(
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                "truth_pairs", "candidate_pairs", "truth_found",
+                F.expr(ppm(
+                    "CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2 "
+                    "- candidate_pairs",
+                    "CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2"))
+                .alias("reduction_ratio_ppm"),
+                F.expr("CASE WHEN truth_pairs > 0 THEN " +
+                       ppm("truth_found", "truth_pairs") +
+                       " END").alias("pair_completeness_ppm")))
+
+
+
+
 def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """The md5-portable MinHash+LSH pair pipeline over a prepared
     ``(doc_id, grams)`` frame — shared by ``minhash_md5_pairs`` (the
@@ -784,6 +862,59 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+"""
+
+
+BLOCKING_QUALITY_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_distinct(
+           CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+           END) AS grams
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents)
+), g AS (
+  SELECT doc_id, unnest(grams) AS g FROM d
+), hp AS (
+  SELECT doc_id, g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_P} AS hp
+  FROM g
+), sig AS (
+  SELECT doc_id,
+         {_MH_HASHES_SQL}
+  FROM hp GROUP BY doc_id
+), bands AS (
+{_MH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+), fp AS (
+  SELECT doc_id, {T.SQL_FINGERPRINT} AS fp FROM documents
+), truth AS (
+  SELECT CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS truth_pairs
+  FROM (SELECT COUNT(*) AS k FROM fp GROUP BY fp.fp)
+), found AS (
+  SELECT COUNT(*) AS candidate_pairs,
+         CAST(SUM(CASE WHEN fa.fp = fb.fp THEN 1 ELSE 0 END) AS BIGINT)
+           AS truth_found
+  FROM cand
+  JOIN fp fa ON fa.doc_id = cand.doc_a
+  JOIN fp fb ON fb.doc_id = cand.doc_b
+), n AS (SELECT COUNT(*) AS n_docs FROM fp)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, truth_pairs,
+       CAST(candidate_pairs AS BIGINT) AS candidate_pairs, truth_found,
+       CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2
+             - candidate_pairs) * 1000000
+            // (CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2) AS BIGINT)
+         AS reduction_ratio_ppm,
+       CASE WHEN truth_pairs > 0
+            THEN CAST(truth_found * 1000000 // truth_pairs AS BIGINT)
+       END AS pair_completeness_ppm
+FROM n CROSS JOIN truth CROSS JOIN found
 """
 
 
@@ -1765,6 +1896,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup_md5": incremental_dedup_md5,
     "doc_dup_scores": doc_dup_scores,
     "minhash_md5_pairs": minhash_md5_pairs,
+    "blocking_quality_report": blocking_quality_report,
     "ngram_jaccard_md5_pairs": ngram_jaccard_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_clusters_md5": dedup_clusters_md5,
@@ -1792,6 +1924,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_md5": INCREMENTAL_MD5_SQL,
     "doc_dup_scores": DOC_DUP_SCORES_SQL,
     "minhash_md5_pairs": MINHASH_MD5_SQL,
+    "blocking_quality_report": BLOCKING_QUALITY_SQL,
     "ngram_jaccard_md5_pairs": NGRAM_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,

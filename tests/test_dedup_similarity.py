@@ -313,3 +313,39 @@ def test_pq_ann_quality_and_determinism(spark, sf_dir):
 
     rerun = similarity.pq_ann_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_blocking_quality_invariants(spark, sf_dir):
+    """PC must be 1e6 on a corpus where all true dups are exact copies
+    (identical texts share every shingle, hence every band); RR must be
+    high; and a planted exact-dup corpus proves both directions."""
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        blocking_quality_report,
+    )
+
+    got = blocking_quality_report(spark, sf_dir).collect()[0]
+    assert got.candidate_pairs >= got.truth_found
+    assert 0 <= got.reduction_ratio_ppm <= 10**6
+    if got.truth_pairs and got.truth_pairs > 0:
+        # exact copies collide in EVERY band -> all truth pairs found
+        assert got.pair_completeness_ppm == 10**6
+    else:
+        assert got.pair_completeness_ppm is None
+    # planted corpus: 2 exact dups + 2 unrelated docs
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "s", 30),
+         (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+         (3, "one two three four five six", "en", "s", 27),
+         (4, "zeta eta theta iota kappa", "en", "s", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        r = blocking_quality_report(spark, td).collect()[0]
+    assert r.n_docs == 4
+    assert r.truth_pairs == 1
+    assert r.truth_found == 1
+    assert r.pair_completeness_ppm == 10**6
