@@ -248,6 +248,7 @@ OPS = {
     "recursive_cte_reach_curve": graphops.recursive_cte_reach_curve,
     "multimodal_shard_plan": multimodal.multimodal_shard_plan,
     "blocking_quality_report": dedup.blocking_quality_report,
+    "forecast_pinball_eval": evalops.forecast_pinball_eval,
 }
 
 

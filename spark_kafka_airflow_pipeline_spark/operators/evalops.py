@@ -1504,6 +1504,82 @@ JOIN idx te ON te.mi = bounds.te_idx + {CV_TEST_MONTHS}
 
 
 # ---------------------------------------------------------------------------
+# 17b. Pinball (quantile) loss of the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+
+PINBALL_Q_PPM = (100000, 500000, 900000)
+
+
+def forecast_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality evaluation by PINBALL (quantile) loss — the
+    metric quantile forecasts are scored with (M5 competition /
+    sklearn mean_pinball_loss): here applied to the seasonal-naive
+    baseline (revenue(month) predicted by revenue(month - 12)) that
+    every forecasting effort must beat before ``holt_forecast_monthly``
+    earns its keep. Evaluation months = every month with a 12-back
+    sibling (stated spec).
+
+    All-integer: with q in ppm and integer cents,
+    loss_micro = q*(y - f) when y >= f else (1e6 - q)*(f - y) — exact;
+    the per-q mean is one integer division.
+
+    Scale: one orders-sized aggregate to the calendar-bounded month
+    frame; the lag join and the 3-way q fan-out run on that frame."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.trunc("o_orderdate", "month").alias("m"))
+               .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents")))
+    lagged = monthly.select(F.add_months("m", 12).alias("m"),
+                            F.col("cents").alias("f_cents"))
+    paired = (monthly.join(lagged, "m")
+              .select(F.date_format("m", "yyyy-MM").alias("month"),
+                      "cents", "f_cents"))
+    q = paired.select(
+        "month", "cents", "f_cents",
+        F.explode(F.array(*[F.lit(v) for v in PINBALL_Q_PPM]))
+        .alias("q_ppm"))
+    loss = q.withColumn("loss_micro", F.expr(
+        "CASE WHEN cents >= f_cents THEN CAST(q_ppm AS BIGINT) "
+        "* (cents - f_cents) "
+        "ELSE CAST(1000000 - q_ppm AS BIGINT) * (f_cents - cents) END"))
+    return (loss.groupBy("q_ppm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_months"),
+                 F.sum("loss_micro").cast("bigint")
+                 .alias("total_pinball_micro"),
+                 F.expr("CAST(SUM(loss_micro) DIV COUNT(*) AS BIGINT)")
+                 .alias("mean_pinball_micro"))
+            .withColumn("q_ppm", F.col("q_ppm").cast("int")))
+
+
+PINBALL_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), paired AS (
+  SELECT strftime(a.m, '%Y-%m') AS month, a.cents, b.cents AS f_cents
+  FROM monthly a JOIN monthly b ON a.m = b.m + INTERVAL 12 MONTH
+), q AS (
+  SELECT month, cents, f_cents,
+         UNNEST(ARRAY{list(PINBALL_Q_PPM)}) AS q_ppm
+  FROM paired
+), loss AS (
+  SELECT q_ppm,
+         CASE WHEN cents >= f_cents
+              THEN CAST(q_ppm AS BIGINT) * (cents - f_cents)
+              ELSE CAST(1000000 - q_ppm AS BIGINT) * (f_cents - cents)
+         END AS loss_micro
+  FROM q
+)
+SELECT CAST(q_ppm AS INT) AS q_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(loss_micro) AS BIGINT) AS total_pinball_micro,
+       CAST(SUM(loss_micro) // COUNT(*) AS BIGINT) AS mean_pinball_micro
+FROM loss GROUP BY q_ppm
+"""
+
+
+# ---------------------------------------------------------------------------
 # 18. Differential-privacy (Laplace) noise planner
 # ---------------------------------------------------------------------------
 
@@ -1578,6 +1654,7 @@ QUERIES: dict[str, QueryFn] = {
     "ndcg_retrieval_eval": ndcg_retrieval_eval,
     "walk_forward_cv_splits": walk_forward_cv_splits,
     "laplace_noise_planner": laplace_noise_planner,
+    "forecast_pinball_eval": forecast_pinball_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -1599,4 +1676,5 @@ ORACLES: dict[str, str] = {
     "ndcg_retrieval_eval": NDCG_SQL,
     "walk_forward_cv_splits": WALK_FORWARD_SQL,
     "laplace_noise_planner": LAPLACE_SQL,
+    "forecast_pinball_eval": PINBALL_SQL,
 }

@@ -491,3 +491,25 @@ def test_laplace_planner_matches_formula(spark, sf_dir):
         assert r.rel_ci95_ppm == math.floor(ci * 1e6 + 0.5) * 10**6 // n
     cis = [out[e].ci95_half_r6 for e in sorted(out, key=float)]
     assert cis == sorted(cis, reverse=True)
+
+
+def test_pinball_replay_and_median_dominance(spark, sf_dir):
+    """Pinball losses replayed from raw monthly cents; identity: for a
+    point forecast the q=0.5 loss is half the MAE, so
+    2 * mean(q=.5 total) == mean(|y-f|) * 1e6 (exactly, in totals)."""
+    out = {r.q_ppm: r
+           for r in evalops.forecast_pinball_eval(spark, sf_dir).collect()}
+    monthly: dict[tuple, int] = {}
+    for o in _orders(sf_dir):
+        k = (o["o_orderdate"].year, o["o_orderdate"].month)
+        monthly[k] = monthly.get(k, 0) + _cents(o["o_totalprice"])
+    pairs = [(v, monthly[(y - 1, m)]) for (y, m), v in monthly.items()
+             if (y - 1, m) in monthly]
+    assert all(r.n_months == len(pairs) for r in out.values())
+    for q in evalops.PINBALL_Q_PPM:
+        total = sum(q * (y - f) if y >= f else (10**6 - q) * (f - y)
+                    for y, f in pairs)
+        assert out[q].total_pinball_micro == total
+        assert out[q].mean_pinball_micro == total // len(pairs)
+    mae_micro = sum(abs(y - f) for y, f in pairs) * 10**6
+    assert 2 * out[500000].total_pinball_micro == mae_micro
