@@ -125,7 +125,7 @@ _R9_EARMARK = (
     "ndcg_retrieval_eval", "walk_forward_cv_splits",
     "laplace_noise_planner", "recursive_cte_reach_curve",
     "multimodal_shard_plan", "blocking_quality_report",
-    "forecast_pinball_eval",
+    "forecast_pinball_eval", "fellegi_sunter_weights",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

@@ -249,6 +249,7 @@ OPS = {
     "multimodal_shard_plan": multimodal.multimodal_shard_plan,
     "blocking_quality_report": dedup.blocking_quality_report,
     "forecast_pinball_eval": evalops.forecast_pinball_eval,
+    "fellegi_sunter_weights": dedup.fellegi_sunter_weights,
 }
 
 

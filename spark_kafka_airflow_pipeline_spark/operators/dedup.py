@@ -766,6 +766,190 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage weights [EXT]
+    (the 1969 framework behind Splink/RecordLinkage): for each
+    comparison field (lang / source / length bucket), estimate
+    m = P(field agrees | pair is a match) from labeled MATCH pairs
+    (the exactly-oracled md5-LSH VERIFIED near-dup pairs, Jaccard >=
+    0.5 — truth grounded in TEXT similarity, independent of the
+    metadata fields being weighted) and u = P(agrees | unmatch) from a
+    deterministic pseudo-random pairing of the corpus (md5-ordered
+    consecutive pairing, fingerprint-distinct), then the
+    log-likelihood-ratio agreement/disagreement weights a linkage
+    scorer sums per field.
+
+    Portability: m/u are integer-ppm (clamped to [1, 999999] so ln is
+    finite both sides); weights are 6dp-rounded ln in integer micros.
+
+    Scale: match pairs ride the banded LSH pipeline (never doc x doc);
+    unmatch pairs from ``global_row_number`` over the md5 shuffle
+    order + consecutive pairing — one two-phase rank, one
+    co-partitioned equi-join."""
+    from spark_kafka_airflow_pipeline_spark.operators.scaleops import (
+        global_row_number,
+    )
+
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source",
+                 F.expr("n_chars DIV 100").alias("len_bucket"),
+                 T.fingerprint("text").alias("fp")))
+    grams = (table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.array_distinct(T.raw_shingles("text", 3))
+                     .alias("grams")))
+    meta_a = d.select(F.col("doc_id").alias("doc_a"),
+                      F.col("lang").alias("la"),
+                      F.col("source").alias("sa"),
+                      F.col("len_bucket").alias("ka"))
+    meta_b = d.select(F.col("doc_id").alias("doc_b"),
+                      F.col("lang").alias("lb"),
+                      F.col("source").alias("sb"),
+                      F.col("len_bucket").alias("kb"))
+    match_pairs = (md5_minhash_verified_pairs(grams, threshold=0.5)
+                   .select("doc_a", "doc_b")
+                   .join(meta_a, "doc_a").join(meta_b, "doc_b"))
+    shuffled = global_row_number(
+        d, F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fsu")))
+        .asc(), F.col("doc_id").asc(), out="rn")
+    left = (shuffled.filter(F.col("rn") % 2 == 1)
+            .select((F.col("rn") + 1).alias("pid"), "lang", "source",
+                    "len_bucket", "fp"))
+    right = (shuffled.filter(F.col("rn") % 2 == 0)
+             .select(F.col("rn").alias("pid"),
+                     F.col("lang").alias("lb"),
+                     F.col("source").alias("sb"),
+                     F.col("len_bucket").alias("kb"),
+                     F.col("fp").alias("fpb")))
+    unmatch_pairs = (left.join(right, "pid")
+                     .filter(F.col("fp") != F.col("fpb"))
+                     .select(F.col("lang").alias("la"), "lb",
+                             F.col("source").alias("sa"), "sb",
+                             F.col("len_bucket").alias("ka"), "kb"))
+
+    # ONE aggregate per pair set (three per-field sums in one pass),
+    # then a 1-row stack fan-out — aggregating per field separately
+    # would re-run the whole LSH / two-phase-rank lineage three times
+    # (10x soak measured 3.3x; ~1.8x after)
+    def field_stats(pairs: DataFrame, tag: str) -> DataFrame:
+        one = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CASE WHEN la = lb THEN 1 ELSE 0 END")).alias("al"),
+            F.sum(F.expr("CASE WHEN sa = sb THEN 1 ELSE 0 END")).alias("as_"),
+            F.sum(F.expr("CASE WHEN ka = kb THEN 1 ELSE 0 END")).alias("ak"))
+        return one.select(F.expr(
+            "stack(3, 'lang', al, 'source', as_, 'len_bucket', ak) "
+            f"AS (field, agree_{tag})"), F.col("n").alias(f"n_{tag}"))
+
+    rows = field_stats(match_pairs, "m").join(
+        field_stats(unmatch_pairs, "u"), "field")
+    clamp = "GREATEST(LEAST({x}, 999999), 1)"
+    m_ppm = clamp.format(x="agree_m * 1000000 DIV n_m")
+    u_ppm = clamp.format(x="agree_u * 1000000 DIV n_u")
+    w = ("CAST(floor(round(ln(CAST({m} AS DOUBLE) / {u}), 6) "
+         "* 1000000.0 + 0.5) AS BIGINT)")
+    return rows.select(
+        "field",
+        F.col("n_m").cast("bigint").alias("n_match_pairs"),
+        F.col("n_u").cast("bigint").alias("n_unmatch_pairs"),
+        F.expr(f"CAST({m_ppm} AS BIGINT)").alias("m_ppm"),
+        F.expr(f"CAST({u_ppm} AS BIGINT)").alias("u_ppm"),
+        F.expr(w.format(m=m_ppm, u=u_ppm)).alias("agree_weight_micro"),
+        F.expr(w.format(m=f"(1000000 - {m_ppm})",
+                        u=f"(1000000 - {u_ppm})"))
+        .alias("disagree_weight_micro"))
+
+
+def _fs_sql() -> str:
+    clamp = "GREATEST(LEAST({x}, 999999), 1)"
+    m_ppm = clamp.format(x="agree_m * 1000000 // n_m")
+    u_ppm = clamp.format(x="agree_u * 1000000 // n_u")
+    w = ("CAST(floor(round(ln(CAST({m} AS DOUBLE) / {u}), 6) "
+         "* 1000000.0 + 0.5) AS BIGINT)")
+    fields = (("lang", "lang"), ("source", "source"),
+              ("len_bucket", "len_bucket"))
+    m_sel = "\n  UNION ALL\n".join(
+        f"  SELECT '{n}' AS field, COUNT(*) AS n_m,"
+        f" SUM(CASE WHEN a.{c} = b.{c} THEN 1 ELSE 0 END) AS agree_m"
+        "  FROM mpairs JOIN dm a ON a.doc_id = mpairs.doc_a"
+        " JOIN dm b ON b.doc_id = mpairs.doc_b" for n, c in fields)
+    u_sel = "\n  UNION ALL\n".join(
+        f"  SELECT '{n}' AS field, COUNT(*) AS n_u,"
+        f" SUM(CASE WHEN l.{c} = r.{c} THEN 1 ELSE 0 END) AS agree_u"
+        "  FROM lhs l JOIN rhs r USING (pid) WHERE l.fp != r.fp"
+        for n, c in fields)
+    return rf"""
+WITH dm AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+         {T.SQL_FINGERPRINT} AS fp
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+           END) AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents)
+), g AS (
+  SELECT doc_id, unnest(grams) AS g FROM d
+), hp AS (
+  SELECT doc_id, g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_P} AS hp
+  FROM g
+), sig AS (
+  SELECT doc_id,
+         {_MH_HASHES_SQL}
+  FROM hp GROUP BY doc_id
+), bands AS (
+{_MH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.doc_a
+  JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+), sz AS (
+  SELECT doc_id, len(grams) AS n FROM d
+), mpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+), shuffled AS (
+  SELECT dm.*, ROW_NUMBER() OVER (
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':fsu'), doc_id) AS rn
+  FROM dm
+), lhs AS (
+  SELECT rn + 1 AS pid, lang, source, len_bucket, fp
+  FROM shuffled WHERE rn % 2 = 1
+), rhs AS (
+  SELECT rn AS pid, lang, source, len_bucket, fp
+  FROM shuffled WHERE rn % 2 = 0
+), ms AS (
+{m_sel}
+), us AS (
+{u_sel}
+)
+SELECT field, CAST(n_m AS BIGINT) AS n_match_pairs,
+       CAST(n_u AS BIGINT) AS n_unmatch_pairs,
+       CAST({m_ppm} AS BIGINT) AS m_ppm,
+       CAST({u_ppm} AS BIGINT) AS u_ppm,
+       {w.format(m=m_ppm, u=u_ppm)} AS agree_weight_micro,
+       {w.format(m=f"(1000000 - {m_ppm})", u=f"(1000000 - {u_ppm})")}
+         AS disagree_weight_micro
+FROM ms JOIN us USING (field)
+"""
+
+
+
 def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """The md5-portable MinHash+LSH pair pipeline over a prepared
     ``(doc_id, grams)`` frame — shared by ``minhash_md5_pairs`` (the
@@ -916,6 +1100,9 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs, truth_pairs,
        END AS pair_completeness_ppm
 FROM n CROSS JOIN truth CROSS JOIN found
 """
+
+
+FELLEGI_SUNTER_SQL = _fs_sql()
 
 
 import hashlib as _hl
@@ -1897,6 +2084,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_dup_scores": doc_dup_scores,
     "minhash_md5_pairs": minhash_md5_pairs,
     "blocking_quality_report": blocking_quality_report,
+    "fellegi_sunter_weights": fellegi_sunter_weights,
     "ngram_jaccard_md5_pairs": ngram_jaccard_md5_pairs,
     "simhash_md5_pairs": simhash_md5_pairs,
     "dedup_clusters_md5": dedup_clusters_md5,
@@ -1925,6 +2113,7 @@ ORACLES: dict[str, str] = {
     "doc_dup_scores": DOC_DUP_SCORES_SQL,
     "minhash_md5_pairs": MINHASH_MD5_SQL,
     "blocking_quality_report": BLOCKING_QUALITY_SQL,
+    "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
     "ngram_jaccard_md5_pairs": NGRAM_MD5_SQL,
     "simhash_md5_pairs": SIMHASH_MD5_SQL,
     "dedup_clusters_md5": DEDUP_CLUSTERS_MD5_SQL,

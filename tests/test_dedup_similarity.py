@@ -349,3 +349,52 @@ def test_blocking_quality_invariants(spark, sf_dir):
     assert r.truth_pairs == 1
     assert r.truth_found == 1
     assert r.pair_completeness_ppm == 10**6
+
+
+def test_fellegi_sunter_weight_signs(spark, sf_dir):
+    """The u side (chance agreement under the deterministic md5
+    pairing) is replayed exactly in Python; weights are replayed from
+    (m_ppm, u_ppm) with the same 6dp-ln ladder; sign law: agreement
+    weight positive iff m > u."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        fellegi_sunter_weights,
+    )
+
+    out = {r.field: r
+           for r in fellegi_sunter_weights(spark, sf_dir).collect()}
+    assert set(out) == {"lang", "source", "len_bucket"}
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+
+    def fp(text):
+        import re
+        return hashlib.md5(
+            re.sub(r"\s+", " ", text.lower().strip()).encode()).hexdigest()
+
+    rows = [(hashlib.md5(f"{d['doc_id']}:fsu".encode()).hexdigest(),
+             d["doc_id"], d["lang"], d["source"], d["n_chars"] // 100,
+             fp(d["text"])) for d in docs]
+    rows.sort(key=lambda r: (r[0], r[1]))
+    pairs = [(rows[i], rows[i + 1]) for i in range(0, len(rows) - 1, 2)
+             if rows[i][5] != rows[i + 1][5]]
+    for idx, field in ((2, "lang"), (3, "source"), (4, "len_bucket")):
+        r = out[field]
+        agree = sum(1 for a, b in pairs if a[idx] == b[idx])
+        assert r.n_unmatch_pairs == len(pairs)
+        assert r.u_ppm == max(1, min(999999,
+                                     agree * 10**6 // len(pairs)))
+        assert r.n_match_pairs > 0
+        assert 1 <= r.m_ppm <= 999999
+        want_w = math.floor(round(math.log(r.m_ppm / r.u_ppm), 6)
+                            * 1e6 + 0.5)
+        assert r.agree_weight_micro == want_w
+        want_d = math.floor(round(math.log((10**6 - r.m_ppm)
+                                           / (10**6 - r.u_ppm)), 6)
+                            * 1e6 + 0.5)
+        assert r.disagree_weight_micro == want_d
+        assert (r.agree_weight_micro > 0) == (r.m_ppm > r.u_ppm)
