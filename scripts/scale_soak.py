@@ -250,6 +250,7 @@ OPS = {
     "blocking_quality_report": dedup.blocking_quality_report,
     "forecast_pinball_eval": evalops.forecast_pinball_eval,
     "fellegi_sunter_weights": dedup.fellegi_sunter_weights,
+    "partition_retention_plan": lakeops.partition_retention_plan,
 }
 
 
@@ -295,6 +296,7 @@ EVENT_OPS = {
     "daily_burstiness_fano": evalops.daily_burstiness_fano,
     "purchase_view_ccf": evalops.purchase_view_ccf,
     "attribution_position_based": events.attribution_position_based,
+    "interarrival_dispersion": evalops.interarrival_dispersion,
     # round-8 additions
     "retention_triangle": events.retention_triangle,
 }

@@ -1580,6 +1580,83 @@ FROM loss GROUP BY q_ppm
 
 
 # ---------------------------------------------------------------------------
+# 17c. Per-user inter-arrival dispersion (gap-side burstiness)
+# ---------------------------------------------------------------------------
+
+def interarrival_dispersion(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Inter-arrival-time dispersion per event type: the coefficient of
+    variation and Goh-Barabasi burstiness of the WHOLE-SECOND gaps
+    between a user's consecutive events of each type — the gap-side
+    complement to ``daily_burstiness_fano`` (count side): CV = 1 is the
+    memoryless/Poisson signature, CV > 1 bursty sessions, CV < 1
+    pacing/automation (the bot fingerprint ``bot_rate_flags`` keys on).
+
+    Exactness: gaps are exact integer seconds (epoch-micros difference
+    DIV 1e6); moments are integer sums; CV = sqrt(n*ssq - s^2)/s and
+    B = (sqrt(num) - s')/(sqrt(num) + s') with num = n*ssq - s^2 exact
+    and sqrt IEEE-correctly-rounded, both rounded 6dp.
+
+    Scale: the lag runs in a window PARTITIONED BY (user, type) — the
+    natural key, data-sized but fully parallel — then one mergeable
+    moment aggregate per type."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    gaps = (e.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+            .filter(F.col("prev_us").isNotNull())
+            .select("event_type",
+                    F.expr("(unix_micros(ts) - prev_us) DIV 1000000")
+                    .alias("gap_s")))
+    # moments in DECIMAL(38,0): month-long gaps square to ~1e14, and
+    # n*ssq overflows BIGINT at sf0.1 already (ANSI overflow caught it)
+    num = ("CAST(n_gaps AS DECIMAL(38,0)) * ssq "
+           "- CAST(s AS DECIMAL(38,0)) * s")
+    return (gaps.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.sum("gap_s").cast("bigint").alias("s"),
+                 F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s"))
+                 .cast("decimal(38,0)").alias("ssq"))
+            .filter(F.col("s") > 0)
+            .select("event_type",
+                    F.col("n_gaps").cast("bigint").alias("n_gaps"),
+                    F.expr("CAST(s DIV n_gaps AS BIGINT)")
+                    .alias("mean_gap_s"),
+                    F.expr(f"round(sqrt(CAST({num} AS DOUBLE)) / s, 6)")
+                    .alias("cv_r6"),
+                    F.expr(f"round((sqrt(CAST({num} AS DOUBLE)) - s) / "
+                           f"(sqrt(CAST({num} AS DOUBLE)) + s), 6)")
+                    .alias("burstiness_r6")))
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), mom AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s,
+         SUM(CAST(gap_s AS HUGEINT) * gap_s) AS ssq
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(s // n_gaps AS BIGINT) AS mean_gap_s,
+       round(sqrt(CAST(CAST(n_gaps AS HUGEINT) * ssq
+                       - CAST(s AS HUGEINT) * s AS DOUBLE)) / s, 6)
+         AS cv_r6,
+       round((sqrt(CAST(CAST(n_gaps AS HUGEINT) * ssq
+                        - CAST(s AS HUGEINT) * s AS DOUBLE)) - s)
+             / (sqrt(CAST(CAST(n_gaps AS HUGEINT) * ssq
+                          - CAST(s AS HUGEINT) * s AS DOUBLE)) + s), 6)
+         AS burstiness_r6
+FROM mom WHERE s > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # 18. Differential-privacy (Laplace) noise planner
 # ---------------------------------------------------------------------------
 
@@ -1655,6 +1732,7 @@ QUERIES: dict[str, QueryFn] = {
     "walk_forward_cv_splits": walk_forward_cv_splits,
     "laplace_noise_planner": laplace_noise_planner,
     "forecast_pinball_eval": forecast_pinball_eval,
+    "interarrival_dispersion": interarrival_dispersion,
 }
 
 ORACLES: dict[str, str] = {
@@ -1677,4 +1755,5 @@ ORACLES: dict[str, str] = {
     "walk_forward_cv_splits": WALK_FORWARD_SQL,
     "laplace_noise_planner": LAPLACE_SQL,
     "forecast_pinball_eval": PINBALL_SQL,
+    "interarrival_dispersion": INTERARRIVAL_SQL,
 }

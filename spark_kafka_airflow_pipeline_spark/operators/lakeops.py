@@ -373,8 +373,76 @@ FROM per_bucket GROUP BY n_buckets
 HASHING_SQL = _hashing_sql()
 
 
+RETENTION_TIERS = ((3, "1_hot"), (12, "2_warm"), (24, "3_cold"))
+
+
+def partition_retention_plan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Partition lifecycle / VACUUM planner: age every order-month
+    partition against the corpus head (max order month — deterministic,
+    not wall clock) and assign the storage tier a lifecycle policy
+    prescribes — hot (<= 3 months), warm (<= 12), cold (<= 24), expire
+    (older) — with per-tier partition counts, row counts, and
+    reclaimable bytes for the expire tier. The plan a retention job
+    executes and a cost review reads.
+
+    All-integer: age in whole months from the month index arithmetic
+    (12*year + month deltas); tiers are fixed literals.
+
+    Scale: one orders-sized aggregate to the calendar-bounded month
+    frame; the head is a 1-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    parts = (o.groupBy(F.trunc("o_orderdate", "month").alias("m"))
+             .agg(F.count(F.lit(1)).alias("n_rows")))
+    head = parts.agg(F.max("m").alias("head_m"))
+    tiers = " ".join(
+        f"WHEN age_months <= {lim} THEN '{name}'"
+        for lim, name in RETENTION_TIERS)
+    aged = (parts.crossJoin(F.broadcast(head))
+            .withColumn("age_months", F.expr(
+                "(year(head_m) * 12 + month(head_m)) "
+                "- (year(m) * 12 + month(m))"))
+            .withColumn("tier", F.expr(
+                f"CASE {tiers} ELSE '4_expire' END")))
+    return (aged.groupBy("tier")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                 F.sum("n_rows").cast("bigint").alias("n_rows"),
+                 F.expr(f"CAST(SUM(n_rows) * {EST_ROW_BYTES} AS BIGINT)")
+                 .alias("est_bytes"),
+                 F.min("age_months").cast("int").alias("min_age_months"),
+                 F.max("age_months").cast("int").alias("max_age_months")))
+
+
+_AGE_SQL = ("(year(head_m) * 12 + month(head_m)) "
+            "- (year(m) * 12 + month(m))")
+_TIER_CASE_SQL = ("CASE " + " ".join(
+    f"WHEN {_AGE_SQL} <= {lim} THEN '{name}'"
+    for lim, name in RETENTION_TIERS) + " ELSE '4_expire' END")
+
+RETENTION_SQL = f"""
+WITH parts AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY 1
+), head AS (SELECT MAX(m) AS head_m FROM parts),
+aged AS (
+  SELECT n_rows,
+         {_AGE_SQL} AS age_months,
+         {_TIER_CASE_SQL} AS tier
+  FROM parts CROSS JOIN head
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(n_rows) * {EST_ROW_BYTES} AS BIGINT) AS est_bytes,
+       CAST(MIN(age_months) AS INT) AS min_age_months,
+       CAST(MAX(age_months) AS INT) AS max_age_months
+FROM aged GROUP BY tier
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "compaction_bin_plan": compaction_bin_plan,
+    "partition_retention_plan": partition_retention_plan,
     "zorder_clustering_audit": zorder_clustering_audit,
     "bloom_filter_fpr_planner": bloom_filter_fpr_planner,
     "feature_hashing_collision_audit": feature_hashing_collision_audit,
@@ -382,6 +450,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "compaction_bin_plan": COMPACT_SQL,
+    "partition_retention_plan": RETENTION_SQL,
     "zorder_clustering_audit": ZORDER_SQL,
     "bloom_filter_fpr_planner": BLOOM_SQL,
     "feature_hashing_collision_audit": HASHING_SQL,

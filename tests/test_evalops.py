@@ -513,3 +513,37 @@ def test_pinball_replay_and_median_dominance(spark, sf_dir):
         assert out[q].mean_pinball_micro == total // len(pairs)
     mae_micro = sum(abs(y - f) for y, f in pairs) * 10**6
     assert 2 * out[500000].total_pinball_micro == mae_micro
+
+
+def test_interarrival_replay(spark, sf_dir):
+    """Gap moments replayed per (user, type) sequence; CV and
+    burstiness recomputed with the same exact-integer numerator."""
+    out = {r.event_type: r
+           for r in evalops.interarrival_dispersion(spark,
+                                                    sf_dir).collect()}
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "event_type", "ts",
+                                "event_id"]).to_pylist()
+    seqs: dict[tuple, list] = {}
+    for e in ev:
+        seqs.setdefault((e["user_id"], e["event_type"]), []).append(
+            (e["ts"], e["event_id"]))
+    gaps: dict[str, list[int]] = {}
+    for (_, t), rows in seqs.items():
+        rows.sort()
+        for a, b in zip(rows, rows[1:]):
+            us = int((b[0] - a[0]).total_seconds() * 1_000_000)
+            gaps.setdefault(t, []).append(us // 1_000_000)
+    for t, gs in gaps.items():
+        n, s, ssq = len(gs), sum(gs), sum(g * g for g in gs)
+        if s == 0:
+            assert t not in out
+            continue
+        num = n * ssq - s * s
+        r = out[t]
+        assert (r.n_gaps, r.mean_gap_s) == (n, s // n)
+        assert r.cv_r6 == pytest.approx(round(math.sqrt(num) / s, 6),
+                                        abs=1e-9)
+        assert r.burstiness_r6 == pytest.approx(
+            round((math.sqrt(num) - s) / (math.sqrt(num) + s), 6),
+            abs=1e-9)

@@ -116,3 +116,36 @@ def test_feature_hashing_collisions_shrink_with_buckets(spark, sf_dir):
     sizes = sorted(out)
     coll = [out[s].collided_terms for s in sizes]
     assert coll == sorted(coll, reverse=True)
+
+
+def test_retention_tiers_partition_all_months(spark, sf_dir):
+    """Tiers partition every month partition; ages replayed; expire
+    tier (TPC-H spans ~7 years) must dominate partitions."""
+    out = {r.tier: r
+           for r in lakeops.partition_retention_plan(spark,
+                                                     sf_dir).collect()}
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate"]).to_pylist()
+    months: dict[tuple, int] = {}
+    for o in orders:
+        k = (o["o_orderdate"].year, o["o_orderdate"].month)
+        months[k] = months.get(k, 0) + 1
+    head = max(months)
+    tiers: dict[str, list[int]] = {}
+    for (y, m), n in months.items():
+        age = (head[0] * 12 + head[1]) - (y * 12 + m)
+        t = ("1_hot" if age <= 3 else "2_warm" if age <= 12
+             else "3_cold" if age <= 24 else "4_expire")
+        g = tiers.setdefault(t, [0, 0, 10**9, -1])
+        g[0] += 1
+        g[1] += n
+        g[2] = min(g[2], age)
+        g[3] = max(g[3], age)
+    assert set(out) == set(tiers)
+    for t, (np_, nr, mn, mx) in tiers.items():
+        r = out[t]
+        assert (r.n_partitions, r.n_rows) == (np_, nr)
+        assert (r.min_age_months, r.max_age_months) == (mn, mx)
+        assert r.est_bytes == nr * lakeops.EST_ROW_BYTES
+    assert sum(r.n_partitions for r in out.values()) == len(months)
+    assert out["4_expire"].n_partitions > out["1_hot"].n_partitions
