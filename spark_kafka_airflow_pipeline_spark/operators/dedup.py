@@ -750,7 +750,11 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.expr("CASE WHEN fa = fb THEN 1 ELSE 0 END"))
                   .cast("bigint").alias("truth_found")))
     n = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+    # below 2 docs there is no pair universe to audit (and C(N,2) = 0
+    # would divide by zero) — emit no row (module empty-input
+    # invariant: empty in, empty out with the declared schema)
     return (n.crossJoin(F.broadcast(truth)).crossJoin(F.broadcast(found))
+            .filter(F.col("n_docs") >= 2)
             .select(
                 F.col("n_docs").cast("bigint").alias("n_docs"),
                 "truth_pairs", "candidate_pairs", "truth_found",
@@ -841,8 +845,11 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'lang', al, 'source', as_, 'len_bucket', ak) "
             f"AS (field, agree_{tag})"), F.col("n").alias(f"n_{tag}"))
 
-    rows = field_stats(match_pairs, "m").join(
-        field_stats(unmatch_pairs, "u"), "field")
+    # no weights are estimable without BOTH labeled samples — and an
+    # empty corpus yields the module's empty-in/empty-out invariant
+    rows = (field_stats(match_pairs, "m")
+            .join(field_stats(unmatch_pairs, "u"), "field")
+            .filter((F.col("n_m") > 0) & (F.col("n_u") > 0)))
     clamp = "GREATEST(LEAST({x}, 999999), 1)"
     m_ppm = clamp.format(x="agree_m * 1000000 DIV n_m")
     u_ppm = clamp.format(x="agree_u * 1000000 DIV n_u")
@@ -946,6 +953,7 @@ SELECT field, CAST(n_m AS BIGINT) AS n_match_pairs,
        {w.format(m=f"(1000000 - {m_ppm})", u=f"(1000000 - {u_ppm})")}
          AS disagree_weight_micro
 FROM ms JOIN us USING (field)
+WHERE n_m > 0 AND n_u > 0
 """
 
 
@@ -1099,6 +1107,7 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs, truth_pairs,
             THEN CAST(truth_found * 1000000 // truth_pairs AS BIGINT)
        END AS pair_completeness_ppm
 FROM n CROSS JOIN truth CROSS JOIN found
+WHERE n_docs >= 2
 """
 
 

@@ -379,6 +379,111 @@ FROM surv GROUP BY lang
 """
 
 
+def metadata_privacy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GOVERNANCE pipeline declared purely in metadata JSON [EXT]:
+    the k-anonymity and l-diversity audits as one config-driven
+    dataflow, exercising the executor's declarative ``sql``
+    transformation node (arbitrary Spark SQL over registered upstream
+    nodes — the escape hatch ``metadata_compiled_q3``'s typed nodes
+    deliberately avoid). Output: one unified privacy report (metric x
+    band) a review board reads; the DuckDB oracle re-derives both
+    audits independently and applies the same union.
+
+    Scale: exactly the audits' own plans (QI groupBys + bounded
+    rollups) — the sql node compiles to the same Catalyst tree the
+    hand-written operators produce."""
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    report_sql = """
+        WITH kgroups AS (
+          SELECT lang, source, n_chars DIV 100 AS len_bucket,
+                 COUNT(*) AS gsize
+          FROM documents GROUP BY 1, 2, 3
+        ), kb AS (
+          SELECT CASE WHEN gsize = 1 THEN '1_unique'
+                      WHEN gsize < 5 THEN '2_small(2-4)'
+                      WHEN gsize < 20 THEN '3_medium(5-19)'
+                      ELSE '4_anonymous(20+)' END AS band, gsize
+          FROM kgroups
+        ), lgroups AS (
+          SELECT source, n_chars DIV 100 AS len_bucket,
+                 COUNT(*) AS gsize, COUNT(DISTINCT lang) AS l
+          FROM documents GROUP BY 1, 2
+        ), lb AS (
+          SELECT CASE WHEN l = 1 THEN '1_homogeneous'
+                      WHEN l = 2 THEN '2_low(2)'
+                      ELSE '3_diverse(3+)' END AS band, gsize
+          FROM lgroups
+        ), unioned AS (
+          SELECT 'k_anonymity' AS metric, band, gsize FROM kb
+          UNION ALL
+          SELECT 'l_diversity' AS metric, band, gsize FROM lb
+        )
+        -- scalar subquery, not a 1-row cross join: the sql node's
+        -- plan stays join-free (the subquery is one bounded scan)
+        SELECT metric, band,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(gsize) AS BIGINT) AS n_docs,
+               CAST(CAST(SUM(gsize) AS DECIMAL(38,0)) * 1000000
+                    DIV (SELECT COUNT(*) FROM documents) AS BIGINT)
+                 AS doc_share_ppm
+        FROM unioned
+        GROUP BY metric, band
+    """
+    meta = parse_metadata({"dataflows": [{
+        "name": "privacy_report",
+        "sources": [
+            {"name": "documents", "path": f"{sf_dir}/documents.parquet"},
+        ],
+        "transformations": [
+            {"name": "report", "type": "sql",
+             "params": {"input": "documents", "sql": report_sql}},
+        ],
+        "sinks": [],
+    }]})
+    nodes = PipelineExecutor(spark).build_nodes(meta.dataflows[0])
+    return nodes["report"]
+
+
+METADATA_PRIVACY_SQL = """
+WITH kgroups AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS gsize
+  FROM documents GROUP BY 1, 2, 3
+), kb AS (
+  SELECT CASE WHEN gsize = 1 THEN '1_unique'
+              WHEN gsize < 5 THEN '2_small(2-4)'
+              WHEN gsize < 20 THEN '3_medium(5-19)'
+              ELSE '4_anonymous(20+)' END AS band, gsize
+  FROM kgroups
+), lgroups AS (
+  SELECT source, n_chars // 100 AS len_bucket,
+         COUNT(*) AS gsize, COUNT(DISTINCT lang) AS l
+  FROM documents GROUP BY 1, 2
+), lb AS (
+  SELECT CASE WHEN l = 1 THEN '1_homogeneous'
+              WHEN l = 2 THEN '2_low(2)'
+              ELSE '3_diverse(3+)' END AS band, gsize
+  FROM lgroups
+), tot AS (SELECT COUNT(*) AS n_total FROM documents),
+unioned AS (
+  SELECT 'k_anonymity' AS metric, band, gsize FROM kb
+  UNION ALL
+  SELECT 'l_diversity' AS metric, band, gsize FROM lb
+)
+SELECT metric, band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(gsize) AS HUGEINT) * 1000000 // n_total AS BIGINT)
+         AS doc_share_ppm
+FROM unioned CROSS JOIN tot
+GROUP BY metric, band, n_total
+"""
+
+
 from spark_kafka_airflow_pipeline_spark.operators.relational import (  # noqa: E402
     Q3_SQL as _Q3_SQL,
 )
@@ -388,6 +493,7 @@ QUERIES: dict[str, QueryFn] = {
     "python_datasource_pushdown": python_datasource_pushdown,
     "metadata_compiled_q3": metadata_compiled_q3,
     "metadata_corpus_refinery": metadata_corpus_refinery,
+    "metadata_privacy_report": metadata_privacy_report,
     "validate_split_ok": validate_split_ok,
     "validate_split_ko": validate_split_ko,
     "pipeline_add_fields": pipeline_add_fields,
@@ -399,6 +505,7 @@ ORACLES: dict[str, str] = {
     "python_datasource_pushdown": PY_DATASOURCE_PUSHDOWN_SQL,
     "metadata_compiled_q3": _Q3_SQL,
     "metadata_corpus_refinery": _corpus_refinery_sql(),
+    "metadata_privacy_report": METADATA_PRIVACY_SQL,
     "validate_split_ok": VALIDATE_OK_SQL,
     "validate_split_ko": VALIDATE_KO_SQL,
     "pipeline_add_fields": ADD_FIELDS_SQL,
