@@ -32,6 +32,24 @@ def test_window_priority_bookkeeping():
     assert not overlap, overlap
 
 
+def test_no_query_orphaned_from_driver_verification():
+    """Every queries() entry must be driver-seen (a row in some
+    CORRECTNESS file), inside the current 50-slot window, or earmarked
+    for the next round — the refresh-SLA bookkeeping the r7 verdict
+    asked for, mechanized so a new op cannot silently skip the queue."""
+    import json
+    from pathlib import Path
+
+    qs = set(entry_mod.queries())
+    planned = set(entry_mod._WINDOW_PRIORITY) | set(entry_mod._R9_EARMARK)
+    seen: set[str] = set()
+    for p in Path(__file__).resolve().parent.parent.glob(
+            "CORRECTNESS_r*.json"):
+        seen |= set(json.loads(p.read_text()))
+    orphaned = qs - seen - planned
+    assert not orphaned, sorted(orphaned)
+
+
 def test_transition_matrix_rows_are_distributions(spark, sf_dir):
     rows = events.event_transition_matrix(spark, sf_dir).collect()
     assert rows
