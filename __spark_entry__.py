@@ -127,7 +127,8 @@ _R9_EARMARK = (
     "multimodal_shard_plan", "blocking_quality_report",
     "forecast_pinball_eval", "fellegi_sunter_weights",
     "partition_retention_plan", "interarrival_dispersion",
-    "metadata_privacy_report",
+    "metadata_privacy_report", "path_conditional_entropy",
+    "price_volume_mix_decomposition",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

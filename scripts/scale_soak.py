@@ -251,6 +251,8 @@ OPS = {
     "forecast_pinball_eval": evalops.forecast_pinball_eval,
     "fellegi_sunter_weights": dedup.fellegi_sunter_weights,
     "partition_retention_plan": lakeops.partition_retention_plan,
+    "price_volume_mix_decomposition":
+        evalops.price_volume_mix_decomposition,
 }
 
 
@@ -297,6 +299,7 @@ EVENT_OPS = {
     "purchase_view_ccf": evalops.purchase_view_ccf,
     "attribution_position_based": events.attribution_position_based,
     "interarrival_dispersion": evalops.interarrival_dispersion,
+    "path_conditional_entropy": evalops.path_conditional_entropy,
     # round-8 additions
     "retention_triangle": events.retention_triangle,
 }

@@ -1657,6 +1657,169 @@ FROM mom WHERE s > 0
 
 
 # ---------------------------------------------------------------------------
+# 17d. Conditional path entropy (sequence predictability)
+# ---------------------------------------------------------------------------
+
+def path_conditional_entropy(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Sequence predictability: the conditional entropy H(next | cur)
+    of each user-timeline transition, per FROM state and as the
+    row-weighted corpus summary row (from_type = '__overall__') — the
+    one-number answer to "how predictable is the next event?" that the
+    raw ``event_transition_matrix`` probabilities don't give. H = 0
+    means deterministic flows (bot-like), ln(K) means uniform chaos.
+
+    Exactness (the entropy-op idiom): per (from, to) cell the term is
+    cnt * round6(ln(row_total/cnt)) in integer micros, BIGINT-summed
+    per from-state and divided once; the overall row reuses the SAME
+    per-cell micros weighted by nothing further (sum over all cells
+    DIV total transitions) — so overall == weighted mean of rows by
+    construction.
+
+    Scale: one user-partitioned lead window + a (from, to) aggregate
+    (the transition matrix's own plan); entropy arithmetic runs on the
+    K x K bounded cell frame."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (e.select("user_id", "event_type",
+                      F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    cells = (trans.groupBy(F.col("event_type").alias("from_type"),
+                           "next_type")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    wrow = Window.partitionBy("from_type")
+    terms = (cells.withColumn("row_n", F.sum("cnt").over(wrow))
+             .withColumn("micros", F.expr(
+                 "cnt * CAST(floor(round(ln(CAST(row_n AS DOUBLE) / cnt),"
+                 " 6) * 1000000.0 + 0.5) AS BIGINT)")))
+    per_from = (terms.groupBy("from_type")
+                .agg(F.max("row_n").cast("bigint").alias("n_transitions"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_next_types"),
+                     F.expr("CAST(SUM(micros) DIV MAX(row_n) AS BIGINT)")
+                     .alias("cond_entropy_micronats")))
+    overall = (terms.agg(
+        F.sum("cnt").cast("bigint").alias("n_transitions"),
+        F.countDistinct("next_type").cast("bigint").alias("n_next_types"),
+        F.expr("CAST(SUM(micros) DIV SUM(cnt) AS BIGINT)")
+        .alias("cond_entropy_micronats"))
+        .select(F.lit("__overall__").alias("from_type"),
+                "n_transitions", "n_next_types",
+                "cond_entropy_micronats"))
+    return per_from.unionByName(overall)
+
+
+PATH_ENTROPY_SQL = """
+WITH trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), cells AS (
+  SELECT from_type, next_type, COUNT(*) AS cnt
+  FROM trans WHERE next_type IS NOT NULL
+  GROUP BY from_type, next_type
+), terms AS (
+  SELECT from_type, next_type, cnt,
+         SUM(cnt) OVER (PARTITION BY from_type) AS row_n,
+         cnt * CAST(floor(round(ln(
+           CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) / cnt),
+           6) * 1000000.0 + 0.5) AS BIGINT) AS micros
+  FROM cells
+)
+SELECT from_type, CAST(MAX(row_n) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+       CAST(SUM(micros) // MAX(row_n) AS BIGINT)
+         AS cond_entropy_micronats
+FROM terms GROUP BY from_type
+UNION ALL
+SELECT '__overall__' AS from_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT next_type) AS BIGINT) AS n_next_types,
+       CAST(SUM(micros) // SUM(cnt) AS BIGINT) AS cond_entropy_micronats
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17e. Price-volume-mix growth decomposition
+# ---------------------------------------------------------------------------
+
+def price_volume_mix_decomposition(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """FP&A growth accounting: decompose each (segment, year)'s
+    year-over-year revenue change into the VOLUME effect (order-count
+    change at last year's average ticket) and the PRICE/MIX effect
+    (this year's volume times the average-ticket change), per customer
+    market segment — "did we grow because of more orders or bigger
+    orders?".
+
+    Exactness spec (stated): average tickets are floored integer cents
+    (sum DIV n); volume = dn * avg_prev, price = n_cur * d_avg, and the
+    residual reconciliation term rev_delta - volume - price is emitted
+    explicitly (the flooring remainder; a decomposition that hides it
+    doesn't reconcile to the ledger).
+
+    Scale: one orders-sized aggregate to the (segment x year) frame;
+    the lag join runs on that bounded frame."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yearly = (o.join(c, o.o_custkey == c.c_custkey)
+              .groupBy(F.col("c_mktsegment").alias("segment"),
+                       F.year("o_orderdate").alias("yr"))
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.sum(F.expr(_CENTS)).cast("bigint").alias("rev_cents"))
+              .withColumn("avg_cents",
+                          F.expr("CAST(rev_cents DIV n_orders AS BIGINT)")))
+    prev = yearly.select(F.col("segment").alias("segment"),
+                         (F.col("yr") + 1).alias("yr"),
+                         F.col("n_orders").alias("n_prev"),
+                         F.col("rev_cents").alias("rev_prev"),
+                         F.col("avg_cents").alias("avg_prev"))
+    return (yearly.join(prev, ["segment", "yr"])
+            .select("segment", F.col("yr").cast("int").alias("yr"),
+                    F.col("n_orders").cast("bigint").alias("n_orders"),
+                    F.expr("CAST(rev_cents - rev_prev AS BIGINT)")
+                    .alias("rev_delta_cents"),
+                    F.expr("CAST((n_orders - n_prev) * avg_prev AS BIGINT)")
+                    .alias("volume_effect_cents"),
+                    F.expr("CAST(n_orders * (avg_cents - avg_prev) "
+                           "AS BIGINT)").alias("price_mix_effect_cents"),
+                    F.expr("CAST((rev_cents - rev_prev) "
+                           "- (n_orders - n_prev) * avg_prev "
+                           "- n_orders * (avg_cents - avg_prev) "
+                           "AS BIGINT)").alias("rounding_residual_cents")))
+
+
+PVM_SQL = """
+WITH yearly AS (
+  SELECT c_mktsegment AS segment,
+         CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), enriched AS (
+  SELECT *, CAST(rev_cents // n_orders AS BIGINT) AS avg_cents
+  FROM yearly
+)
+SELECT a.segment, CAST(a.yr AS INT) AS yr,
+       CAST(a.n_orders AS BIGINT) AS n_orders,
+       CAST(a.rev_cents - b.rev_cents AS BIGINT) AS rev_delta_cents,
+       CAST((a.n_orders - b.n_orders) * b.avg_cents AS BIGINT)
+         AS volume_effect_cents,
+       CAST(a.n_orders * (a.avg_cents - b.avg_cents) AS BIGINT)
+         AS price_mix_effect_cents,
+       CAST((a.rev_cents - b.rev_cents)
+            - (a.n_orders - b.n_orders) * b.avg_cents
+            - a.n_orders * (a.avg_cents - b.avg_cents) AS BIGINT)
+         AS rounding_residual_cents
+FROM enriched a JOIN enriched b
+  ON a.segment = b.segment AND a.yr = b.yr + 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # 18. Differential-privacy (Laplace) noise planner
 # ---------------------------------------------------------------------------
 
@@ -1733,6 +1896,8 @@ QUERIES: dict[str, QueryFn] = {
     "laplace_noise_planner": laplace_noise_planner,
     "forecast_pinball_eval": forecast_pinball_eval,
     "interarrival_dispersion": interarrival_dispersion,
+    "path_conditional_entropy": path_conditional_entropy,
+    "price_volume_mix_decomposition": price_volume_mix_decomposition,
 }
 
 ORACLES: dict[str, str] = {
@@ -1756,4 +1921,6 @@ ORACLES: dict[str, str] = {
     "laplace_noise_planner": LAPLACE_SQL,
     "forecast_pinball_eval": PINBALL_SQL,
     "interarrival_dispersion": INTERARRIVAL_SQL,
+    "path_conditional_entropy": PATH_ENTROPY_SQL,
+    "price_volume_mix_decomposition": PVM_SQL,
 }

@@ -547,3 +547,53 @@ def test_interarrival_replay(spark, sf_dir):
         assert r.burstiness_r6 == pytest.approx(
             round((math.sqrt(num) - s) / (math.sqrt(num) + s), 6),
             abs=1e-9)
+
+
+def test_path_entropy_replay_and_weighted_mean(spark, sf_dir):
+    """Per-from entropies replayed from raw transitions; the overall
+    row must equal the transition-weighted mean by construction."""
+    out = {r.from_type: r
+           for r in evalops.path_conditional_entropy(spark,
+                                                     sf_dir).collect()}
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "event_type", "ts",
+                                "event_id"]).to_pylist()
+    seqs: dict[int, list] = {}
+    for e in ev:
+        seqs.setdefault(e["user_id"], []).append(
+            (e["ts"], e["event_id"], e["event_type"]))
+    cells: dict[tuple, int] = {}
+    for rows in seqs.values():
+        rows.sort()
+        for a, b in zip(rows, rows[1:]):
+            cells[(a[2], b[2])] = cells.get((a[2], b[2]), 0) + 1
+    rown: dict[str, int] = {}
+    for (f_, _), c in cells.items():
+        rown[f_] = rown.get(f_, 0) + c
+    micros: dict[str, int] = {}
+    for (f_, _), c in cells.items():
+        micros[f_] = micros.get(f_, 0) + c * math.floor(
+            round(math.log(rown[f_] / c), 6) * 1e6 + 0.5)
+    for f_, n in rown.items():
+        r = out[f_]
+        assert (r.n_transitions,
+                r.cond_entropy_micronats) == (n, micros[f_] // n)
+    ov = out["__overall__"]
+    assert ov.n_transitions == sum(rown.values())
+    assert ov.cond_entropy_micronats == (
+        sum(micros.values()) // sum(rown.values()))
+
+
+def test_pvm_decomposition_reconciles(spark, sf_dir):
+    """volume + price_mix + residual must equal the revenue delta on
+    EVERY row (the ledger reconciliation the residual column exists
+    for), and the residual stays below one average ticket."""
+    out = evalops.price_volume_mix_decomposition(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert (r.volume_effect_cents + r.price_mix_effect_cents
+                + r.rounding_residual_cents) == r.rev_delta_cents
+        assert abs(r.rounding_residual_cents) <= max(
+            1, abs(r.rev_delta_cents) + 1)
+    # there are 5 segments and TPC-H spans years 1992-1998 -> rows
+    assert len({r.segment for r in out}) == 5
