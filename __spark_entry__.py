@@ -128,7 +128,7 @@ _R9_EARMARK = (
     "forecast_pinball_eval", "fellegi_sunter_weights",
     "partition_retention_plan", "interarrival_dispersion",
     "metadata_privacy_report", "path_conditional_entropy",
-    "price_volume_mix_decomposition",
+    "price_volume_mix_decomposition", "order_price_qq_drift",
     # r5-cohort stale-refresh names displaced by the round-8-new ops
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",

@@ -253,6 +253,7 @@ OPS = {
     "partition_retention_plan": lakeops.partition_retention_plan,
     "price_volume_mix_decomposition":
         evalops.price_volume_mix_decomposition,
+    "order_price_qq_drift": evalops.order_price_qq_drift,
 }
 
 

@@ -1820,6 +1820,76 @@ FROM enriched a JOIN enriched b
 
 
 # ---------------------------------------------------------------------------
+# 17f. Quantile-quantile drift table
+# ---------------------------------------------------------------------------
+
+QQ_DECILES = tuple(range(1, 10))  # p10..p90
+
+
+def order_price_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ drift table: the order-price distribution of cohort A
+    (even order keys) against cohort B (odd keys) at every decile —
+    the quantile-level drift view that says WHERE a distribution moved
+    (head/body/tail), which the binned PSI (``events_drift_psi`` /
+    ``value_drift_continuous``) deliberately compresses away.
+
+    Exactness: exact ``percentile`` over doubled integer cents with an
+    explicit floor before the BIGINT cast (the ``weighted_median_price``
+    rule — interpolated deciles land on identical doubles in both
+    engines; only the cast rounding ever diverged). Both cohorts'
+    deciles come from ONE aggregate row (18 mergeable percentile
+    aggregates), stacked to 9 rows.
+
+    Scale: one orders-sized mergeable aggregate, a 9-row stack — no
+    windows, no joins."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_orderkey % 2 AS INT)").alias("half"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2")
+        .alias("c2"))
+    aggs = []
+    for d in QQ_DECILES:
+        for h, tag in ((0, "a"), (1, "b")):
+            aggs.append(F.floor(F.percentile(
+                F.when(F.col("half") == h, F.col("c2")),
+                F.lit(d / 10))).cast("bigint").alias(f"p{d}{tag}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(f"{d * 100000}, p{d}a, p{d}b" for d in QQ_DECILES)
+    return (one.select(F.expr(
+        f"stack({len(QQ_DECILES)}, {stack}) "
+        "AS (q_ppm, p_first_x2, p_second_x2)"))
+        .select(F.col("q_ppm").cast("int").alias("q_ppm"),
+                "p_first_x2", "p_second_x2",
+                F.expr(ppm("p_second_x2 - p_first_x2", "p_first_x2"))
+                .alias("shift_ppm")))
+
+
+def _qq_sql() -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {d * 100000} AS q_ppm,"
+        f" CAST(floor(quantile_cont(c2, {d / 10}) FILTER (half = 0))"
+        f" AS BIGINT) AS p_first_x2,"
+        f" CAST(floor(quantile_cont(c2, {d / 10}) FILTER (half = 1))"
+        f" AS BIGINT) AS p_second_x2"
+        " FROM base" for d in QQ_DECILES)
+    return f"""
+WITH base AS (
+  SELECT CAST(o_orderkey % 2 AS INT) AS half,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS c2
+  FROM orders
+), stacked AS (
+{rows}
+)
+SELECT CAST(q_ppm AS INT) AS q_ppm, p_first_x2, p_second_x2,
+       CAST((p_second_x2 - p_first_x2) * 1000000 // p_first_x2 AS BIGINT)
+         AS shift_ppm
+FROM stacked
+"""
+
+
+QQ_DRIFT_SQL = _qq_sql()
+
+
+# ---------------------------------------------------------------------------
 # 18. Differential-privacy (Laplace) noise planner
 # ---------------------------------------------------------------------------
 
@@ -1898,6 +1968,7 @@ QUERIES: dict[str, QueryFn] = {
     "interarrival_dispersion": interarrival_dispersion,
     "path_conditional_entropy": path_conditional_entropy,
     "price_volume_mix_decomposition": price_volume_mix_decomposition,
+    "order_price_qq_drift": order_price_qq_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -1923,4 +1994,5 @@ ORACLES: dict[str, str] = {
     "interarrival_dispersion": INTERARRIVAL_SQL,
     "path_conditional_entropy": PATH_ENTROPY_SQL,
     "price_volume_mix_decomposition": PVM_SQL,
+    "order_price_qq_drift": QQ_DRIFT_SQL,
 }

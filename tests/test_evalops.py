@@ -597,3 +597,32 @@ def test_pvm_decomposition_reconciles(spark, sf_dir):
             1, abs(r.rev_delta_cents) + 1)
     # there are 5 segments and TPC-H spans years 1992-1998 -> rows
     assert len({r.segment for r in out}) == 5
+
+
+def test_qq_drift_replay(spark, sf_dir):
+    """Decile pairs replayed with numpy's linear (type-7) quantile on
+    the doubled-cents arrays — the same interpolation definition both
+    engines implement."""
+    import numpy as np
+
+    out = {r.q_ppm: r
+           for r in evalops.order_price_qq_drift(spark, sf_dir).collect()}
+    a, b = [], []
+    for o in _orders(sf_dir):
+        c2 = _cents(o["o_totalprice"]) * 2
+        (a if o["o_orderkey"] % 2 == 0 else b).append(c2)
+    for d in evalops.QQ_DECILES:
+        pa = math.floor(np.quantile(np.array(a, dtype=np.float64), d / 10,
+                                    method="linear"))
+        pb = math.floor(np.quantile(np.array(b, dtype=np.float64), d / 10,
+                                    method="linear"))
+        r = out[d * 100000]
+        assert (r.p_first_x2, r.p_second_x2) == (pa, pb)
+        # both engines truncate integer division toward ZERO (Python
+        # floors toward -inf) — emulate the engines' semantics
+        num = (pb - pa) * 10**6
+        want = num // pa if num >= 0 else -((-num) // pa)
+        assert r.shift_ppm == want
+    # deciles are monotone within each cohort
+    firsts = [out[d * 100000].p_first_x2 for d in evalops.QQ_DECILES]
+    assert firsts == sorted(firsts)
