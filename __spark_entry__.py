@@ -46,70 +46,43 @@ _MODULES = (evalops, lakeops, corpusops, graphops, streaming, dedup,
             relational)
 
 # The 50 queries pinned to the FRONT of the driver's correctness window
-# (the driver records only the first 50 queries() entries). Round-8
-# selection rule (the r4-r7 protocol):
-#   1. Reworked this round (impl OR oracle changed): the three ADVICE
-#      fixes (weighted_median_price floor-cast, link_prediction deg>=2,
-#      upsert-sink existence gate -> both upsert streaming queries) and
-#      misra_gries_topk, PROMOTED from rows-only to a full oracle
-#      (exactness regime: 31 distinct words < k=64 counters).
-#   2. Never driver-checked — the 31-query late-r7 cohort from r7's
-#      _R8_EARMARK (first driver rows; judge spot-checked 16/31 green).
-#   3. Core-parity anchors (q1 + pipeline_add_fields stay pinned).
-#   4. The 5 r2-cohort names the r7 judge found un-earmarked, plus the
-#      oldest r5-cohort greens (rows 5 rounds old) as slots allow.
-# Refresh SLA: with 50 slots over 276 queries, every oracled query's
-# driver row must be refreshed within ~6 rounds; the earmark below is
-# ordered to enforce that (oldest greens first after new/reworked).
-# PINNED-ONCE exemption: embedding_principal_component keeps its r7
-# rows-only driver row (spark_rows=64) permanently — float-accumulation
-# micro-digits have no DuckDB twin; its correctness is property-tested
-# against numpy.linalg.eigh (tests/test_corpusops.py), so re-recording
-# `no_oracle` each round would burn a slot for no new evidence.
+# (the driver records only the first 50 queries() entries). Round-9 is
+# the ROTATION round the r8 verdict called for (breadth phase over):
+#   1. The 39 never-driver-checked late-r8 queries (the r8 verdict's
+#      #1 ask: run the window exactly per the r8 _R9_EARMARK; judge
+#      pre-verified 13/39 green at sf0.01). Four of them were also
+#      REWORKED this round per r8 ADVICE — source_js_divergence (pair
+#      universe now seeded from the source cross join, disjoint pairs
+#      emit ln(2)), daily_burstiness_fano + purchase_view_ccf
+#      (moments widened to DECIMAL(38,0)/HUGEINT), blocking_quality_
+#      report's banding now THE implementation md5_minhash_verified_
+#      pairs consumes (single banding copy).
+#   2. The oldest stale greens (r5-cohort rows, 4 rounds old) in the
+#      remaining 11 slots.
+# Refresh SLA: with 50 slots over ~330 queries, every oracled query's
+# driver row must be refreshed within ~7 rounds; _R10_EARMARK below
+# continues the rotation (r5-cohort tail, then r6/r7 cohorts).
+# PINNED-ONCE exemptions (slots never re-burned on known `no_oracle`):
+#   - embedding_principal_component (r7 rows-only row, spark_rows=64):
+#     float-accumulation micro-digits have no DuckDB twin; correctness
+#     is property-tested against numpy.linalg.eigh
+#     (tests/test_corpusops.py).
+#   - parquet_footer_stats (r8 rows-only row, per the r8 verdict's
+#     ask #3): its oracle cannot be the fixed-SQL kind — the query
+#     reads file-level footer metadata, and file paths can't
+#     parameterize the driver's fixed oracle string; its semantics are
+#     pinned against DuckDB parquet_metadata() in pytest
+#     (tests/test_formats_and_approx.py), which is the real evidence.
+#   - approx_distinct_customers (r5 rows-only row): HLL++ estimates
+#     have no exact-SQL twin BY DESIGN; the 2x-rsd accuracy envelope
+#     is asserted against the exact count at all three SFs in
+#     tests/test_formats_and_approx.py::test_approx_distinct_within_rsd.
+#     (It sat in the r8 _R9_EARMARK's stale-refresh tail; exempting it
+#     frees the slot for an oracled name, per the same slot-waste
+#     rationale as the two rows above.)
 # Module order above ranks everything not listed.
 _WINDOW_PRIORITY = (
-    # -- 1. reworked this round (ADVICE fixes + oracle promotion) ----
-    "weighted_median_price", "link_prediction_jaccard",
-    "metadata_streaming_upsert", "streaming_foreachbatch_upsert",
-    "misra_gries_topk",
-    # -- 1b. new in round 8 (first driver verification) --------------
-    "benchmark_decontamination", "ngram_novelty_score",
-    "unigram_lm_quality", "brand_price_size_regression",
-    "pareto_frontier_parts", "orders_peak_concurrency",
-    "retention_triangle", "selfjoin_cardinality_planner",
-    "metadata_streaming_sliding", "rrf_hybrid_retrieval",
-    "sorted_neighborhood_pairs",
-    # -- 2. never driver-checked (late-round-7 cohort) --------------
-    "metadata_streaming_session", "funnel_time_to_convert",
-    "cohort_ltv_curve", "flesch_reading_ease", "event_cooccurrence_pmi",
-    "minmax_skipping_audit", "containment_md5_pairs",
-    "ab_test_welch", "events_cusum_changepoint", "boilerplate_line_share",
-    "session_dwell_bounce", "holt_forecast_monthly", "parquet_footer_stats",
-    "systematic_sample_every_k", "watermark_delay_planner",
-    "sql_udf_order_tiers", "observed_scan_metrics",
-    "golden_record_merge", "incremental_ivf_assign",
-    "sparse_cosine_pairs", "seasonal_adjusted_anomalies",
-    "freshness_sla_audit", "sequence_gap_audit",
-    "target_encode_loo", "cv_fold_balance", "multimodal_phash",
-    "k_anonymity_audit",
-    # -- 3. core-parity anchors -------------------------------------
-    "q1_pricing_summary", "pipeline_add_fields",
-    # -- 4. stale refresh: the 5 un-earmarked r2-cohort names, then
-    #       the oldest r5-cohort greens ------------------------------
-    "customers_without_urgent_orders", "part_scalar_functions",
-    "q12_late_priority_counts", "segment_distinct_stats",
-    "nations_with_both_roles",
-)
-
-# ROUND-9 WINDOW PLAN (refresh SLA: no green older than 6 rounds): the
-# r5-cohort remainder first (greens 4 rounds old by r9), then the
-# r6-window cohort (3 rounds old by r9), then the r7-window cohort.
-# Reds and round-9 reworks, as always, jump the queue.
-# (embedding_principal_component is EXEMPT — pinned-once rows-only row,
-# see _WINDOW_PRIORITY note.)
-_R9_EARMARK = (
-    # new in late round 8, window already full — FIRST driver check in
-    # r9 (all locally sf0.001+sf0.01 green; plan-sweep clean)
+    # -- 1. first driver rows for the late-r8 cohort (39) ------------
     "replication_checksum_audit", "winsorized_price_stats",
     "woe_iv_segment_priority", "score_auc_acctbal",
     "gini_lorenz_customers", "acf_daily_revenue", "kaplan_meier_reorder",
@@ -129,15 +102,31 @@ _R9_EARMARK = (
     "partition_retention_plan", "interarrival_dispersion",
     "metadata_privacy_report", "path_conditional_entropy",
     "price_volume_mix_decomposition", "order_price_qq_drift",
-    # r5-cohort stale-refresh names displaced by the round-8-new ops
+    # -- 2. stale refresh: oldest r5-cohort greens (11) --------------
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "customers_with_urgent_orders", "top10_customers_by_revenue",
-    "cube_order_status_priority", "approx_distinct_customers",
-    "asof_last_click_before_purchase",
-    # r5-cohort tail displaced by round-8 stale-refresh slots
-    "customer_first_last_orders", "customer_status_profile",
+    "cube_order_status_priority", "asof_last_click_before_purchase",
+    "customer_first_last_orders",
+)
+
+# ROUND-10 WINDOW PLAN (refresh SLA continues): any round-9-new
+# queries first (their FIRST driver rows), then the r5-cohort tail
+# (greens 5 rounds old by r10), then the r6-window cohort, then the
+# r7-window cohort, then the r8-window cohort. Reds and round-10
+# reworks, as always, jump the queue.
+# (embedding_principal_component and parquet_footer_stats are EXEMPT —
+# pinned-once rows-only rows, see _WINDOW_PRIORITY note.)
+_R10_EARMARK = (
+    # new in round 9, window already full — FIRST driver check in r10
+    # (all locally sf0.001+sf0.01+sf0.1 green; plan-sweep clean)
+    "association_rules_lift", "price_emd_drift",
+    "orders_column_profile", "functional_dependency_audit",
+    "mann_kendall_trend", "ab_power_planner",
+    "nelson_aalen_hazard", "skew_salt_planner",
+    # r5-cohort tail displaced by round-9 stale-refresh slots
+    "customer_status_profile",
     "events_json_extract", "events_range_join", "events_running_value",
     "events_sessionize", "events_sliding_window", "events_tumbling_window",
     "except_all_nation_bags", "full_outer_nation_roles",
@@ -172,7 +161,7 @@ _R9_EARMARK = (
     "q11_top_balance_nations", "q9_promo_profit",
     "q8_nation_market_share", "q2_min_cost_supplier",
     "events_hourly_range_sum", "asof_cogroup_pandas",
-    # r7-window cohort (r7-green; 2 rounds old by r9 — refresh last)
+    # r7-window cohort (r7-green; refresh after the cohorts above)
     "approx_price_quantiles", "customer_rfm_segments",
     "events_drift_psi", "join_key_skew_histogram",
     "inverted_index_postings", "metadata_streaming_tumbling",
@@ -195,6 +184,11 @@ _R9_EARMARK = (
     "bot_rate_flags", "revenue_percent_of_parent",
     "embedding_dim_variance",
 )
+
+# Stable alias for the NEXT round's earmark, whatever its round number —
+# the bookkeeping tests reference this name so the rotation never breaks
+# them again (r9 lesson: the r8 test hard-coded _R9_EARMARK).
+_NEXT_EARMARK = _R10_EARMARK
 
 
 def entry(spark: SparkSession) -> DataFrame:

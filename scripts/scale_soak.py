@@ -254,6 +254,16 @@ OPS = {
     "price_volume_mix_decomposition":
         evalops.price_volume_mix_decomposition,
     "order_price_qq_drift": evalops.order_price_qq_drift,
+    # round-9 additions (metadata_privacy_report is NOT here: it runs
+    # on pure pipeline-config JSON, no data-sized input to soak)
+    "nelson_aalen_hazard": evalops.nelson_aalen_hazard,
+    "price_emd_drift": evalops.price_emd_drift,
+    "mann_kendall_trend": evalops.mann_kendall_trend,
+    "ab_power_planner": evalops.ab_power_planner,
+    "orders_column_profile": lakeops.orders_column_profile,
+    "functional_dependency_audit": lakeops.functional_dependency_audit,
+    "skew_salt_planner": scaleops.skew_salt_planner,
+    "association_rules_lift": relational_extra.association_rules_lift,
 }
 
 

@@ -964,26 +964,14 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     oracled query) and the executor's declarative ``dedup_near`` with
     ``hashFamily="md5"`` (so config-driven near-dedup is value-hash
     provable end-to-end). See ``minhash_md5_pairs`` for the algorithm
-    and ``MINHASH_MD5_SQL`` for its independent SQL twin."""
-    g = d.select("doc_id", F.explode("grams").alias("g"))
-    h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
-    hp = h_raw % _MH_P
-    sig = g.groupBy("doc_id").agg(
-        *[F.min((F.lit(a) * hp + F.lit(b)) % _MH_P).alias(f"h{i}")
-          for i, (a, b) in enumerate(_MH_COEFFS)])
-    bands = None
-    for i in range(0, 8, 2):
-        band = sig.select(
-            "doc_id",
-            F.concat_ws(":", F.lit(i // 2),
-                        F.col(f"h{i}"), F.col(f"h{i + 1}")).alias("bk"))
-        bands = band if bands is None else bands.unionByName(band)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    and ``MINHASH_MD5_SQL`` for its independent SQL twin.
+
+    The candidate set comes from ``md5_band_candidates`` — the SAME
+    banding implementation ``blocking_quality_report`` audits, so the
+    audited candidate universe and the verified-pair universe cannot
+    drift apart (r8 ADVICE: the banding code used to be duplicated
+    here verbatim)."""
+    cand = md5_band_candidates(d)
     ga = d.select(F.col("doc_id").alias("doc_a"),
                   F.explode("grams").alias("g"))
     gb = d.select(F.col("doc_id").alias("doc_b"),

@@ -365,25 +365,16 @@ GROUP BY a.lag, den
 # 5. Kaplan-Meier time-to-reorder with right-censoring
 # ---------------------------------------------------------------------------
 
-def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival estimate of customer time-to-reorder —
-    the censoring-correct answer to "how long until a customer comes
-    back?" (a plain average over repeat customers is biased: customers
-    who never reordered are evidence, not missing data). Subject =
-    customer with >= 1 order; event = second order, at t = days between
-    first and second order dates; subjects with no second order are
-    right-censored at (corpus max date - first date).
-
-    S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times, computed
-    as exp of the cumulative sum of round(ln(1 - d/n), 6) — the repo's
-    proven cross-engine ln/exp discipline, so the curve is value-hash
-    pinned. A terminal level with d = n_risk (survival hits zero) maps
-    to 0.0 explicitly (ln(0) never evaluated); nothing follows it.
-
-    Scale: one partitioned-by-customer rank window finds first/second
-    orders (one shuffle); the KM table itself lives on the gap-day
-    level frame — CALENDAR-BOUNDED (~thousands of levels at any SF),
-    so its ordering windows are bounded-frame by construction."""
+def _reorder_risk_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared risk-set level frame of the reorder time-to-event
+    study: per gap-day level t_days, the event count d, censored count
+    cens, and the at-risk count n_risk — consumed by BOTH
+    ``kaplan_meier_reorder`` (product-limit survival) and
+    ``nelson_aalen_hazard`` (cumulative hazard), so the two estimators
+    cannot drift apart on subject/censoring definitions. Subject =
+    customer with >= 1 order; event = second order at t = days between
+    first and second order; no second order = right-censored at
+    (corpus max date - first date)."""
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate",
                                               "o_orderkey")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -405,29 +396,17 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum("is_event").alias("d"),
                 F.sum(F.expr("1 - is_event")).alias("cens")))
     n_tot = lev.agg(F.sum(F.expr("d + cens")).alias("n_tot"))
-    wlev = Window.orderBy("t_days").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    km = (lev.crossJoin(F.broadcast(n_tot))
-          .withColumn("n_risk",
-                      F.expr("n_tot - (SUM(d + cens) OVER (ORDER BY t_days "
-                             "ROWS UNBOUNDED PRECEDING) - (d + cens))")
-                      .cast("bigint"))
-          .withColumn("ln_term",
-                      F.expr("CASE WHEN d > 0 AND d < n_risk THEN "
-                             "round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6) "
-                             "END"))
-          .withColumn("cum_ln", F.sum("ln_term").over(wlev)))
-    return (km.filter(F.col("d") >= 1)
-            .select(F.col("t_days").cast("int").alias("t_days"),
-                    "n_risk",
-                    F.col("d").cast("bigint").alias("d_events"),
-                    F.col("cens").cast("bigint").alias("n_censored"),
-                    F.expr("CASE WHEN d >= n_risk THEN 0.0 ELSE "
-                           "round(exp(coalesce(cum_ln, 0.0)), 6) END")
-                    .alias("surv_r6")))
+    return (lev.crossJoin(F.broadcast(n_tot))
+            .withColumn("n_risk",
+                        F.expr("n_tot - (SUM(d + cens) OVER (ORDER BY t_days "
+                               "ROWS UNBOUNDED PRECEDING) - (d + cens))")
+                        .cast("bigint")))
 
 
-KM_SQL = """
+#: shared SQL CTE prefix of the reorder time-to-event study — the
+#: oracle twin of ``_reorder_risk_levels`` (KM and Nelson-Aalen both
+#: interpolate it, so the oracles share one risk-set definition too).
+_RISK_LEVELS_CTES = """
 WITH ranked AS (
   SELECT o_custkey, o_orderdate,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -456,7 +435,47 @@ km AS (
                        ROWS UNBOUNDED PRECEDING) - (d + cens))
               AS BIGINT) AS n_risk
   FROM lev CROSS JOIN n_tot
-), terms AS (
+)"""
+
+
+def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of customer time-to-reorder —
+    the censoring-correct answer to "how long until a customer comes
+    back?" (a plain average over repeat customers is biased: customers
+    who never reordered are evidence, not missing data). Subject =
+    customer with >= 1 order; event = second order, at t = days between
+    first and second order dates; subjects with no second order are
+    right-censored at (corpus max date - first date).
+
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times, computed
+    as exp of the cumulative sum of round(ln(1 - d/n), 6) — the repo's
+    proven cross-engine ln/exp discipline, so the curve is value-hash
+    pinned. A terminal level with d = n_risk (survival hits zero) maps
+    to 0.0 explicitly (ln(0) never evaluated); nothing follows it.
+
+    Scale: one partitioned-by-customer rank window finds first/second
+    orders (one shuffle); the KM table itself lives on the gap-day
+    level frame — CALENDAR-BOUNDED (~thousands of levels at any SF),
+    so its ordering windows are bounded-frame by construction."""
+    wlev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    km = (_reorder_risk_levels(spark, sf_dir)
+          .withColumn("ln_term",
+                      F.expr("CASE WHEN d > 0 AND d < n_risk THEN "
+                             "round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6) "
+                             "END"))
+          .withColumn("cum_ln", F.sum("ln_term").over(wlev)))
+    return (km.filter(F.col("d") >= 1)
+            .select(F.col("t_days").cast("int").alias("t_days"),
+                    "n_risk",
+                    F.col("d").cast("bigint").alias("d_events"),
+                    F.col("cens").cast("bigint").alias("n_censored"),
+                    F.expr("CASE WHEN d >= n_risk THEN 0.0 ELSE "
+                           "round(exp(coalesce(cum_ln, 0.0)), 6) END")
+                    .alias("surv_r6")))
+
+
+KM_SQL = _RISK_LEVELS_CTES + """, terms AS (
   SELECT *, CASE WHEN d > 0 AND d < n_risk THEN
                  round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
             END AS ln_term
@@ -471,6 +490,54 @@ SELECT CAST(t_days AS INT) AS t_days, n_risk,
        CAST(cens AS BIGINT) AS n_censored,
        CASE WHEN d >= n_risk THEN 0.0
             ELSE round(exp(COALESCE(cum_ln, 0.0)), 6) END AS surv_r6
+FROM cum WHERE d >= 1
+"""
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate of customer
+    time-to-reorder [EXT] — the counting-process companion to
+    ``kaplan_meier_reorder`` on the SAME risk-set frame
+    (``_reorder_risk_levels``): H(t) = sum_{t_i <= t} d_i / n_i.
+    Where KM answers "what fraction survives past t", the hazard curve
+    answers "how intense is the reorder rate AT t" — the quantity a
+    retention team actually intervenes on, and the standard
+    cross-check on KM (-ln S(t) ~ H(t)).
+
+    ALL-INTEGER (stronger than KM's ln/exp discipline): each increment
+    is floor(d * 1e6 / n_risk) micros (exact — d and n_risk are
+    integers), cumulated in a BIGINT prefix sum. No float enters the
+    estimator, so the curve is value-hash exact.
+
+    Scale: identical to KM — one customer-partitioned rank window,
+    then everything on the CALENDAR-BOUNDED gap-day level frame (its
+    un-partitioned prefix window runs on ~thousands of rows at any
+    corpus size)."""
+    wlev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    na = (_reorder_risk_levels(spark, sf_dir)
+          .withColumn("h_micro", F.expr(ppm("d", "n_risk")))
+          .withColumn("cum_h", F.sum("h_micro").over(wlev)))
+    return (na.filter(F.col("d") >= 1)
+            .select(F.col("t_days").cast("int").alias("t_days"),
+                    "n_risk",
+                    F.col("d").cast("bigint").alias("d_events"),
+                    F.col("cens").cast("bigint").alias("n_censored"),
+                    F.col("cum_h").cast("bigint")
+                    .alias("cum_hazard_micros")))
+
+
+NELSON_AALEN_SQL = _RISK_LEVELS_CTES + """, terms AS (
+  SELECT *, d * 1000000 // n_risk AS h_micro FROM km
+), cum AS (
+  SELECT *, SUM(h_micro) OVER (ORDER BY t_days
+                               ROWS UNBOUNDED PRECEDING) AS cum_h
+  FROM terms
+)
+SELECT CAST(t_days AS INT) AS t_days, n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(cens AS BIGINT) AS n_censored,
+       CAST(cum_h AS BIGINT) AS cum_hazard_micros
 FROM cum WHERE d >= 1
 """
 
@@ -660,6 +727,13 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division. Products c·t are formed in DECIMAL(38,0) (BIGINT
     c·t overflows at ~1e12-token sources).
 
+    Pair universe (r8 ADVICE): the output row set is seeded from the
+    cross join of DISTINCT sources (a bounded broadcast frame), not
+    from the shared-term join — so a source pair with zero shared
+    vocabulary still appears, with shared_terms = 0 and
+    jsd_micronats = ln(2) in micros (693147), exactly the disjoint
+    extreme the docstring promises.
+
     Scale: one (source, term) hash aggregate, a term-keyed self-join
     (<= C(n_sources,2) rows per term — sources are a bounded set), a
     190-row pair aggregate. Never doc x doc, never term x term."""
@@ -685,15 +759,23 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     mic = ("CAST(floor(round(ln(2.0 * CAST({x} AS DOUBLE) / "
            "CAST(xa + xb AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT)")
     per_pair = (shared
-                .select("sa", "sb", "ca", "cb", "ta", "tb",
+                .select("sa", "sb", "ca", "cb",
                         F.expr(f"ca * {mic.format(x='xa')}").alias("ma"),
                         F.expr(f"cb * {mic.format(x='xb')}").alias("mb"))
                 .groupBy("sa", "sb")
                 .agg(F.count(F.lit(1)).alias("shared_terms"),
-                     F.first("ta").alias("ta"), F.first("tb").alias("tb"),
                      F.sum("ma").alias("s_a"), F.sum("mb").alias("s_b"),
                      F.sum("ca").alias("shc_a"), F.sum("cb").alias("shc_b")))
-    return (per_pair.select(
+    spine = ta.join(F.broadcast(tb), F.col("sa") < F.col("sb"))
+    full = (spine.join(per_pair, ["sa", "sb"], "left")
+            .select("sa", "sb", "ta", "tb",
+                    F.coalesce("shared_terms", F.lit(0))
+                    .alias("shared_terms"),
+                    F.coalesce("s_a", F.lit(0)).alias("s_a"),
+                    F.coalesce("s_b", F.lit(0)).alias("s_b"),
+                    F.coalesce("shc_a", F.lit(0)).alias("shc_a"),
+                    F.coalesce("shc_b", F.lit(0)).alias("shc_b")))
+    return (full.select(
         F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
         F.col("shared_terms").cast("bigint").alias("shared_terms"),
         F.expr(
@@ -727,7 +809,6 @@ WITH tf AS (
   JOIN tots tb ON tb.source = b.source
 ), per_pair AS (
   SELECT sa, sb, COUNT(*) AS shared_terms,
-         MAX(ta) AS ta, MAX(tb) AS tb,
          SUM(ca * CAST(floor(round(ln(2.0 * CAST(xa AS DOUBLE)
                / CAST(xa + xb AS DOUBLE)), 6) * 1000000.0 + 0.5)
              AS BIGINT)) AS s_a,
@@ -736,14 +817,23 @@ WITH tf AS (
              AS BIGINT)) AS s_b,
          SUM(ca) AS shc_a, SUM(cb) AS shc_b
   FROM shared GROUP BY sa, sb
+), spine AS (
+  -- every source pair, so zero-shared-vocabulary pairs surface with
+  -- jsd = ln(2) micros instead of silently vanishing (r8 ADVICE)
+  SELECT a.source AS sa, b.source AS sb, a.t AS ta, b.t AS tb
+  FROM tots a JOIN tots b ON a.source < b.source
 )
 SELECT sa AS source_a, sb AS source_b,
-       CAST(shared_terms AS BIGINT) AS shared_terms,
-       CAST((CAST(s_a + (ta - shc_a) * {_LN2_MICROS} AS HUGEINT) * tb
-             + CAST(s_b + (tb - shc_b) * {_LN2_MICROS} AS HUGEINT) * ta)
+       CAST(COALESCE(shared_terms, 0) AS BIGINT) AS shared_terms,
+       CAST((CAST(COALESCE(s_a, 0)
+                  + (ta - COALESCE(shc_a, 0)) * {_LN2_MICROS}
+             AS HUGEINT) * tb
+             + CAST(COALESCE(s_b, 0)
+                    + (tb - COALESCE(shc_b, 0)) * {_LN2_MICROS}
+               AS HUGEINT) * ta)
             // (2 * CAST(ta AS HUGEINT) * tb) AS BIGINT)
        AS jsd_micronats
-FROM per_pair
+FROM spine LEFT JOIN per_pair USING (sa, sb)
 """
 
 
@@ -761,10 +851,12 @@ def daily_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: over days with counts x_i, num = n*sum(x^2) - sum(x)^2
     is an exact integer; Fano = num/(n*sum(x)) and sigma = sqrt(num)/n
     — sqrt is IEEE-correctly-rounded (engine-identical), so B =
-    (sqrt(num) - s)/(sqrt(num) + s) rounds 6dp identically. Days with
-    zero events of a type are NOT in the frame (observed-day
-    convention, documented; a spine-join variant is one F.sequence
-    away).
+    (sqrt(num) - s)/(sqrt(num) + s) rounds 6dp identically. Moments
+    are formed in DECIMAL(38,0)/HUGEINT (the ``interarrival_dispersion``
+    pattern, r8 ADVICE: n_events^2 exceeds BIGINT well before 100 TB —
+    ~3e9 events of one type is enough). Days with zero events of a
+    type are NOT in the frame (observed-day convention, documented; a
+    spine-join variant is one F.sequence away).
 
     Scale: one events-sized aggregate to the calendar-bounded
     (type x day) frame, then a per-type aggregate of integer moments —
@@ -772,19 +864,20 @@ def daily_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("x")))
+    num = ("CAST(n_days AS DECIMAL(38,0)) * ssq "
+           "- CAST(n_events AS DECIMAL(38,0)) * n_events")
     return (daily.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_days"),
                  F.sum("x").cast("bigint").alias("n_events"),
-                 F.sum(F.expr("x * x")).alias("ssq"))
+                 F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+                 .cast("decimal(38,0)").alias("ssq"))
             .select("event_type", "n_days", "n_events",
-                    F.expr("round(CAST(n_days * ssq - n_events * n_events "
-                           "AS DOUBLE) / CAST(n_days * n_events AS DOUBLE)"
-                           ", 6)").alias("fano_r6"),
-                    F.expr("round((sqrt(CAST(n_days * ssq - n_events * "
-                           "n_events AS DOUBLE)) - n_events) / "
-                           "(sqrt(CAST(n_days * ssq - n_events * n_events "
-                           "AS DOUBLE)) + n_events), 6)")
-                    .alias("burstiness_r6")))
+                    F.expr(f"round(CAST({num} AS DOUBLE) / "
+                           "CAST(CAST(n_days AS DECIMAL(38,0)) * n_events "
+                           "AS DOUBLE), 6)").alias("fano_r6"),
+                    F.expr(f"round((sqrt(CAST({num} AS DOUBLE)) - n_events)"
+                           f" / (sqrt(CAST({num} AS DOUBLE)) + n_events)"
+                           ", 6)").alias("burstiness_r6")))
 
 
 FANO_SQL = """
@@ -793,15 +886,20 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ), mom AS (
   SELECT event_type, COUNT(*) AS n_days,
-         CAST(SUM(x) AS BIGINT) AS n_events, SUM(x * x) AS ssq
+         CAST(SUM(x) AS BIGINT) AS n_events,
+         SUM(CAST(x AS HUGEINT) * x) AS ssq
   FROM daily GROUP BY event_type
 )
 SELECT event_type, CAST(n_days AS BIGINT) AS n_days, n_events,
-       round(CAST(n_days * ssq - n_events * n_events AS DOUBLE)
-             / CAST(n_days * n_events AS DOUBLE), 6) AS fano_r6,
-       round((sqrt(CAST(n_days * ssq - n_events * n_events AS DOUBLE))
+       round(CAST(CAST(n_days AS HUGEINT) * ssq
+                  - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)
+             / CAST(CAST(n_days AS HUGEINT) * n_events AS DOUBLE), 6)
+         AS fano_r6,
+       round((sqrt(CAST(CAST(n_days AS HUGEINT) * ssq
+                        - CAST(n_events AS HUGEINT) * n_events AS DOUBLE))
               - n_events)
-             / (sqrt(CAST(n_days * ssq - n_events * n_events AS DOUBLE))
+             / (sqrt(CAST(CAST(n_days AS HUGEINT) * ssq
+                          - CAST(n_events AS HUGEINT) * n_events AS DOUBLE))
                 + n_events), 6) AS burstiness_r6
 FROM mom
 """
@@ -1250,7 +1348,10 @@ def purchase_view_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per lag the paired moments (n, Σx, Σy, Σxy, Σx², Σy²)
     are exact integers; r = round(num / sqrt(dx * dy), 6) with num, dx,
     dy exact and the double expression written identically in both
-    engines (sqrt is IEEE-correctly-rounded).
+    engines (sqrt is IEEE-correctly-rounded). Products and the n*Σ..
+    co-moments are formed in DECIMAL(38,0)/HUGEINT (the
+    ``interarrival_dispersion`` pattern, r8 ADVICE: a 100 TB day's
+    count squares past BIGINT at ~3e9 events/day).
 
     Scale: one events-sized aggregate to the calendar-bounded daily
     frame; the lag fan-out and self-join run on that bounded frame."""
@@ -1270,16 +1371,26 @@ def purchase_view_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = a.join(b, F.expr("date_add(day, lag) = day_b"))
     mom = (paired.groupBy("lag")
            .agg(F.count(F.lit(1)).alias("n"),
-                F.sum("x").alias("sx"), F.sum("yb").alias("sy"),
-                F.sum(F.expr("x * yb")).alias("sxy"),
-                F.sum(F.expr("x * x")).alias("sxx"),
-                F.sum(F.expr("yb * yb")).alias("syy")))
+                F.sum("x").cast("bigint").alias("sx"),
+                F.sum("yb").cast("bigint").alias("sy"),
+                F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * yb"))
+                .cast("decimal(38,0)").alias("sxy"),
+                F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+                .cast("decimal(38,0)").alias("sxx"),
+                F.sum(F.expr("CAST(yb AS DECIMAL(38,0)) * yb"))
+                .cast("decimal(38,0)").alias("syy")))
+    num = ("CAST(n AS DECIMAL(38,0)) * sxy "
+           "- CAST(sx AS DECIMAL(38,0)) * sy")
+    dx = ("CAST(n AS DECIMAL(38,0)) * sxx "
+          "- CAST(sx AS DECIMAL(38,0)) * sx")
+    dy = ("CAST(n AS DECIMAL(38,0)) * syy "
+          "- CAST(sy AS DECIMAL(38,0)) * sy")
     return (mom.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n_pairs"),
-        F.expr("round(CAST(n * sxy - sx * sy AS DOUBLE) / "
-               "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
-               "CAST(n * syy - sy * sy AS DOUBLE)), 6)").alias("ccf_r6")))
+        F.expr(f"round(CAST({num} AS DOUBLE) / "
+               f"sqrt(CAST({dx} AS DOUBLE) * "
+               f"CAST({dy} AS DOUBLE)), 6)").alias("ccf_r6")))
 
 
 CCF_SQL = f"""
@@ -1296,14 +1407,21 @@ WITH daily AS (
   FROM daily a CROSS JOIN lags
   JOIN daily b ON a.day + CAST(lag AS INT) = b.day
 ), mom AS (
-  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(yb) AS sy,
-         SUM(x * yb) AS sxy, SUM(x * x) AS sxx, SUM(yb * yb) AS syy
+  SELECT lag, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yb) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * yb) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(yb AS HUGEINT) * yb) AS syy
   FROM paired GROUP BY lag
 )
 SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf_r6
+       round(CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+         AS ccf_r6
 FROM mom
 """
 
@@ -1441,6 +1559,14 @@ def walk_forward_cv_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train_end_idx_i = m - 3*(folds - i + 1), so the LAST fold's test
     window ends exactly at the final month); row counts come from
     prefix sums over the calendar-bounded month frame.
+
+    PRECONDITION (r8 ADVICE, documented): the corpus must span at
+    least CV_TEST_MONTHS*(CV_FOLDS + 1) + 1 distinct order months for
+    all CV_FOLDS folds to exist. Shorter corpora emit FEWER rows — an
+    early fold whose train-end index is < 1 has no month to join to
+    and is dropped (both engines agree; the inner join on te_idx is
+    the mechanism). A caller that needs exactly CV_FOLDS folds must
+    check the output row count.
 
     Scale: one orders-sized aggregate to the month frame; the index
     and prefix windows run on that bounded frame; the fold fan-out is
@@ -1945,6 +2071,295 @@ FROM eps CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# 24. Binned earth-mover (Wasserstein-1) price drift, month over month
+# ---------------------------------------------------------------------------
+
+#: fixed price-bin spine for the EMD drift monitor: 20 bins of $30,000
+#: (o_totalprice spans ~$900-$600k at every SF), clamped into a 19+ top
+#: bucket — literal constants so the oracle restates them verbatim.
+EMD_BINS = 20
+EMD_BIN_CENTS = 3_000_000
+
+
+def price_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month distribution drift as the binned 1-D
+    earth-mover distance (Wasserstein-1): per order month, EMD between
+    this month's and the previous month's o_totalprice histograms over
+    the fixed 20-bin spine. The ORDER-AWARE drift metric the PSI/JSD
+    family cannot give: PSI scores a mass swap between adjacent bins
+    the same as one across the whole range; EMD = sum_k |cumshare_a -
+    cumshare_b| charges mass by how FAR it moved — the metric of
+    choice for price/latency distributions where direction and
+    distance mean something.
+
+    All-integer: per-month bin shares in floor-ppm, cumulated over the
+    20-bin spine, |difference| summed in BIGINT — hash-exact. A
+    calendar month absent from the data has no row (TPC-H order dates
+    are continuous, so consecutive months always pair; a gap month
+    would simply not produce a pair — documented).
+
+    Scale: one orders-sized aggregate to the calendar-bounded
+    (month x 20 bin) frame; the cumulative windows partition by month
+    (bounded frames); the month-to-month join is on the bounded month
+    spine. Never touches row-level data twice."""
+    o = table(spark, sf_dir, "orders")
+    binned = (o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mdt"),
+        F.expr(f"CAST(LEAST(floor({_CENTS} / {EMD_BIN_CENTS}), "
+               f"{EMD_BINS - 1}) AS INT)").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    bins_lit = F.array(*[F.lit(i) for i in range(EMD_BINS)])
+    spine = (binned.select("mdt").distinct()
+             .select("mdt", F.explode(bins_lit).alias("bin")))
+    counts = (spine.join(binned, ["mdt", "bin"], "left")
+              .select("mdt", "bin", F.coalesce("n", F.lit(0)).alias("n")))
+    wtot = Window.partitionBy("mdt")
+    wcum = (Window.partitionBy("mdt").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (counts.withColumn("tot", F.sum("n").over(wtot))
+           .withColumn("cum_ppm",
+                       F.expr(ppm("SUM(n) OVER (PARTITION BY mdt ORDER BY "
+                                  "bin ROWS UNBOUNDED PRECEDING)", "tot"))))
+    prev = cum.select(F.col("mdt").alias("pm"), "bin",
+                      F.col("cum_ppm").alias("prev_cum_ppm"),
+                      F.col("tot").alias("prev_n"))
+    pairs = cum.join(prev, (cum.mdt == F.add_months(prev.pm, 1))
+                     & (cum.bin == prev.bin))
+    return (pairs.groupBy(F.date_format("mdt", "yyyy-MM").alias("month"))
+            .agg(F.first("tot").alias("n_orders"),
+                 F.first("prev_n").alias("n_prev"),
+                 F.sum(F.abs(F.col("cum_ppm") - F.col("prev_cum_ppm")))
+                 .alias("emd_ppm"))
+            .select("month", F.col("n_orders").cast("bigint")
+                    .alias("n_orders"),
+                    F.col("n_prev").cast("bigint").alias("n_prev"),
+                    F.col("emd_ppm").cast("bigint").alias("emd_ppm")))
+
+
+EMD_SQL = f"""
+WITH binned AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mdt,
+         CAST(LEAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          / {EMD_BIN_CENTS}), {EMD_BINS - 1}) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+), spine AS (
+  SELECT mdt, UNNEST(range(0, {EMD_BINS})) AS bin
+  FROM (SELECT DISTINCT mdt FROM binned)
+), counts AS (
+  SELECT spine.mdt, spine.bin, COALESCE(n, 0) AS n
+  FROM spine LEFT JOIN binned
+    ON binned.mdt = spine.mdt AND binned.bin = spine.bin
+), cum AS (
+  SELECT mdt, bin, n,
+         SUM(n) OVER (PARTITION BY mdt) AS tot,
+         SUM(n) OVER (PARTITION BY mdt ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) * 1000000
+           // SUM(n) OVER (PARTITION BY mdt) AS cum_ppm
+  FROM counts
+)
+SELECT strftime(a.mdt, '%Y-%m') AS month,
+       CAST(MAX(a.tot) AS BIGINT) AS n_orders,
+       CAST(MAX(b.tot) AS BIGINT) AS n_prev,
+       CAST(SUM(ABS(a.cum_ppm - b.cum_ppm)) AS BIGINT) AS emd_ppm
+FROM cum a JOIN cum b
+  ON a.mdt = b.mdt + INTERVAL 1 MONTH AND a.bin = b.bin
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25. Mann-Kendall monotone-trend test on monthly revenue
+# ---------------------------------------------------------------------------
+
+#: z_0.975 in micros — the two-sided 5% critical value, a literal both
+#: engines restate (no inverse-normal at query time).
+MK_Z_CRIT_MICRO = 1_959_964
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the monthly revenue series —
+    the NON-PARAMETRIC companion to ``theil_sen_trend`` (same
+    robustness story: no normality or linearity assumed; the MK S
+    statistic is exactly the numerator ranking Theil-Sen slopes):
+    S = sum_{{i<j}} sign(c_j - c_i), Kendall tau = S / C(n,2), and the
+    tie-corrected normal z with the standard continuity correction —
+    the one-row "is revenue trending, and how confidently?" answer.
+
+    Exactness: S, the tie term, and var18 = n(n-1)(2n+5) -
+    sum t(t-1)(2t+5) are exact BIGINT; tau_r6 and z_r6 are single
+    double divisions written identically in both engines and rounded
+    6dp (sqrt is IEEE-correctly-rounded).
+
+    Scale: one orders-sized aggregate to the CALENDAR-BOUNDED month
+    frame (~80 rows at any SF); the pairwise sign join and the tie
+    grouping run on that bounded frame only."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                         .alias("mo"))
+               .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("c")))
+    a = monthly.select(F.col("mo").alias("ma"), F.col("c").alias("ca"))
+    b = monthly.select(F.col("mo").alias("mb"), F.col("c").alias("cb"))
+    s = (a.join(b, F.col("ma") < F.col("mb"))
+         .agg(F.sum(F.signum(F.col("cb") - F.col("ca")))
+              .cast("bigint").alias("s_stat")))
+    n = monthly.agg(F.count(F.lit(1)).alias("n"))
+    ties = (monthly.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+            .agg(F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+                .cast("bigint").alias("tie18")))
+    z = ("CASE WHEN var18 = 0 THEN 0.0 ELSE round("
+         "(s_stat - CAST(SIGN(s_stat) AS BIGINT)) / "
+         "sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END")
+    return (s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+            .withColumn("var18",
+                        F.expr("CAST(n AS BIGINT) * (n - 1) * (2 * n + 5) "
+                               "- tie18"))
+            .select(F.col("n").cast("bigint").alias("n_months"), "s_stat",
+                    "var18",
+                    F.expr("round(CAST(s_stat AS DOUBLE) * 2 "
+                           "/ (CAST(n AS BIGINT) * (n - 1)), 6)")
+                    .alias("tau_r6"),
+                    F.expr(z).alias("z_r6"),
+                    F.expr(f"CASE WHEN {z} * 1000000 > {MK_Z_CRIT_MICRO} "
+                           f"THEN 'increasing' WHEN {z} * 1000000 < "
+                           f"-{MK_Z_CRIT_MICRO} THEN 'decreasing' "
+                           "ELSE 'no_trend' END").alias("trend")))
+
+
+MK_SQL = f"""
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mo,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s_stat
+  FROM monthly a JOIN monthly b ON a.mo < b.mo
+), n AS (SELECT COUNT(*) AS n FROM monthly),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie18
+  FROM (SELECT c, COUNT(*) AS t FROM monthly GROUP BY c)
+), v AS (
+  SELECT s_stat, n,
+         CAST(n AS BIGINT) * (n - 1) * (2 * n + 5) - tie18 AS var18
+  FROM s CROSS JOIN n CROSS JOIN ties
+)
+SELECT CAST(n AS BIGINT) AS n_months, s_stat, CAST(var18 AS BIGINT)
+         AS var18,
+       round(CAST(s_stat AS DOUBLE) * 2 / (CAST(n AS BIGINT) * (n - 1)), 6)
+         AS tau_r6,
+       CASE WHEN var18 = 0 THEN 0.0 ELSE round(
+         (s_stat - CAST(SIGN(s_stat) AS BIGINT))
+         / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END AS z_r6,
+       CASE WHEN (CASE WHEN var18 = 0 THEN 0.0 ELSE round(
+              (s_stat - CAST(SIGN(s_stat) AS BIGINT))
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END) * 1000000
+              > {MK_Z_CRIT_MICRO} THEN 'increasing'
+            WHEN (CASE WHEN var18 = 0 THEN 0.0 ELSE round(
+              (s_stat - CAST(SIGN(s_stat) AS BIGINT))
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END) * 1000000
+              < -{MK_Z_CRIT_MICRO} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# 26. A/B test sample-size (power) planner
+# ---------------------------------------------------------------------------
+
+#: (z_0.975 + z_0.80)^2 in micros = round((1.959964 + 0.841621)^2 * 1e6)
+#: — the standard 5% two-sided / 80% power constant, precomputed so no
+#: inverse-normal runs at query time (the NDCG-discount idiom).
+AB_C_MICRO = 7_848_879
+#: relative minimum-detectable-effect grid (percent lift over baseline).
+AB_MDE_PCTS = (5, 10, 20, 50)
+
+
+def ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planner — the pre-registration table an
+    experimentation platform derives FROM observed baselines: per
+    customer market segment, the observed base rate of the target
+    behavior (customer ever places a 1-URGENT order) and, for each
+    relative MDE in the fixed grid, the two-proportion-z n PER ARM at
+    alpha=5% two-sided / 80% power:
+    n = (z_a + z_b)^2 * (p1 q1 + p2 q2) / (p2 - p1)^2. The operator
+    ``ab_test_welch`` evaluates a finished experiment; this one sizes
+    the next one.
+
+    ALL-INTEGER: rates in floor-ppm; with P in ppm the formula becomes
+    n = ceil(C_micro * (P1*(1e6-P1) + P2*(1e6-P2)) / (dP^2 * 1e6))
+    computed in DECIMAL(38,0)/HUGEINT — exact ceiling division, no
+    float anywhere, both engines bit-identical.
+
+    Scale: customer x orders semi-aggregate into the 5-row segment
+    frame; the MDE fan-out is a literal 4-element explode on that
+    bounded frame."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    base = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.count("o_custkey").alias("n_pos")))
+    mde = F.array(*[F.lit(v) for v in AB_MDE_PCTS])
+    num = (f"CAST({AB_C_MICRO} AS DECIMAL(38,0)) * "
+           "(CAST(p1_ppm AS DECIMAL(38,0)) * (1000000 - p1_ppm) "
+           "+ CAST(p2_ppm AS DECIMAL(38,0)) * (1000000 - p2_ppm))")
+    den = ("CAST(p2_ppm - p1_ppm AS DECIMAL(38,0)) "
+           "* (p2_ppm - p1_ppm) * 1000000")
+    return (base
+            .withColumn("p1_ppm", F.expr(ppm("n_pos", "n_cust")))
+            .select(F.col("c_mktsegment").alias("segment"),
+                    F.col("n_cust").cast("bigint").alias("n_cust"),
+                    "p1_ppm", F.explode(mde).alias("mde_pct"))
+            .withColumn("p2_ppm",
+                        F.expr("LEAST(p1_ppm + CAST(CAST(p1_ppm AS "
+                               "DECIMAL(38,0)) * mde_pct DIV 100 AS BIGINT)"
+                               ", 999999)"))
+            .withColumn("n_per_arm",
+                        F.expr(f"CAST(({num} + {den} - 1) DIV ({den}) "
+                               "AS BIGINT)"))
+            .select("segment", "n_cust", "p1_ppm",
+                    F.col("mde_pct").cast("int").alias("mde_pct"),
+                    "p2_ppm", "n_per_arm"))
+
+
+AB_POWER_SQL = f"""
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), base AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+         COUNT(o_custkey) AS n_pos
+  FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+  GROUP BY 1
+), rates AS (
+  SELECT segment, n_cust, n_pos * 1000000 // n_cust AS p1_ppm FROM base
+), grid AS (
+  SELECT segment, n_cust, p1_ppm, mde_pct,
+         LEAST(p1_ppm + CAST(CAST(p1_ppm AS HUGEINT) * mde_pct // 100
+                             AS BIGINT), 999999) AS p2_ppm
+  FROM rates,
+       (SELECT UNNEST(ARRAY{list(AB_MDE_PCTS)}) AS mde_pct)
+)
+SELECT segment, CAST(n_cust AS BIGINT) AS n_cust, p1_ppm,
+       CAST(mde_pct AS INT) AS mde_pct, p2_ppm,
+       CAST((CAST({AB_C_MICRO} AS HUGEINT)
+               * (CAST(p1_ppm AS HUGEINT) * (1000000 - p1_ppm)
+                  + CAST(p2_ppm AS HUGEINT) * (1000000 - p2_ppm))
+             + CAST(p2_ppm - p1_ppm AS HUGEINT) * (p2_ppm - p1_ppm)
+               * 1000000 - 1)
+            // (CAST(p2_ppm - p1_ppm AS HUGEINT) * (p2_ppm - p1_ppm)
+                * 1000000) AS BIGINT) AS n_per_arm
+FROM grid
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "woe_iv_segment_priority": woe_iv_segment_priority,
     "score_auc_acctbal": score_auc_acctbal,
@@ -1969,6 +2384,10 @@ QUERIES: dict[str, QueryFn] = {
     "path_conditional_entropy": path_conditional_entropy,
     "price_volume_mix_decomposition": price_volume_mix_decomposition,
     "order_price_qq_drift": order_price_qq_drift,
+    "nelson_aalen_hazard": nelson_aalen_hazard,
+    "price_emd_drift": price_emd_drift,
+    "mann_kendall_trend": mann_kendall_trend,
+    "ab_power_planner": ab_power_planner,
 }
 
 ORACLES: dict[str, str] = {
@@ -1995,4 +2414,8 @@ ORACLES: dict[str, str] = {
     "path_conditional_entropy": PATH_ENTROPY_SQL,
     "price_volume_mix_decomposition": PVM_SQL,
     "order_price_qq_drift": QQ_DRIFT_SQL,
+    "nelson_aalen_hazard": NELSON_AALEN_SQL,
+    "price_emd_drift": EMD_SQL,
+    "mann_kendall_trend": MK_SQL,
+    "ab_power_planner": AB_POWER_SQL,
 }

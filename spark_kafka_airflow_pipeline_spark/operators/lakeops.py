@@ -440,12 +440,164 @@ FROM aged GROUP BY tier
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Column-level data-quality profile (the deequ-style profiler)
+# ---------------------------------------------------------------------------
+
+#: (column, normalized value expression) — numeric money is profiled
+#: as exact cents and the timestamp as DATE so min/max stringification
+#: is bit-identical across engines (double/timestamp repr is not).
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice_cents",
+     "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+    ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ("o_orderpriority", "o_orderpriority"),
+)
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the orders table — the
+    deequ/constraint-suggestion input every ingestion pipeline
+    computes before anyone trusts a new feed: per column, row count,
+    null count + share, exact distinct count, and min/max (stringified
+    AFTER computing on the normalized native value, so ordering is
+    value order, not lexicographic).
+
+    Spark-first: ONE scan — all six columns' metrics are aggregated in
+    a single pass (Catalyst plans multi-column COUNT(DISTINCT) via one
+    Expand: rows multiply by the distinct-column count INSIDE the
+    stage, partial-aggregated before the shuffle, so the exchange
+    carries only per-group partials). The row fan-out to the 6-row
+    report is a stack() on the 1-row aggregate. At 100 TB the Expand
+    multiplies scan rows x6 — the honest cost of EXACT distincts in
+    one pass; swap in approx_count_distinct per column when +-2% is
+    acceptable and the oracle is dropped.
+
+    Hash-exact: counts are integers; min/max go through BIGINT / DATE
+    / VARCHAR normalization (PROFILE_COLS), never raw double repr."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, e in PROFILE_COLS:
+        aggs += [
+            F.sum(F.expr(f"CASE WHEN ({e}) IS NULL THEN 1 ELSE 0 END"))
+            .alias(f"null_{name}"),
+            F.expr(f"COUNT(DISTINCT {e})").alias(f"nd_{name}"),
+            F.expr(f"CAST(MIN({e}) AS STRING)").alias(f"min_{name}"),
+            F.expr(f"CAST(MAX({e}) AS STRING)").alias(f"max_{name}"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', null_{name}, nd_{name}, min_{name}, max_{name}"
+        for name, _ in PROFILE_COLS)
+    return (one.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_str, max_str)")
+        .select("col_name", F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_null").cast("bigint").alias("n_null"),
+                F.expr(ppm("n_null", "n_rows")).alias("null_ppm"),
+                F.col("n_distinct").cast("bigint").alias("n_distinct"),
+                "min_str", "max_str"))
+
+
+_PROFILE_SELECTS = "\nUNION ALL\n".join(f"""
+SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN ({e}) IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT {e}) AS n_distinct,
+       CAST(MIN({e}) AS VARCHAR) AS min_str,
+       CAST(MAX({e}) AS VARCHAR) AS max_str
+FROM orders""" for name, e in PROFILE_COLS)
+
+PROFILE_SQL = f"""
+WITH per_col AS ({_PROFILE_SELECTS})
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_null * 1000000 // n_rows AS BIGINT) AS null_ppm,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_str, max_str
+FROM per_col
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Functional-dependency audit (constraint discovery)
+# ---------------------------------------------------------------------------
+
+#: candidate dependencies to audit: (table, determinant, dependent).
+#: A fixed literal list (like benford's digit table) so the oracle
+#: restates it; production would generate candidates from the schema.
+FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+def functional_dependency_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit — the constraint-mining
+    pass a data catalog runs to learn (or verify) key/attribute
+    relationships: for each candidate X -> Y, does every X value map
+    to exactly one Y value? Reports the determinant cardinality, how
+    many X values VIOLATE (map to >1 distinct Y), the worst fan-out,
+    and the holds flag. X -> Y holds iff n_violating_keys = 0 — the
+    audit that catches a denormalization bug (an attribute that
+    should be functionally determined starting to drift) before
+    downstream joins silently duplicate rows.
+
+    Scale: per candidate one hash aggregate keyed on the determinant
+    (mergeable COUNT(DISTINCT dependent) per key, then a 1-row
+    roll-up) — linear scans, bounded 5-row output, no windows."""
+    out = None
+    for tbl, det, dep in FD_CANDIDATES:
+        per_key = (table(spark, sf_dir, tbl)
+                   .groupBy(det)
+                   .agg(F.countDistinct(dep).alias("k")))
+        row = (per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.expr("CASE WHEN k > 1 THEN 1 ELSE 0 END"))
+            .alias("n_violating_keys"),
+            F.max("k").alias("max_dependents_per_key"))
+            .select(F.lit(tbl).alias("table_name"),
+                    F.lit(det).alias("determinant"),
+                    F.lit(dep).alias("dependent"),
+                    F.col("n_keys").cast("bigint").alias("n_keys"),
+                    F.col("n_violating_keys").cast("bigint")
+                    .alias("n_violating_keys"),
+                    F.col("max_dependents_per_key").cast("bigint")
+                    .alias("max_dependents_per_key"),
+                    F.expr("CAST(n_violating_keys = 0 AS INT)")
+                    .alias("holds")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_FD_SELECTS = "\nUNION ALL\n".join(f"""
+SELECT '{tbl}' AS table_name, '{det}' AS determinant,
+       '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(MAX(k) AS BIGINT) AS max_dependents_per_key,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS k FROM {tbl} GROUP BY {det})
+""" for tbl, det, dep in FD_CANDIDATES)
+
+FD_SQL = f"WITH per AS ({_FD_SELECTS})\nSELECT * FROM per"
+
+
 QUERIES: dict[str, QueryFn] = {
     "compaction_bin_plan": compaction_bin_plan,
     "partition_retention_plan": partition_retention_plan,
     "zorder_clustering_audit": zorder_clustering_audit,
     "bloom_filter_fpr_planner": bloom_filter_fpr_planner,
     "feature_hashing_collision_audit": feature_hashing_collision_audit,
+    "orders_column_profile": orders_column_profile,
+    "functional_dependency_audit": functional_dependency_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -454,4 +606,6 @@ ORACLES: dict[str, str] = {
     "zorder_clustering_audit": ZORDER_SQL,
     "bloom_filter_fpr_planner": BLOOM_SQL,
     "feature_hashing_collision_audit": HASHING_SQL,
+    "orders_column_profile": PROFILE_SQL,
+    "functional_dependency_audit": FD_SQL,
 }

@@ -1181,6 +1181,96 @@ ORDER BY join_key
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-salt planner (the prescriptive sibling of join_key_skew_histogram)
+# ---------------------------------------------------------------------------
+
+#: planner literals: a reduce task comfortably handles TARGET rows of a
+#: single key; the target scales with the table (total DIV SALT_DENOM)
+#: but never below SALT_MIN_TARGET so tiny test tables stay sane.
+SALT_DENOM = 1024
+SALT_MIN_TARGET = 64
+
+
+def skew_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting planner — where ``join_key_skew_histogram`` is the
+    DIAGNOSTIC (how skewed are the workload's join keys?), this is the
+    PRESCRIPTION a job submitter reads: per profiled key column, the
+    per-task row target (total rows DIV {SALT_DENOM}, floored at
+    {SALT_MIN_TARGET}), how many keys exceed it, and the salt factor
+    ceil(max_key_rows / target) the hottest key needs — i.e. the
+    ``salted_group_agg`` fan-out that bounds every reduce task. One
+    bounded row per key column; all-integer (ceiling division via
+    (a + b - 1) DIV b).
+
+    Scale: per key column one hash aggregate to per-key counts, then a
+    1-row mergeable roll-up (count / max / count-if) — no windows, no
+    joins, output size fixed at the number of profiled columns."""
+
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    def full_plan(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("m"))
+        tot = (per_key.agg(
+            F.sum("m").cast("bigint").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("m").cast("bigint").alias("max_key_rows"))
+            .withColumn("target_rows",
+                        F.expr(f"GREATEST(total_rows DIV {SALT_DENOM}, "
+                               f"{SALT_MIN_TARGET})")))
+        hot = (per_key.crossJoin(F.broadcast(tot.select("target_rows")))
+               .agg(F.sum(F.expr(
+                   "CASE WHEN m > target_rows THEN 1 ELSE 0 END"))
+                   .cast("bigint").alias("n_keys_over_target")))
+        return (tot.crossJoin(F.broadcast(hot))
+                .select(F.lit(label).alias("key_col"), "total_rows",
+                        F.col("n_keys").cast("bigint").alias("n_keys"),
+                        "max_key_rows", "target_rows",
+                        "n_keys_over_target",
+                        F.expr("CAST((max_key_rows + target_rows - 1) "
+                               "DIV target_rows AS BIGINT)")
+                        .alias("max_salt_n")))
+
+    return (full_plan(li, "l_orderkey", "lineitem.l_orderkey")
+            .unionByName(full_plan(ev, "user_id", "events.user_id")))
+
+
+SKEW_SALT_SQL = f"""
+WITH li_keys AS (SELECT COUNT(*) AS m FROM lineitem GROUP BY l_orderkey),
+ev_keys AS (SELECT COUNT(*) AS m FROM events GROUP BY user_id),
+li_tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(m) AS BIGINT) AS max_key_rows,
+         GREATEST(CAST(SUM(m) AS BIGINT) // {SALT_DENOM},
+                  {SALT_MIN_TARGET}) AS target_rows
+  FROM li_keys
+), ev_tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(m) AS BIGINT) AS max_key_rows,
+         GREATEST(CAST(SUM(m) AS BIGINT) // {SALT_DENOM},
+                  {SALT_MIN_TARGET}) AS target_rows
+  FROM ev_keys
+)
+SELECT 'lineitem.l_orderkey' AS key_col, total_rows, n_keys,
+       max_key_rows, target_rows,
+       (SELECT CAST(SUM(CASE WHEN m > li_tot.target_rows THEN 1 ELSE 0
+                        END) AS BIGINT) FROM li_keys)
+         AS n_keys_over_target,
+       CAST((max_key_rows + target_rows - 1) // target_rows AS BIGINT)
+         AS max_salt_n
+FROM li_tot
+UNION ALL
+SELECT 'events.user_id', total_rows, n_keys, max_key_rows, target_rows,
+       (SELECT CAST(SUM(CASE WHEN m > ev_tot.target_rows THEN 1 ELSE 0
+                        END) AS BIGINT) FROM ev_keys),
+       CAST((max_key_rows + target_rows - 1) // target_rows AS BIGINT)
+FROM ev_tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "selfjoin_cardinality_planner": selfjoin_cardinality_planner,
     "weighted_median_price": weighted_median_price,
@@ -1201,6 +1291,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_filter_join": bloom_filter_join,
     "zorder_layout": zorder_layout,
     "events_monthly_from_rollup": events_monthly_from_rollup,
+    "skew_salt_planner": skew_salt_planner,
 }
 
 ORACLES: dict[str, str] = {
@@ -1221,4 +1312,5 @@ ORACLES: dict[str, str] = {
     "bitmap_distinct_rollup": BITMAP_DISTINCT_SQL,
     "bloom_filter_join": BLOOM_JOIN_SQL,
     "zorder_layout": ZORDER_SQL,
+    "skew_salt_planner": SKEW_SALT_SQL,
 }

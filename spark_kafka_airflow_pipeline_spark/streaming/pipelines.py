@@ -1246,18 +1246,40 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the ``events_drift_psi`` integer-pico idiom — +1
     smoothing over the fixed 10-bin spine, integer-ppm shares with the
-    >= 1 ln clamp, 6dp-rounded ln in integer micros, BIGINT sum."""
-    stream = _events_stream(spark, sf_dir)
-    binned = (stream.withWatermark("ts", "1 hour")
-              .groupBy(F.window("ts", "1 hour").alias("w"),
-                       F.expr(f"CAST(LEAST(floor(value / 100), "
-                              f"{DRIFT_BINS - 1}) AS INT)").alias("bin"))
-              .agg(F.count(F.lit(1)).alias("n"))
-              .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
-                      .alias("window_start"), "bin", "n"))
-    hist = _drain_to_memory(binned, "append")
+    >= 1 ln clamp, 6dp-rounded ln in integer micros, BIGINT sum.
 
-    # ---- stateless post-drain PSI (the foreachBatch map) ----
+    Restart recovery: the (window x bin) state lives in the checkpoint
+    state store, so a mid-stream kill-and-restart resumes counting
+    where the watermark left off —
+    ``tests/test_streaming_sinks.py::test_drift_monitor_restart_recovery``
+    drives the SAME two stages (``drift_binned_stream`` +
+    ``drift_psi_from_hist``) through a file sink with a persistent
+    checkpoint, kills between halves, and proves the recovered
+    histogram and PSI equal the single-run drain."""
+    stream = _events_stream(spark, sf_dir)
+    hist = _drain_to_memory(drift_binned_stream(stream), "append")
+    return drift_psi_from_hist(spark, sf_dir, hist)
+
+
+def drift_binned_stream(stream: DataFrame) -> DataFrame:
+    """The STREAMING stage of ``streaming_drift_monitor``: watermarked
+    (1-hour window x value-bin) counting, append-mode emission as
+    windows seal. Factored out so the restart-recovery test can run it
+    against its own file source + checkpointed file sink."""
+    return (stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"),
+                     F.expr(f"CAST(LEAST(floor(value / 100), "
+                            f"{DRIFT_BINS - 1}) AS INT)").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "bin", "n"))
+
+
+def drift_psi_from_hist(spark: SparkSession, sf_dir: str,
+                        hist: DataFrame) -> DataFrame:
+    """The stateless post-drain PSI map of ``streaming_drift_monitor``
+    (the foreachBatch arithmetic), applied to a drained
+    (window_start, bin, n) histogram."""
     e = table(spark, sf_dir, "events")
     t0 = e.agg(F.min("ts").alias("t0"))
     base = (e.crossJoin(F.broadcast(t0))

@@ -221,8 +221,11 @@ def test_js_divergence_bounds_and_identity(spark):
                for r in evalops.source_js_divergence(spark, td).collect()}
     assert out[("s1", "s2")].jsd_micronats == 0
     assert out[("s1", "s2")].shared_terms == 3
-    # disjoint: no shared terms -> no join row -> pair absent by design
-    assert ("s1", "s3") not in out
+    # disjoint: zero shared vocabulary -> pair still present (spine is
+    # the source cross join, r8 ADVICE) at exactly the ln(2) extreme
+    assert out[("s1", "s3")].shared_terms == 0
+    assert out[("s1", "s3")].jsd_micronats == 693147
+    assert out[("s2", "s3")].jsd_micronats == 693147
     # bounds on the real corpus pairs
     real = evalops.source_js_divergence(
         spark, "/root/testdata/sf0.001").collect()

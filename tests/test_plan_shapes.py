@@ -186,6 +186,14 @@ _DESCALE_PINS = [
     ("customer_rfm_segments", 20),   # 3x global-rank primitive (R/F/M)
     ("customer_pareto_abc", 13),
     ("dau_wau_stickiness", 8),
+    # VERDICT r8 ask #4: the evalops users of the two-phase
+    # global_row_number/global_running_sum primitives — a refactor
+    # must not reintroduce an un-partitioned rank over the
+    # customer-sized frame (unpartitioned_windows() == [] is the
+    # load-bearing assert; the Exchange ceiling is the r9 plan's count)
+    ("score_auc_acctbal", 9),
+    ("gini_lorenz_customers", 22),
+    ("score_lift_gain_deciles", 13),
 ]
 
 

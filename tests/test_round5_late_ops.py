@@ -26,9 +26,9 @@ def test_window_priority_bookkeeping():
     names = list(qs)
     assert len(entry_mod._WINDOW_PRIORITY) == 50
     assert set(entry_mod._WINDOW_PRIORITY) == set(names[:50])
-    unknown = [n for n in entry_mod._R9_EARMARK if n not in qs]
+    unknown = [n for n in entry_mod._NEXT_EARMARK if n not in qs]
     assert not unknown, unknown
-    overlap = set(entry_mod._R9_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
+    overlap = set(entry_mod._NEXT_EARMARK) & set(entry_mod._WINDOW_PRIORITY)
     assert not overlap, overlap
 
 
@@ -41,7 +41,7 @@ def test_no_query_orphaned_from_driver_verification():
     from pathlib import Path
 
     qs = set(entry_mod.queries())
-    planned = set(entry_mod._WINDOW_PRIORITY) | set(entry_mod._R9_EARMARK)
+    planned = set(entry_mod._WINDOW_PRIORITY) | set(entry_mod._NEXT_EARMARK)
     seen: set[str] = set()
     for p in Path(__file__).resolve().parent.parent.glob(
             "CORRECTNESS_r*.json"):

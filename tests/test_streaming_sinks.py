@@ -261,3 +261,86 @@ def test_stream_stream_join_drops_late_click(spark, tmp_path):
     ])
     assert ("P2", "C2") not in set(b3)
     assert ("P3", "C3") in set(b3)
+
+
+def test_drift_monitor_restart_recovery(spark, sf_dir, tmp_path):
+    """VERDICT r8 ask #5: kill-and-restart recovery for the drift
+    monitor. The events table is split into two time-ordered halves;
+    the monitor's streaming stage runs against a file source + parquet
+    sink with a persistent checkpoint, is STOPPED after draining the
+    first half (some windows sealed, the boundary window still open in
+    the state store), then a NEW query restarts from the same
+    checkpoint with the second half present. The recovered run's
+    sealed (window x bin) histogram — and the PSI report computed from
+    it — must equal a fresh single-run drain over the full data: the
+    boundary window's counts prove the state store carried run-1 rows
+    across the restart."""
+    import glob
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.streaming.pipelines import (
+        drift_binned_stream,
+        drift_psi_from_hist,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_expr = {"bigint": "timestamp_micros(ts div 1000)",
+               "timestamp_ntz": "CAST(ts AS TIMESTAMP)",
+               }.get(dict(raw.dtypes)["ts"], "ts")
+    ev = raw.selectExpr(f"{ts_expr} AS ts", "value")
+    mid = ev.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) "
+        "AS BIGINT)) AS mid").collect()[0]["mid"]
+
+    def write_half(pred, name):
+        half_dir = tmp_path / f"stage_{name}"
+        ev.filter(pred).coalesce(1).write.parquet(str(half_dir))
+        part = glob.glob(str(half_dir / "part-*.parquet"))[0]
+        return part
+
+    p1 = write_half(F.col("ts") <= F.lit(mid), "h1")
+    p2 = write_half(F.col("ts") > F.lit(mid), "h2")
+    schema = spark.read.parquet(p1).schema
+
+    def drain(src, out, ckpt):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (drift_binned_stream(stream).writeStream
+                 .format("parquet").option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def hist(out):
+        return sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+
+    # reference: one uninterrupted run over both halves
+    src_all = tmp_path / "src_all"
+    src_all.mkdir()
+    shutil.copy(p1, src_all / "h1.parquet")
+    shutil.copy(p2, src_all / "h2.parquet")
+    drain(src_all, tmp_path / "out_all", tmp_path / "ckpt_all")
+    single = hist(tmp_path / "out_all")
+    assert single  # sealed windows exist at this corpus span
+
+    # recovery: half 1, stop, add half 2, restart from the checkpoint
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(p1, src / "h1.parquet")
+    drain(src, tmp_path / "out", tmp_path / "ckpt")
+    partial = hist(tmp_path / "out")
+    assert 0 < len(partial) < len(single)  # mid-stream, not drained dry
+    shutil.copy(p2, src / "h2.parquet")
+    drain(src, tmp_path / "out", tmp_path / "ckpt")
+    assert hist(tmp_path / "out") == single
+
+    # and the PSI report built from the recovered histogram matches
+    def psi(out):
+        return sorted(map(tuple, drift_psi_from_hist(
+            spark, sf_dir, spark.read.parquet(str(out))).collect()))
+
+    assert psi(tmp_path / "out") == psi(tmp_path / "out_all")
