@@ -2295,6 +2295,13 @@ def ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in DECIMAL(38,0)/HUGEINT — exact ceiling division, no
     float anywhere, both engines bit-identical.
 
+    Degenerate rows are excluded (documented): a (segment, mde) row
+    whose lifted rate does not exceed the base rate — base rate 0
+    (zero lift), base rate 1e6 (capped), or p1 so small the integer
+    lift floors to 0 — has dP <= 0 (nothing detectable; the formula's
+    denominator vanishes), so it emits no row rather than dividing by
+    zero. Cannot occur in TPC-H data at the shipped MDE grid.
+
     Scale: customer x orders semi-aggregate into the 5-row segment
     frame; the MDE fan-out is a literal 4-element explode on that
     bounded frame."""
@@ -2321,6 +2328,7 @@ def ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("LEAST(p1_ppm + CAST(CAST(p1_ppm AS "
                                "DECIMAL(38,0)) * mde_pct DIV 100 AS BIGINT)"
                                ", 999999)"))
+            .filter(F.col("p2_ppm") > F.col("p1_ppm"))
             .withColumn("n_per_arm",
                         F.expr(f"CAST(({num} + {den} - 1) DIV ({den}) "
                                "AS BIGINT)"))
@@ -2356,7 +2364,7 @@ SELECT segment, CAST(n_cust AS BIGINT) AS n_cust, p1_ppm,
                * 1000000 - 1)
             // (CAST(p2_ppm - p1_ppm AS HUGEINT) * (p2_ppm - p1_ppm)
                 * 1000000) AS BIGINT) AS n_per_arm
-FROM grid
+FROM grid WHERE p2_ppm > p1_ppm
 """
 
 
