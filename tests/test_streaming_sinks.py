@@ -344,3 +344,98 @@ def test_drift_monitor_restart_recovery(spark, sf_dir, tmp_path):
             spark, sf_dir, spark.read.parquet(str(out))).collect()))
 
     assert psi(tmp_path / "out") == psi(tmp_path / "out_all")
+
+
+def test_metadata_streaming_session_restart_recovery(spark, sf_dir,
+                                                     tmp_path):
+    """Restart recovery for the CONFIG-DECLARED streaming thesis: the
+    same metadata JSON dataflow (streaming source -> watermark ->
+    session_window aggregate -> file sink) is run through
+    PipelineExecutor.run_dataflow twice against a growing source
+    directory — half the events, STOP, add the second half, run again.
+    The executor's checkpoint (beside the sink) must make run 2 resume:
+    only the new file is read, live session state survives (sessions
+    SPANNING the split boundary must come out merged), and the final
+    sink content equals an uninterrupted single run."""
+    import glob
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.executor import PipelineExecutor
+    from spark_kafka_airflow_pipeline_spark.metadata import parse_metadata
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_expr = {"bigint": "timestamp_micros(ts div 1000)",
+               "timestamp_ntz": "CAST(ts AS TIMESTAMP)",
+               }.get(dict(raw.dtypes)["ts"], "ts")
+    ev = raw.selectExpr(f"{ts_expr} AS ts", "user_id")
+    mid = ev.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) "
+        "AS BIGINT)) AS mid").collect()[0]["mid"]
+    halves = []
+    for name, pred in (("h1", F.col("ts") <= F.lit(mid)),
+                       ("h2", F.col("ts") > F.lit(mid))):
+        stage = tmp_path / f"stage_{name}"
+        ev.filter(pred).coalesce(1).write.parquet(str(stage))
+        halves.append(glob.glob(str(stage / "part-*.parquet"))[0])
+
+    def flow_meta(src, out_root):
+        return parse_metadata({"dataflows": [{
+            "name": "restart_sessions",
+            "sources": [{"name": "events", "path": str(src),
+                         "format": "parquet", "streaming": True,
+                         "options": {"pathGlobFilter": "*.parquet"}}],
+            "transformations": [
+                {"name": "marked", "type": "watermark", "params": {
+                    "input": "events", "column": "ts", "delay": "1 hour"}},
+                {"name": "sessions", "type": "aggregate", "params": {
+                    "input": "marked",
+                    "groupBy": ["session_window(ts, '30 minutes') AS sw",
+                                "user_id"],
+                    "aggregates": [
+                        {"name": "n_events", "function": "COUNT(*)"}]}},
+                {"name": "fmt", "type": "add_fields", "params": {
+                    "input": "sessions", "addFields": [{
+                        "name": "session_start",
+                        "function": "date_format(sw.start, "
+                                    "'yyyy-MM-dd HH:mm:ss')"}]}},
+                {"name": "out", "type": "select", "params": {
+                    "input": "fmt", "columns": [
+                        "user_id", "session_start", "n_events"]}},
+            ],
+            "sinks": [{"input": "out", "name": "sess",
+                       "paths": [str(out_root)], "format": "parquet",
+                       "saveMode": "append"}],
+        }]}).dataflows[0]
+
+    def run(src, out_root):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            PipelineExecutor(spark).run_dataflow(flow_meta(src, out_root))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def rows(out_root):
+        return sorted(map(tuple,
+                          spark.read.parquet(f"{out_root}/sess").collect()))
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # reference: uninterrupted run over both halves
+    src_all = tmp_path / "src_all"
+    src_all.mkdir()
+    shutil.copy(halves[0], src_all / "h1.parquet")
+    shutil.copy(halves[1], src_all / "h2.parquet")
+    run(src_all, tmp_path / "out_all")
+    single = rows(tmp_path / "out_all")
+    assert single
+
+    # restart: half 1, stop, add half 2, run again (same checkpoint)
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(halves[0], src / "h1.parquet")
+    run(src, tmp_path / "out")
+    partial = rows(tmp_path / "out")
+    assert 0 < len(partial) < len(single)
+    shutil.copy(halves[1], src / "h2.parquet")
+    run(src, tmp_path / "out")
+    assert rows(tmp_path / "out") == single
