@@ -111,78 +111,308 @@ _WINDOW_PRIORITY = (
     "customer_first_last_orders",
 )
 
-# ROUND-10 WINDOW PLAN (refresh SLA continues): any round-9-new
-# queries first (their FIRST driver rows), then the r5-cohort tail
-# (greens 5 rounds old by r10), then the r6-window cohort, then the
-# r7-window cohort, then the r8-window cohort. Reds and round-10
-# reworks, as always, jump the queue.
-# (embedding_principal_component and parquet_footer_stats are EXEMPT —
-# pinned-once rows-only rows, see _WINDOW_PRIORITY note.)
+# ROUND-10 WINDOW PLAN — the COMPLETE age-ordered rotation queue,
+# GENERATED from the union of all CORRECTNESS_r*.json files (each
+# name's LATEST driver round), not hand-curated: round-9-new queries
+# first (their FIRST driver rows), then every non-window, non-exempt
+# query ascending by its latest driver row (r2 -> r7 cohorts; the r9
+# audit found the hand-written queue had silently skipped the
+# r3/r4/r5-age cohorts — 102 queries — which this ordering restores).
+# Reds and round-10 reworks, as always, jump the queue.
+# (embedding_principal_component, parquet_footer_stats and
+# approx_distinct_customers are EXEMPT — pinned-once rows-only rows,
+# see _WINDOW_PRIORITY note.)
 _R10_EARMARK = (
     # new in round 9, window already full — FIRST driver check in r10
     # (all locally sf0.001+sf0.01+sf0.1 green; plan-sweep clean)
-    "association_rules_lift", "price_emd_drift",
-    "orders_column_profile", "functional_dependency_audit",
-    "mann_kendall_trend", "ab_power_planner",
-    "nelson_aalen_hazard", "skew_salt_planner",
-    # r5-cohort tail displaced by round-9 stale-refresh slots
+    "association_rules_lift",
+    "price_emd_drift",
+    "orders_column_profile",
+    "functional_dependency_audit",
+    "mann_kendall_trend",
+    "ab_power_planner",
+    "nelson_aalen_hazard",
+    "skew_salt_planner",
+    # latest driver row round 2 (31 queries, oldest cohorts first)
+    "customer_only_nations",
     "customer_status_profile",
-    "events_json_extract", "events_range_join", "events_running_value",
-    "events_sessionize", "events_sliding_window", "events_tumbling_window",
-    "except_all_nation_bags", "full_outer_nation_roles",
-    "grouping_sets_revenue", "intersect_all_order_counts",
-    "lineitem_moment_stats", "nations_supplier_outer",
-    "order_price_histogram", "order_price_quantiles", "orders_date_functions",
-    "orders_window_analytics", "part_type_taxonomy",
+    "events_json_extract",
+    "events_range_join",
+    "events_running_value",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "except_all_nation_bags",
+    "full_outer_nation_roles",
+    "grouping_sets_revenue",
+    "intersect_all_order_counts",
+    "lineitem_moment_stats",
+    "nations_supplier_outer",
+    "order_price_histogram",
+    "order_price_quantiles",
+    "orders_date_functions",
+    "orders_window_analytics",
+    "part_type_taxonomy",
     "pivot_status_by_priority",
-    "q10_returned_revenue_topk", "q13_order_count_distribution",
-    "q14_promo_revenue_pct", "q15_top_suppliers",
-    "q17_small_quantity_revenue", "q18_large_volume_orders",
-    "q19_disjunctive_predicate", "q22_idle_rich_customers",
-    "q4_late_shipment_orders", "q7_nation_trade_volume",
+    "q10_returned_revenue_topk",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicate",
+    "q22_idle_rich_customers",
+    "q4_late_shipment_orders",
+    "q7_nation_trade_volume",
     "unpivot_part_measures",
-    # r6-window cohort (r6-green; rotate as slots allow)
-    "kafka_wire_roundtrip", "snapshot_diff_cdc", "metadata_compiled_q3",
-    "metadata_corpus_refinery", "winnow_fingerprints", "winnow_overlap",
-    "mixture_temperature_weights", "embedding_dup_clusters",
-    "longest_shared_spans", "python_datasource_pushdown",
-    "sql_api_scripting", "sql_api_pipe_syntax",
-    "pandas_api_status_profile", "bm25_topk", "ngram_jaccard_md5_pairs",
+    # latest driver row round 3 (10 queries, oldest cohorts first)
+    "bucketed_orders_lineitem_join",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "incremental_dedup_exact",
+    "lang_id_heuristic",
+    "salted_group_agg",
+    "source_mixture_plan",
+    "training_shuffle_order",
+    "validate_split_ko",
+    "validate_split_ok",
+    # latest driver row round 4 (45 queries, oldest cohorts first)
+    "ann_lsh_topk",
+    "bigram_logprob_scores",
+    "bitmap_distinct_rollup",
+    "cosine_topk",
+    "decontamination_ngram_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_keep_best",
+    "doc_bpe_token_stats",
+    "doc_chunks",
+    "doc_repetition_scores",
+    "doc_scrub",
+    "doc_tfidf_topterms",
+    "doc_token_stats",
+    "doc_word_runs_udtf",
+    "dpp_partitioned_join",
+    "embedding_int8_quant_error",
+    "embedding_near_dups",
+    "embedding_norm_stats",
+    "events_variant_extract",
+    "hll_distinct_rollup",
+    "incremental_dedup_minhash",
+    "ivf_ann_topk",
+    "kmeans_clusters",
+    "label_centroid_similarity",
+    "lang_quality_profile",
+    "minhash_lsh_pairs",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_header_parse",
+    "multimodal_resize",
+    "ngram_jaccard_dups",
+    "pq_ann_topk",
+    "recursive_month_spine",
+    "simhash_buckets",
+    "simhash_near_dups",
+    "stratified_sample",
+    "streaming_dedup_keys",
+    "streaming_sliding_window",
+    "streaming_stateful_sessions",
+    "streaming_static_join",
+    "streaming_stream_stream_join",
+    "streaming_tumbling_window",
+    "word_freq_topk",
+    # latest driver row round 5 (47 queries, oldest cohorts first)
+    "ann_srp_topk",
+    "asof_cogroup_arrow",
+    "bloom_filter_join",
+    "context_packing_manifest",
+    "context_packing_stats",
+    "corpus_prep_pipeline",
+    "cross_doc_span_dups",
+    "dedup_clusters_md5",
+    "doc_dup_scores",
+    "doc_source_arrow_stats",
+    "event_transition_matrix",
+    "events_drift_chi2",
+    "events_funnel_conversion",
+    "events_monthly_from_rollup",
+    "events_retention_cohorts",
+    "events_zscore_outliers",
+    "gopher_quality_rules",
+    "grouped_sample_topk",
+    "hard_negative_mining",
+    "incremental_dedup_md5",
+    "lateral_topk_per_nation",
+    "length_bucket_packing",
+    "minhash_md5_pairs",
+    "multimodal_arrow_features",
+    "orders_status_transpose",
+    "pagerank_supplier_rank",
+    "partial_agg_rollup",
+    "python_datasource_scan",
+    "quality_percentile_filter",
+    "scd2_user_tier_history",
+    "simhash_md5_pairs",
+    "split_leakage_audit",
+    "sql_api_parameterized",
+    "sql_api_revenue_rollup",
+    "streaming_dedup_within_watermark",
+    "streaming_python_source",
+    "streaming_session_window",
+    "streaming_stream_stream_left_join",
+    "streaming_topk_per_window",
+    "table_profile",
+    "token_lift_pairs",
+    "tokenizer_vocab_coverage",
+    "triangle_count_suppliers",
+    "upsert_latest_events",
+    "value_trend_by_type",
+    "weighted_mixture_sample",
+    "zorder_layout",
+    # latest driver row round 6 (45 queries, oldest cohorts first)
+    "ann_recall_report",
+    "asof_cogroup_pandas",
+    "bm25_topk",
+    "bpe_merge_apply",
+    "bpe_merge_candidates",
+    "cdc_chunking",
+    "collated_type_counts",
+    "embedding_dup_clusters",
+    "events_anomaly_mad",
+    "events_gap_fill",
+    "events_hourly_range_sum",
+    "events_rolling_median",
+    "kafka_wire_roundtrip",
+    "longest_shared_spans",
+    "metadata_compiled_q3",
+    "metadata_corpus_refinery",
+    "minhash_estimate_error",
+    "mixture_temperature_weights",
+    "ngram_jaccard_md5_pairs",
+    "pandas_api_status_profile",
+    "pandas_udaf_cents",
+    "prefix_edit_near_dups",
+    "python_datasource_pushdown",
+    "q11_top_balance_nations",
+    "q16_part_supplier_variety",
+    "q20_heavy_promo_suppliers",
+    "q21_sole_late_suppliers",
+    "q2_min_cost_supplier",
+    "q8_nation_market_share",
+    "q9_promo_profit",
+    "region_nation_listagg",
+    "snapshot_diff_cdc",
+    "source_overlap_matrix",
+    "span_dedup_removal",
+    "sql_api_pipe_syntax",
+    "sql_api_scripting",
+    "sql_registered_pandas_udf",
+    "streaming_session_window_dynamic",
     "streaming_stream_stream_full_join",
-    "streaming_session_window_dynamic", "sql_registered_pandas_udf",
-    "pandas_udaf_cents", "span_dedup_removal", "vocab_coverage_curve",
-    "bpe_merge_candidates", "unigram_entropy_scores", "events_gap_fill",
-    "prefix_edit_near_dups", "ann_recall_report", "events_rolling_median",
-    "zipf_fit_by_source", "events_anomaly_mad", "source_overlap_matrix",
-    "minhash_estimate_error", "bpe_merge_apply", "cdc_chunking",
-    "streaming_window_median", "collated_type_counts",
-    "region_nation_listagg", "q21_sole_late_suppliers",
-    "q20_heavy_promo_suppliers", "q16_part_supplier_variety",
-    "q11_top_balance_nations", "q9_promo_profit",
-    "q8_nation_market_share", "q2_min_cost_supplier",
-    "events_hourly_range_sum", "asof_cogroup_pandas",
-    # r7-window cohort (r7-green; refresh after the cohorts above)
-    "approx_price_quantiles", "customer_rfm_segments",
-    "events_drift_psi", "join_key_skew_histogram",
-    "inverted_index_postings", "metadata_streaming_tumbling",
-    "customer_global_rank", "customer_pareto_abc",
-    "orders_equidepth_bins", "dau_wau_stickiness",
-    "lsh_parameter_planner", "cross_lang_fingerprint_spread",
-    "order_fulfillment_backlog", "rendezvous_shard_plan",
-    "orders_seasonality_index", "kmv_distinct_rollup",
-    "weighted_sample_aes", "kmv_source_overlap", "bootstrap_mean_ci",
-    "supplier_bfs_hops", "frequent_part_pairs", "cms_heavy_hitters",
-    "attribution_last_touch", "theil_sen_trend",
-    "stratified_sample_neyman", "scd2_point_in_time_join",
-    "value_drift_continuous", "decayed_type_popularity",
-    "ansi_safe_arithmetic", "order_status_mode", "null_safe_join_counts",
-    "mv_join_delta_maintenance", "user_value_ewma",
-    "events_cumulative_reach", "orders_yoy_growth",
-    "matryoshka_truncation_audit", "event_path_topk",
-    "knn_classifier_eval", "cluster_balanced_sample", "corpus_datacard",
-    "sketch_family_pr_eval", "integrity_audit", "benford_price_audit",
-    "bot_rate_flags", "revenue_percent_of_parent",
+    "streaming_window_median",
+    "unigram_entropy_scores",
+    "vocab_coverage_curve",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "zipf_fit_by_source",
+    # latest driver row round 7 (46 queries, oldest cohorts first)
+    "ansi_safe_arithmetic",
+    "approx_price_quantiles",
+    "attribution_last_touch",
+    "benford_price_audit",
+    "bootstrap_mean_ci",
+    "bot_rate_flags",
+    "cluster_balanced_sample",
+    "cms_heavy_hitters",
+    "corpus_datacard",
+    "cross_lang_fingerprint_spread",
+    "customer_global_rank",
+    "customer_pareto_abc",
+    "customer_rfm_segments",
+    "dau_wau_stickiness",
+    "decayed_type_popularity",
     "embedding_dim_variance",
+    "event_path_topk",
+    "events_cumulative_reach",
+    "events_drift_psi",
+    "frequent_part_pairs",
+    "integrity_audit",
+    "inverted_index_postings",
+    "join_key_skew_histogram",
+    "kmv_distinct_rollup",
+    "kmv_source_overlap",
+    "knn_classifier_eval",
+    "lsh_parameter_planner",
+    "matryoshka_truncation_audit",
+    "metadata_streaming_tumbling",
+    "mv_join_delta_maintenance",
+    "null_safe_join_counts",
+    "order_fulfillment_backlog",
+    "order_status_mode",
+    "orders_equidepth_bins",
+    "orders_seasonality_index",
+    "orders_yoy_growth",
+    "rendezvous_shard_plan",
+    "revenue_percent_of_parent",
+    "scd2_point_in_time_join",
+    "sketch_family_pr_eval",
+    "stratified_sample_neyman",
+    "supplier_bfs_hops",
+    "theil_sen_trend",
+    "user_value_ewma",
+    "value_drift_continuous",
+    "weighted_sample_aes",
+    # latest driver row round 8 (49 queries, oldest cohorts first)
+    "ab_test_welch",
+    "benchmark_decontamination",
+    "boilerplate_line_share",
+    "brand_price_size_regression",
+    "cohort_ltv_curve",
+    "containment_md5_pairs",
+    "customers_without_urgent_orders",
+    "cv_fold_balance",
+    "event_cooccurrence_pmi",
+    "events_cusum_changepoint",
+    "flesch_reading_ease",
+    "freshness_sla_audit",
+    "funnel_time_to_convert",
+    "golden_record_merge",
+    "holt_forecast_monthly",
+    "incremental_ivf_assign",
+    "k_anonymity_audit",
+    "link_prediction_jaccard",
+    "metadata_streaming_session",
+    "metadata_streaming_sliding",
+    "metadata_streaming_upsert",
+    "minmax_skipping_audit",
+    "misra_gries_topk",
+    "multimodal_phash",
+    "nations_with_both_roles",
+    "ngram_novelty_score",
+    "observed_scan_metrics",
+    "orders_peak_concurrency",
+    "pareto_frontier_parts",
+    "part_scalar_functions",
+    "pipeline_add_fields",
+    "q12_late_priority_counts",
+    "q1_pricing_summary",
+    "retention_triangle",
+    "rrf_hybrid_retrieval",
+    "seasonal_adjusted_anomalies",
+    "segment_distinct_stats",
+    "selfjoin_cardinality_planner",
+    "sequence_gap_audit",
+    "session_dwell_bounce",
+    "sorted_neighborhood_pairs",
+    "sparse_cosine_pairs",
+    "sql_udf_order_tiers",
+    "streaming_foreachbatch_upsert",
+    "systematic_sample_every_k",
+    "target_encode_loo",
+    "unigram_lm_quality",
+    "watermark_delay_planner",
+    "weighted_median_price",
 )
 
 # Stable alias for the NEXT round's earmark, whatever its round number —
