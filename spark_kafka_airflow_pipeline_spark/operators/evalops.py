@@ -394,7 +394,13 @@ def _reorder_risk_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("is_event")))
     lev = (obs.groupBy("t_days")
            .agg(F.sum("is_event").alias("d"),
-                F.sum(F.expr("1 - is_event")).alias("cens")))
+                F.sum(F.expr("1 - is_event")).alias("cens"))
+           # CALENDAR-BOUNDED (~thousands of gap-day levels at any SF):
+           # materialize ONCE — n_tot and the estimator both consume it,
+           # and without this the per-customer rank pipeline is planned
+           # 4x (8 orders scans measured; the minhash localCheckpoint
+           # lineage discipline)
+           .localCheckpoint(eager=True))
     n_tot = lev.agg(F.sum(F.expr("d + cens")).alias("n_tot"))
     return (lev.crossJoin(F.broadcast(n_tot))
             .withColumn("n_risk",
@@ -2120,7 +2126,10 @@ def price_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (counts.withColumn("tot", F.sum("n").over(wtot))
            .withColumn("cum_ppm",
                        F.expr(ppm("SUM(n) OVER (PARTITION BY mdt ORDER BY "
-                                  "bin ROWS UNBOUNDED PRECEDING)", "tot"))))
+                                  "bin ROWS UNBOUNDED PRECEDING)", "tot")))
+           # calendar-bounded (month x 20 bin) frame joined to itself:
+           # materialize once so the orders aggregate runs once
+           .localCheckpoint(eager=True))
     prev = cum.select(F.col("mdt").alias("pm"), "bin",
                       F.col("cum_ppm").alias("prev_cum_ppm"),
                       F.col("tot").alias("prev_n"))
@@ -2198,7 +2207,10 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     monthly = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
                          .alias("mo"))
-               .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("c")))
+               .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("c"))
+               # ~80-row calendar frame consumed 3x (pair join sides +
+               # tie groups): materialize once, not 4 orders scans
+               .localCheckpoint(eager=True))
     a = monthly.select(F.col("mo").alias("ma"), F.col("c").alias("ca"))
     b = monthly.select(F.col("mo").alias("mb"), F.col("c").alias("cb"))
     s = (a.join(b, F.col("ma") < F.col("mb"))

@@ -2043,24 +2043,28 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction.
 
     Built BY CALLING ``frequent_part_pairs`` (single Apriori
-    implementation — the r8 ADVICE lesson on duplicated banding), then
-    one bounded union of two projections: confidence_ppm =
-    ``base.ppm`` integral floor, hash-exact.
+    implementation — the r8 ADVICE lesson on duplicated banding);
+    confidence_ppm = ``base.ppm`` integral floor, hash-exact.
 
-    Scale: adds zero scans on top of the pair pipeline; the direction
-    fan-out is x2 on the already-minsup-capped pair frame."""
+    Scale: the direction fan-out is an EXPLODE of a 2-struct array on
+    each pair row — ONE evaluation of the pair pipeline. (The naive
+    union of two projections of the same frame plans the whole
+    Apriori pipeline twice: 28 parquet scans vs this form's 14,
+    measured on the pre-AQE formatted plan.)"""
     pairs = frequent_part_pairs(spark, sf_dir)
-    fwd = pairs.select(F.col("part1").alias("antecedent"),
-                       F.col("part2").alias("consequent"),
-                       "support",
-                       F.expr(ppm("support", "n1")).alias("confidence_ppm"),
-                       "lift_ppm")
-    rev = pairs.select(F.col("part2").alias("antecedent"),
-                       F.col("part1").alias("consequent"),
-                       "support",
-                       F.expr(ppm("support", "n2")).alias("confidence_ppm"),
-                       "lift_ppm")
-    return fwd.unionByName(rev)
+
+    def rule(ante, cons, n):
+        return F.struct(
+            F.col(ante).alias("antecedent"), F.col(cons).alias("consequent"),
+            F.col("support"),
+            F.expr(ppm("support", n)).alias("confidence_ppm"),
+            F.col("lift_ppm"))
+
+    return (pairs
+            .select(F.explode(F.array(rule("part1", "part2", "n1"),
+                                      rule("part2", "part1", "n2")))
+                    .alias("r"))
+            .select("r.*"))
 
 
 ASSOC_RULES_SQL = f"""

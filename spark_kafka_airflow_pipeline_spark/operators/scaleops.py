@@ -1211,7 +1211,12 @@ def skew_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
 
     def full_plan(df: DataFrame, key: str, label: str) -> DataFrame:
-        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("m"))
+        # the per-key count frame (|distinct keys| rows — far smaller
+        # than the table) feeds BOTH the roll-up and the over-target
+        # count; materialize it once instead of re-aggregating the
+        # fact table per consumer (12 scans -> 2 measured)
+        per_key = (df.groupBy(key).agg(F.count(F.lit(1)).alias("m"))
+                   .localCheckpoint(eager=True))
         tot = (per_key.agg(
             F.sum("m").cast("bigint").alias("total_rows"),
             F.count(F.lit(1)).alias("n_keys"),
