@@ -693,20 +693,30 @@ def md5_band_candidates(d: DataFrame) -> DataFrame:
     ``(doc_id, grams)`` frame — the banding front half of
     ``md5_minhash_verified_pairs``, factored out so blocking-quality
     audits can measure the candidate set itself. Returns distinct
-    (doc_a < doc_b) pairs."""
+    (doc_a < doc_b) pairs.
+
+    Plan shape: the signature table (one fixed-width row per doc) is
+    materialized ONCE (localCheckpoint) and the band keys explode from
+    an array in one projection — the r9 census found the old
+    4-union + self-join form re-ran the tokenize+signature pipeline
+    8x (once per union arm per join side). The production murmur3
+    path avoids the self-join entirely via collect_list combinations
+    (``lsh_band_candidates``); the md5 twin keeps the join-based
+    banding because the ORACLE mirrors it literally, and the
+    checkpoint makes its cost one signature pass, same as production."""
     g = d.select("doc_id", F.explode("grams").alias("g"))
     h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
     hp = h_raw % _MH_P
-    sig = g.groupBy("doc_id").agg(
+    sig = (g.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * hp + F.lit(b)) % _MH_P).alias(f"h{i}")
           for i, (a, b) in enumerate(_MH_COEFFS)])
-    bands = None
-    for i in range(0, 8, 2):
-        band = sig.select(
-            "doc_id",
+        .localCheckpoint(eager=True))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
             F.concat_ws(":", F.lit(i // 2),
-                        F.col(f"h{i}"), F.col(f"h{i + 1}")).alias("bk"))
-        bands = band if bands is None else bands.unionByName(band)
+                        F.col(f"h{i}"), F.col(f"h{i + 1}"))
+            for i in range(0, 8, 2)])).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -970,7 +980,17 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     banding implementation ``blocking_quality_report`` audits, so the
     audited candidate universe and the verified-pair universe cannot
     drift apart (r8 ADVICE: the banding code used to be duplicated
-    here verbatim)."""
+    here verbatim).
+
+    The prepared grams frame is materialized once (localCheckpoint):
+    banding, both verify sides and the size lookup all consume it, and
+    without the checkpoint each consumer re-tokenizes the corpus (r9
+    scan census). Size class: (doc_id, distinct 3-gram array) — the
+    tokenized corpus, the same thing ``verify_pairs_jaccard``'s
+    survivors-only re-tokenize avoids holding; acceptable for the
+    ORACLE-PROOF twin, while the production murmur3 path keeps the
+    single-pass carried-signature shape."""
+    d = d.localCheckpoint(eager=True)
     cand = md5_band_candidates(d)
     ga = d.select(F.col("doc_id").alias("doc_a"),
                   F.explode("grams").alias("g"))
@@ -1250,10 +1270,15 @@ def incremental_dedup_md5(spark: SparkSession, sf_dir: str,
     every member of the near-dup family — pairs, incremental, SimHash,
     clustering — has a value-hash-verified algorithm proof beside its
     fast murmur3 production variant."""
+    # grams frame + signature table each materialized once (the r9
+    # scan-census discipline, see md5_minhash_verified_pairs): banding,
+    # both verify sides and the size lookup all reuse them instead of
+    # re-tokenizing per consumer
     d = (table(spark, sf_dir, "documents")
          .select("doc_id",
                  (F.col("source") == new_source).alias("is_new"),
-                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams"))
+         .localCheckpoint(eager=True))
     g = d.select("doc_id", F.explode("grams").alias("g"))
     h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
     hp = h_raw % _MH_P
@@ -1262,14 +1287,14 @@ def incremental_dedup_md5(spark: SparkSession, sf_dir: str,
         .groupBy("doc_id")
         .agg(*[F.min((F.lit(a) * F.col("hp") + F.lit(b)) % _MH_P)
                .alias(f"h{i}")
-               for i, (a, b) in enumerate(_MH_COEFFS)]), "doc_id"))
-    bands = None
-    for i in range(0, 8, 2):
-        band = sig.select(
-            "doc_id", "is_new",
+               for i, (a, b) in enumerate(_MH_COEFFS)]), "doc_id")
+        .localCheckpoint(eager=True))
+    bands = sig.select(
+        "doc_id", "is_new",
+        F.explode(F.array(*[
             F.concat_ws(":", F.lit(i // 2),
-                        F.col(f"h{i}"), F.col(f"h{i + 1}")).alias("bk"))
-        bands = band if bands is None else bands.unionByName(band)
+                        F.col(f"h{i}"), F.col(f"h{i + 1}"))
+            for i in range(0, 8, 2)])).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1327,14 +1352,21 @@ def doc_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every document, the max verified Jaccard over its incident
     near-dup pairs and how many near-dups it has (0 / 0.0 for clean
     docs via the left join). One scan of the corpus + the pair
-    pipeline; the incident-pair aggregation shuffles on doc_id only."""
+    pipeline; the incident-pair aggregation shuffles on doc_id only.
+
+    The pair-to-endpoint fan-out is an EXPLODE of a 2-struct array,
+    not a union of two projections — the union form planned the whole
+    MinHash pipeline twice (50-scan static plan; the r9
+    association_rules_lift lesson)."""
     pairs = minhash_md5_pairs(spark, sf_dir)
-    incident = (pairs.select(F.col("doc_a").alias("doc_id"), "jaccard")
-                .unionByName(pairs.select(F.col("doc_b").alias("doc_id"),
-                                          "jaccard"))
-                .groupBy("doc_id")
+    incident = (pairs
+                .select(F.explode(F.array(
+                    F.struct(F.col("doc_a").alias("doc_id"), "jaccard"),
+                    F.struct(F.col("doc_b").alias("doc_id"), "jaccard")))
+                    .alias("i"))
+                .groupBy(F.col("i.doc_id").alias("doc_id"))
                 .agg(F.count(F.lit(1)).alias("n_dups"),
-                     F.max("jaccard").alias("max_jaccard")))
+                     F.max("i.jaccard").alias("max_jaccard")))
     d = table(spark, sf_dir, "documents").select("doc_id")
     return (d.join(incident, "doc_id", "left")
             .select("doc_id",

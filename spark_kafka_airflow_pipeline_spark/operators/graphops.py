@@ -372,7 +372,14 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str,
     und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
            .union(e.select(F.col("dst").alias("node"),
                            F.col("src").alias("nbr")))
-           .distinct())
+           .distinct()
+           # node-bounded edge list consumed 4x (degrees, wedge role,
+           # both wedge sides via wn, the non-edge anti-join):
+           # materialize once instead of re-deriving the top-k
+           # co-occurrence graph per consumer (56-scan static plan;
+           # measured 4.5s -> 3.6s at sf0.1 — the dedup_clusters
+           # localCheckpoint lineage discipline)
+           .localCheckpoint(eager=True))
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     # deg >= 2 guard: a degree-1 center can never form a wedge, and
     # its aa_term would divide by ln(1)=0 (Spark Infinity vs DuckDB
