@@ -1423,14 +1423,16 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_expr = " + ".join(
         f"(CASE WHEN s{i} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
         for i in range(_SH_BITS))
-    fps = sums.select("doc_id", F.expr(fp_expr).alias("fp"))
-    bands = None
-    for k in range(4):
-        band = fps.select(
-            "doc_id", "fp",
+    # one fixed-width row per doc, materialized once: the 4-union +
+    # self-join banding otherwise re-runs the per-bit majority pipeline
+    # 8x (r9 scan census; same fix as md5_band_candidates)
+    fps = (sums.select("doc_id", F.expr(fp_expr).alias("fp"))
+           .localCheckpoint(eager=True))
+    bands = fps.select(
+        "doc_id", "fp",
+        F.explode(F.array(*[
             F.expr(f"concat({k}, ':', (fp >> {k * _SH_BAND}) & 32767)")
-            .alias("bk"))
-        bands = band if bands is None else bands.unionByName(band)
+            for k in range(4)])).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -1329,7 +1329,13 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str,
                .select("doc_id", "term", "df",
                        F.expr("tf * CAST(floor(round(ln((n_docs + 1)"
                               " / (df + 1)) + 1, 6) * 1000 + 0.5)"
-                              " AS BIGINT)").alias("w")))
+                              " AS BIGINT)").alias("w"))
+               # the tf-idf posting list (this IS the search index):
+               # norms, the df-kept slice, the query slice and the dot
+               # join all consume it — materialize once instead of
+               # re-running trigram explode + two aggs per consumer
+               # (r9 scan census; measured 5.9s -> below at sf0.1)
+               .localCheckpoint(eager=True))
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2"))
     kept = weights.filter((F.col("df") >= 2) & (F.col("df") <= 64))

@@ -2189,6 +2189,10 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str,
                        F.expr("tf * CAST(floor(round(ln((n_docs + 1)"
                               " / (df + 1)) + 1, 6) * 1000 + 0.5)"
                               " AS BIGINT)").alias("w")))
+    # NOTE (r9 scan census): a localCheckpoint on `weights` was A/B
+    # tested and REVERTED — AQE's runtime exchange reuse already
+    # dedupes the posting-list pipeline here, and materialization
+    # measured ~20% SLOWER (2.5-2.8s -> 3.2-3.3s at sf0.1).
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2"))
     kept = (weights.filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
