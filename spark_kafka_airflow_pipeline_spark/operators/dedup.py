@@ -1655,14 +1655,19 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (table(spark, sf_dir, "documents")
          .select("doc_id",
-                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams"))
+         # tokenize once: the verified-pair pipeline AND the estimate's
+         # own signature build both consume this frame (r9 scan census)
+         .localCheckpoint(eager=True))
     pairs = md5_minhash_verified_pairs(d, 0.5)
     g = d.select("doc_id", F.explode("grams").alias("g"))
     hp = (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
           % _MH_P)
-    sig = g.groupBy("doc_id").agg(
+    # one fixed-width row per doc, joined as BOTH pair sides
+    sig = (g.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * hp + F.lit(b)) % _MH_P).alias(f"h{i}")
           for i, (a, b) in enumerate(_MH_COEFFS)])
+        .localCheckpoint(eager=True))
     a = sig.select(F.col("doc_id").alias("doc_a"),
                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)])
     b = sig.select(F.col("doc_id").alias("doc_b"),
