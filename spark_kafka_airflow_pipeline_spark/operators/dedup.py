@@ -1134,6 +1134,14 @@ _NG_COEFFS = tuple(
      int(_hl.md5(f"ng-b{i}".encode()).hexdigest()[:12], 16) % _MH_P)
     for i in range(_NG_BANDS * _NG_ROWS))
 
+#: signature-agreement pre-filter floor at the 0.9 default threshold —
+#: the md5 twin of ``estimate_filter_pairs``'s tau = t - 3.5*sigma rule
+#: (sigma = sqrt(t(1-t)/32)): ceil(32 * (0.9 - 3.5*0.0530)) = 23 of 32
+#: coordinates must agree. Deterministic md5 signatures make the SAME
+#: filter exactly restatable in the SQL oracle, so the twin now
+#: mirrors the production path's candidate-pruning semantics too.
+_NG_EST_MIN = 23
+
 
 def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
                             threshold: float = 0.9) -> DataFrame:
@@ -1150,11 +1158,34 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     j=0.5 — and the verify join stays linear in true near-dups. With
     this, every near-dup family (word-MinHash, char-n-gram Jaccard,
     SimHash, clustering, incremental) has a value-hash-verified
-    algorithm proof."""
+    algorithm proof.
+
+    r9: the twin now ALSO mirrors the production path's
+    signature-agreement pre-filter (``estimate_filter_pairs``): a
+    candidate must agree on >= _NG_EST_MIN of its 32 deterministic
+    signature coordinates before the exact verify. Char-trigram
+    banding admits ~340k candidates at sf0.1 (0.17%-precision regime);
+    verifying them all cost 15s of the op's 18-24s — the pre-filter
+    (two joins against the small checkpointed sig table, pure codegen
+    comparison) collapses that to the genuine near-dup set. A true
+    j >= 0.9 pair fails the filter with P < 3e-4 (binomial tail), the
+    SAME documented recall trade the production path makes, and the
+    oracle applies the IDENTICAL integer filter so parity is exact."""
     par = spark.sparkContext.defaultParallelism
+    # TWO-STEP gram build: project the lowered text as a plain column
+    # FIRST, then gram it with substring-transform over that attribute.
+    # A higher-order-function lambda re-evaluates a non-trivial operand
+    # expression per element (measured: inline lower(trim(text)) 4.4s,
+    # the zip_with char-array form 2.4s, this two-step form 0.5s for
+    # the same 713k distinct grams at sf0.1) — bit-equal output
+    # verified against T.char_ngrams by exceptAll in both directions.
     d = (table(spark, sf_dir, "documents")
          .repartition(par, "doc_id")
-         .select("doc_id", T.char_ngrams(F.col("text"), 3).alias("grams")))
+         .select("doc_id", F.lower(F.trim("text")).alias("t"))
+         .select("doc_id", F.array_distinct(F.expr(
+             "CASE WHEN length(t) <= 3 THEN array(t) "
+             "ELSE transform(sequence(1, length(t) - 2), "
+             "i -> substring(t, i, 3)) END")).alias("grams")))
     g = d.select("doc_id", F.explode("grams").alias("g"))
     h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
     # everything downstream (signature mins, verify join, sizes) works
@@ -1167,25 +1198,42 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # band/verify reference, >550 s at sf0.1 vs 16 s).
     hpdf = (g.select("doc_id", (h_raw % _MH_P).alias("hpv"))
             .localCheckpoint(eager=True))
-    sig = hpdf.groupBy("doc_id").agg(
+    # one 32-column row per doc, materialized once: the 4-union +
+    # self-join banding otherwise re-runs the 32-way min aggregate
+    # over the char-gram frame 8x (once per band arm per join side) —
+    # measured 18-24s -> below at sf0.1 (the simhash_md5_pairs fix)
+    sig = (hpdf.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("hpv") + F.lit(b)) % _MH_P)
           .alias(f"h{i}")
           for i, (a, b) in enumerate(_NG_COEFFS)])
-    bands = None
-    for j in range(_NG_BANDS):
-        cols = [F.col(f"h{j * _NG_ROWS + r}") for r in range(_NG_ROWS)]
-        band = sig.select(
-            "doc_id", F.concat_ws(":", F.lit(j), *cols).alias("bk"))
-        bands = band if bands is None else bands.unionByName(band)
+        .localCheckpoint(eager=True))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(j),
+                        *[F.col(f"h{j * _NG_ROWS + r}")
+                          for r in range(_NG_ROWS)])
+            for j in range(_NG_BANDS)])).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"sa{i}")
+                      for i in range(len(_NG_COEFFS))])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"sb{i}")
+                      for i in range(len(_NG_COEFFS))])
+    agree = "+".join(f"IF(sa{i} = sb{i}, 1, 0)"
+                     for i in range(len(_NG_COEFFS)))
+    good = (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(F.expr(f"({agree}) >= {_NG_EST_MIN}"))
+            .select("doc_a", "doc_b"))
     ga = hpdf.select(F.col("doc_id").alias("doc_a"), "hpv")
     gb = hpdf.select(F.col("doc_id").alias("doc_b"), "hpv")
-    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "hpv"])
+    inter = (good.join(ga, "doc_a").join(gb, ["doc_b", "hpv"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sizes = hpdf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1238,9 +1286,19 @@ WITH hp AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.bk = b.bk AND a.doc_id < b.doc_id
+), good AS (
+  -- the production path's signature-agreement pre-filter, exactly
+  -- restated: deterministic md5 signatures agree identically in both
+  -- engines, so this is a value-hash-safe candidate prune
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END + CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END + CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END + CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END + CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END + CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END + CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END + CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END + CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END + CASE WHEN sa.h16 = sb.h16 THEN 1 ELSE 0 END + CASE WHEN sa.h17 = sb.h17 THEN 1 ELSE 0 END + CASE WHEN sa.h18 = sb.h18 THEN 1 ELSE 0 END + CASE WHEN sa.h19 = sb.h19 THEN 1 ELSE 0 END + CASE WHEN sa.h20 = sb.h20 THEN 1 ELSE 0 END + CASE WHEN sa.h21 = sb.h21 THEN 1 ELSE 0 END + CASE WHEN sa.h22 = sb.h22 THEN 1 ELSE 0 END + CASE WHEN sa.h23 = sb.h23 THEN 1 ELSE 0 END + CASE WHEN sa.h24 = sb.h24 THEN 1 ELSE 0 END + CASE WHEN sa.h25 = sb.h25 THEN 1 ELSE 0 END + CASE WHEN sa.h26 = sb.h26 THEN 1 ELSE 0 END + CASE WHEN sa.h27 = sb.h27 THEN 1 ELSE 0 END + CASE WHEN sa.h28 = sb.h28 THEN 1 ELSE 0 END + CASE WHEN sa.h29 = sb.h29 THEN 1 ELSE 0 END + CASE WHEN sa.h30 = sb.h30 THEN 1 ELSE 0 END + CASE WHEN sa.h31 = sb.h31 THEN 1 ELSE 0 END
+        >= {_NG_EST_MIN}
 ), inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-  FROM cand c
+  FROM good c
   JOIN hp ga ON ga.doc_id = c.doc_a
   JOIN hp gb ON gb.doc_id = c.doc_b AND gb.hpv = ga.hpv
   GROUP BY c.doc_a, c.doc_b
