@@ -102,13 +102,16 @@ _WINDOW_PRIORITY = (
     "partition_retention_plan", "interarrival_dispersion",
     "metadata_privacy_report", "path_conditional_entropy",
     "price_volume_mix_decomposition", "order_price_qq_drift",
-    # -- 2. stale refresh: oldest r5-cohort greens (11) --------------
+    # -- 2. REWORKED late in r9 (semantics changed: the twin now
+    #       mirrors production's signature-agreement pre-filter, both
+    #       engines; reworks jump the queue) ------------------------
+    "ngram_jaccard_md5_pairs",
+    # -- 3. stale refresh: oldest r5-cohort greens (10) --------------
     "q5_revenue_by_nation", "q3_shipping_priority",
     "q6_forecast_revenue", "latest3_orders_per_customer",
     "customer_running_total", "rollup_lineitem_flags",
     "customers_with_urgent_orders", "top10_customers_by_revenue",
     "cube_order_status_priority", "asof_last_click_before_purchase",
-    "customer_first_last_orders",
 )
 
 # ROUND-10 WINDOW PLAN — the COMPLETE age-ordered rotation queue,
@@ -133,7 +136,8 @@ _R10_EARMARK = (
     "ab_power_planner",
     "nelson_aalen_hazard",
     "skew_salt_planner",
-    # latest driver row round 2 (31 queries, oldest cohorts first)
+    # latest driver row round 2 (oldest cohorts first)
+    "customer_first_last_orders",
     "customer_only_nations",
     "customer_status_profile",
     "events_json_extract",
@@ -289,7 +293,6 @@ _R10_EARMARK = (
     "metadata_corpus_refinery",
     "minhash_estimate_error",
     "mixture_temperature_weights",
-    "ngram_jaccard_md5_pairs",
     "pandas_api_status_profile",
     "pandas_udaf_cents",
     "prefix_edit_near_dups",
