@@ -1912,7 +1912,10 @@ def containment_md5_pairs(spark: SparkSession, sf_dir: str,
     grams = (g.select(
         "doc_id",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
-        .alias("gid")).dropDuplicates())
+        .alias("gid")).dropDuplicates()
+        # (doc, gram-id) relation consumed 5x (sizes, df filter, both
+        # join sides): materialize once (r9 scan-census discipline)
+        .localCheckpoint(eager=True))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     keep = (grams.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
             .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
