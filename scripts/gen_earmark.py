@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Generate the NEXT round's earmark queue mechanically.
+
+The queue is the complete age-ordered rotation: every queries() entry
+that is neither in the current 50-slot window (`_WINDOW_PRIORITY`) nor
+pinned-once exempt, ascending by its LATEST driver round (union of all
+CORRECTNESS_r*.json), never-driver-seen names first, ties broken by
+name. The r9 audit found a hand-written queue had silently skipped 102
+queries; this script replaces hand curation.
+
+Usage: python scripts/gen_earmark.py
+Prints a Python tuple literal ready to paste into __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entry_mod
+
+# Pinned-once rows-only exemptions (see _WINDOW_PRIORITY note in
+# __spark_entry__.py): slots are never re-burned on these.
+EXEMPT = {
+    "embedding_principal_component",
+    "parquet_footer_stats",
+    "approx_distinct_customers",
+}
+
+
+def latest_rounds() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        for name in json.loads(p.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def main() -> None:
+    names = set(entry_mod.queries())
+    window = set(entry_mod._WINDOW_PRIORITY)
+    latest = latest_rounds()
+    queue = sorted(
+        (n for n in names if n not in window and n not in EXEMPT),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    print("(")
+    cur = None
+    for n in queue:
+        rnd = latest.get(n, 0)
+        if rnd != cur:
+            cur = rnd
+            label = f"round {rnd}" if rnd else "never driver-seen"
+            print(f"    # latest driver row {label}")
+        print(f'    "{n}",')
+    print(")")
+    print(f"# total {len(queue)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,25 @@ matches the oracle):
   engines, computed in double precision;
 - top-k queries break ties on a unique key so the selected row SET is
   unique even when the measure ties.
+
+localCheckpoint policy (the executor-loss trade, stated ONCE here —
+r9 ADVICE asked for a central statement instead of per-site notes):
+``localCheckpoint(eager=True)`` is used ONLY on frames that are (a)
+consumed 2+ times where AQE exchange reuse was MEASURED not to fire
+(each keep/revert decision is A/B-recorded in commits and PLANS.md —
+e.g. sparse_cosine_pairs and kmv were REVERTED because reuse already
+deduped), and (b) bounded — a tokenized corpus slice, a signature
+table, a (month x bin) grid — never an SF-scaling fact table. Cost
+consciously accepted: plan-build becomes eager (building the
+DataFrame runs a job even if never executed), and lineage truncation
+means an executor loss during the consuming stage fails the job
+instead of recomputing — acceptable for bounded frames whose
+recompute is itself the expensive thing being deduplicated, and the
+job-level retry (driver rerun) is the recovery path. On a real
+multi-executor cluster, swap for ``persist(StorageLevel
+.MEMORY_AND_DISK)`` + an action when replicated fault tolerance
+matters more than the lineage-drop speedup; the call sites are the
+grep-able inventory (``grep -rn localCheckpoint``).
 """
 
 from __future__ import annotations

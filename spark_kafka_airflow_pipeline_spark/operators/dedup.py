@@ -968,7 +968,8 @@ WHERE n_m > 0 AND n_u > 0
 
 
 
-def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
+def md5_minhash_verified_pairs(d: DataFrame, threshold: float,
+                               pre_materialized: bool = False) -> DataFrame:
     """The md5-portable MinHash+LSH pair pipeline over a prepared
     ``(doc_id, grams)`` frame — shared by ``minhash_md5_pairs`` (the
     oracled query) and the executor's declarative ``dedup_near`` with
@@ -989,8 +990,13 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     tokenized corpus, the same thing ``verify_pairs_jaccard``'s
     survivors-only re-tokenize avoids holding; acceptable for the
     ORACLE-PROOF twin, while the production murmur3 path keeps the
-    single-pass carried-signature shape."""
-    d = d.localCheckpoint(eager=True)
+    single-pass carried-signature shape. Callers that already
+    materialized the grams frame for their own reuse pass
+    ``pre_materialized=True`` so the corpus-tokenize result isn't
+    checkpointed twice (two eager jobs, two block copies — r9
+    ADVICE)."""
+    if not pre_materialized:
+        d = d.localCheckpoint(eager=True)
     cand = md5_band_candidates(d)
     ga = d.select(F.col("doc_id").alias("doc_a"),
                   F.explode("grams").alias("g"))
@@ -1134,13 +1140,27 @@ _NG_COEFFS = tuple(
      int(_hl.md5(f"ng-b{i}".encode()).hexdigest()[:12], 16) % _MH_P)
     for i in range(_NG_BANDS * _NG_ROWS))
 
-#: signature-agreement pre-filter floor at the 0.9 default threshold —
-#: the md5 twin of ``estimate_filter_pairs``'s tau = t - 3.5*sigma rule
-#: (sigma = sqrt(t(1-t)/32)): ceil(32 * (0.9 - 3.5*0.0530)) = 23 of 32
-#: coordinates must agree. Deterministic md5 signatures make the SAME
-#: filter exactly restatable in the SQL oracle, so the twin now
-#: mirrors the production path's candidate-pruning semantics too.
-_NG_EST_MIN = 23
+def _ng_est_min(threshold: float) -> int:
+    """Signature-agreement pre-filter floor for a given Jaccard
+    threshold — the md5 twin of ``estimate_filter_pairs``'s
+    tau = t - 3.5*sigma rule (sigma = sqrt(t(1-t)/k), k=32
+    coordinates): ``ceil(k * max(0, t - 3.5*sigma))`` coordinates must
+    agree. DERIVED from the threshold argument (r9 ADVICE: a hardcoded
+    23 silently dropped true pairs for any t below ~0.71); at
+    permissive thresholds the expression reaches 0 and the prune
+    becomes a no-op rather than a recall leak."""
+    import math
+
+    k = _NG_BANDS * _NG_ROWS
+    sigma = math.sqrt(threshold * (1.0 - threshold) / k)
+    return max(0, math.ceil(k * max(0.0, threshold - 3.5 * sigma)))
+
+
+#: floor at the 0.9 default threshold (= 23 of 32), baked into the
+#: fixed-0.9 SQL oracle; the Spark path recomputes it per call via
+#: ``_ng_est_min`` so non-default thresholds stay recall-safe.
+_NG_EST_MIN = _ng_est_min(0.9)
+assert _NG_EST_MIN == 23  # the constant the SQL oracle text embeds
 
 
 def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
@@ -1162,8 +1182,11 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
 
     r9: the twin now ALSO mirrors the production path's
     signature-agreement pre-filter (``estimate_filter_pairs``): a
-    candidate must agree on >= _NG_EST_MIN of its 32 deterministic
-    signature coordinates before the exact verify. Char-trigram
+    candidate must agree on >= ``_ng_est_min(threshold)`` of its 32
+    deterministic signature coordinates before the exact verify (r10:
+    the floor is DERIVED from the threshold argument — at the 0.9
+    default it is 23, the constant the fixed SQL oracle embeds; below
+    ~0.71 it decays to 0 so the prune cannot drop true pairs). Char-trigram
     banding admits ~340k candidates at sf0.1 (0.17%-precision regime);
     verifying them all cost 15s of the op's 18-24s — the pre-filter
     (two joins against the small checkpointed sig table, pure codegen
@@ -1229,7 +1252,7 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     agree = "+".join(f"IF(sa{i} = sb{i}, 1, 0)"
                      for i in range(len(_NG_COEFFS)))
     good = (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(F.expr(f"({agree}) >= {_NG_EST_MIN}"))
+            .filter(F.expr(f"({agree}) >= {_ng_est_min(threshold)}"))
             .select("doc_a", "doc_b"))
     ga = hpdf.select(F.col("doc_id").alias("doc_a"), "hpv")
     gb = hpdf.select(F.col("doc_id").alias("doc_b"), "hpv")
@@ -1717,7 +1740,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
          # tokenize once: the verified-pair pipeline AND the estimate's
          # own signature build both consume this frame (r9 scan census)
          .localCheckpoint(eager=True))
-    pairs = md5_minhash_verified_pairs(d, 0.5)
+    pairs = md5_minhash_verified_pairs(d, 0.5, pre_materialized=True)
     g = d.select("doc_id", F.explode("grams").alias("g"))
     hp = (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
           % _MH_P)

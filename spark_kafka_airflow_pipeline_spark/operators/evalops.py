@@ -2131,9 +2131,9 @@ def price_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = (Window.partitionBy("mdt").orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (counts.withColumn("tot", F.sum("n").over(wtot))
-           .withColumn("cum_ppm",
-                       F.expr(ppm("SUM(n) OVER (PARTITION BY mdt ORDER BY "
-                                  "bin ROWS UNBOUNDED PRECEDING)", "tot")))
+           .withColumn("cum_n", F.sum("n").over(wcum))
+           .withColumn("cum_ppm", F.expr(ppm("cum_n", "tot")))
+           .drop("cum_n")
            # calendar-bounded (month x 20 bin) frame joined to itself:
            # materialize once so the orders aggregate runs once
            .localCheckpoint(eager=True))

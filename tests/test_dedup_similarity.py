@@ -398,3 +398,40 @@ def test_fellegi_sunter_weight_signs(spark, sf_dir):
                             * 1e6 + 0.5)
         assert r.disagree_weight_micro == want_d
         assert (r.agree_weight_micro > 0) == (r.m_ppm > r.u_ppm)
+
+
+def test_ng_est_min_derives_from_threshold():
+    """The signature-agreement pre-filter floor is derived from the
+    threshold argument (r9 ADVICE: a hardcoded 23 silently dropped
+    true pairs for any threshold below ~0.71): monotone in t, equals
+    the oracle's baked-in 23 at the 0.9 default, never demands more
+    agreement than the threshold expectation itself, and decays to a
+    no-op for permissive thresholds."""
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        _NG_BANDS, _NG_ROWS, _ng_est_min)
+
+    k = _NG_BANDS * _NG_ROWS
+    assert k == 32
+    assert _ng_est_min(0.9) == 23
+    assert _ng_est_min(0.2) == 0  # prune disabled, not a recall leak
+    prev = -1
+    for t in [i / 100 for i in range(1, 100)]:
+        floor = _ng_est_min(t)
+        assert floor >= prev  # monotone non-decreasing
+        assert floor <= k * t + 1e-9  # never above the expectation
+        prev = floor
+
+
+def test_ngram_jaccard_low_threshold_superset(spark, sf_dir):
+    """Lowering the threshold can only ADD pairs: with the floor now
+    derived per call, threshold=0.5 must return a superset of the
+    0.9-default pairs (the old hardcoded floor violated this)."""
+    from spark_kafka_airflow_pipeline_spark.operators.dedup import (
+        ngram_jaccard_md5_pairs)
+
+    hi = {(r.doc_a, r.doc_b)
+          for r in ngram_jaccard_md5_pairs(spark, sf_dir, 0.9).collect()}
+    lo = {(r.doc_a, r.doc_b)
+          for r in ngram_jaccard_md5_pairs(spark, sf_dir, 0.5).collect()}
+    assert hi <= lo
+    assert len(lo) >= len(hi)

@@ -32,22 +32,35 @@ def test_window_priority_bookkeeping():
     assert not overlap, overlap
 
 
-def test_no_query_orphaned_from_driver_verification():
-    """Every queries() entry must be driver-seen (a row in some
-    CORRECTNESS file), inside the current 50-slot window, or earmarked
-    for the next round — the refresh-SLA bookkeeping the r7 verdict
-    asked for, mechanized so a new op cannot silently skip the queue."""
+def _orphans(query_names: set[str]) -> set[str]:
+    """Names that are neither driver-seen (a row in some CORRECTNESS
+    file), inside the current 50-slot window, nor earmarked for the
+    next round — the refresh-SLA bookkeeping the r7 verdict asked
+    for, reading the `_NEXT_EARMARK` alias so rotation rounds can't
+    silently orphan queries (r9 lesson: a hard-coded round name)."""
     import json
     from pathlib import Path
 
-    qs = set(entry_mod.queries())
     planned = set(entry_mod._WINDOW_PRIORITY) | set(entry_mod._NEXT_EARMARK)
     seen: set[str] = set()
     for p in Path(__file__).resolve().parent.parent.glob(
             "CORRECTNESS_r*.json"):
         seen |= set(json.loads(p.read_text()))
-    orphaned = qs - seen - planned
+    return query_names - seen - planned
+
+
+def test_no_query_orphaned_from_driver_verification():
+    """A new op cannot silently skip the rotation queue."""
+    orphaned = _orphans(set(entry_mod.queries()))
     assert not orphaned, sorted(orphaned)
+
+
+def test_fake_orphan_is_detected():
+    """The audit actually bites: a query name that is neither
+    driver-seen, in-window, nor earmarked MUST surface (r9 verdict
+    ask #3 — prove the guard by injection, not just by passing)."""
+    fake = "zz_injected_orphan_op"
+    assert _orphans(set(entry_mod.queries()) | {fake}) == {fake}
 
 
 def test_transition_matrix_rows_are_distributions(spark, sf_dir):
