@@ -132,7 +132,16 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table re-laid-out as a date-partitioned catalog table
     (one directory per day) — written once per (session, sf_dir), like
     ``bucketed_tables``. Partitioning by event date is the standard
-    100 TB layout: every time-bounded scan touches only its days."""
+    100 TB layout: every time-bounded scan touches only its days.
+
+    SINGLE-WRITER assumption: the scratch path is shared across
+    processes but the existence check is session-local, so two
+    CONCURRENT sessions can interleave their overwrites and leave
+    doubled part files behind (observed in r10 when two local sweeps
+    ran in parallel: 33 files over 30 day dirs, answers exactly 2x).
+    Any solo run self-heals via mode("overwrite"); don't run two
+    sweeps against the same sf_dir at once. A production catalog
+    table would get this from the metastore's commit protocol."""
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     cat_name = f"part_events_{token}"
     if not spark.catalog.tableExists(cat_name):
