@@ -264,6 +264,10 @@ OPS = {
     "functional_dependency_audit": lakeops.functional_dependency_audit,
     "skew_salt_planner": scaleops.skew_salt_planner,
     "association_rules_lift": relational_extra.association_rules_lift,
+    # r10: the r9 verdict's watch item — slowest oracled query; its
+    # banded+pre-filtered topology should hold the pair-family curve
+    "ngram_jaccard_md5_pairs": dedup.ngram_jaccard_md5_pairs,
+    "minhash_md5_pairs": dedup.minhash_md5_pairs,
 }
 
 

@@ -984,7 +984,7 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float,
     here verbatim).
 
     The prepared grams frame is materialized once (localCheckpoint):
-    banding, both verify sides and the size lookup all consume it, and
+    banding and both verify-side array lookups consume it, and
     without the checkpoint each consumer re-tokenizes the corpus (r9
     scan census). Size class: (doc_id, distinct 3-gram array) — the
     tokenized corpus, the same thing ``verify_pairs_jaccard``'s
@@ -998,25 +998,28 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float,
     if not pre_materialized:
         d = d.localCheckpoint(eager=True)
     cand = md5_band_candidates(d)
-    ga = d.select(F.col("doc_id").alias("doc_a"),
-                  F.explode("grams").alias("g"))
-    gb = d.select(F.col("doc_id").alias("doc_b"),
-                  F.explode("grams").alias("g"))
-    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sizes = d.select("doc_id", F.size("grams").alias("n"))
-    jac = (inter
-           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
-                 "doc_a")
-           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
-                 "doc_b")
-           .select("doc_a", "doc_b",
-                   F.round(F.col("n_inter")
-                           / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                           6).alias("jaccard"))
-           .filter(F.col("jaccard") >= threshold))
-    return jac
+    # ARRAY-INTERSECT verify (r10, same move as ngram_jaccard_md5_
+    # pairs): join each pair side to the doc's distinct gram ARRAY and
+    # intersect in one codegen expression, instead of exploding every
+    # candidate into ~|grams| join rows before the count (20x soak:
+    # x10.2 wall for x4107 output on the explode form). `grams` is
+    # array_distinct upstream and array_intersect is a distinct-set
+    # intersection, so n_inter is BIT-IDENTICAL to the explode-join
+    # count — the unchanged SQL twin still value-hash-matches.
+    aa = d.select(F.col("doc_id").alias("doc_a"),
+                  F.col("grams").alias("ga"))
+    bb = d.select(F.col("doc_id").alias("doc_b"),
+                  F.col("grams").alias("gb"))
+    return (cand.join(aa, "doc_a").join(bb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.size(F.array_intersect("ga", "gb")).alias("n_inter"),
+                    F.size("ga").alias("na"), F.size("gb").alias("nb"))
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter")
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_inter")),
+                            6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 _MH_HASHES_SQL = ",\n         ".join(
@@ -1215,10 +1218,11 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # on the 60-bit md5 gram identity, never the gram string — both
     # engines apply the SAME hash, so a (negligible) collision affects
     # both sides identically and the value-hash compare still holds.
-    # Materialized once: three consumers, and the lineage holds the
-    # full char-gram + md5 pass (the DuckDB twin needed the same
+    # Materialized once: the signature build AND the verify's per-doc
+    # array build both consume it, and the lineage holds the full
+    # char-gram + md5 pass (the DuckDB twin needed the same
     # MATERIALIZED hint — uncached it recomputed the gram pipeline per
-    # band/verify reference, >550 s at sf0.1 vs 16 s).
+    # reference, >550 s at sf0.1 vs 16 s).
     hpdf = (g.select("doc_id", (h_raw % _MH_P).alias("hpv"))
             .localCheckpoint(eager=True))
     # one 32-column row per doc, materialized once: the 4-union +
@@ -1254,17 +1258,24 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     good = (cand.join(sa, "doc_a").join(sb, "doc_b")
             .filter(F.expr(f"({agree}) >= {_ng_est_min(threshold)}"))
             .select("doc_a", "doc_b"))
-    ga = hpdf.select(F.col("doc_id").alias("doc_a"), "hpv")
-    gb = hpdf.select(F.col("doc_id").alias("doc_b"), "hpv")
-    inter = (good.join(ga, "doc_a").join(gb, ["doc_b", "hpv"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sizes = hpdf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    return (inter
-            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
-                  "doc_a")
-            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
-                  "doc_b")
+    # ARRAY-INTERSECT verify (r10): one fixed-width row per doc (its
+    # distinct gram-hash set), joined once per pair side, intersected
+    # in a single codegen expression. The old explode-join verify
+    # fanned every surviving pair out to ~|grams| rows before the
+    # count (20x soak: 167M intermediate rows, x94.5 wall for x3943
+    # output); this form shuffles one array row per pair side instead
+    # — A/B at the 10x soak: 344s -> see PLANS.md. Same answer: the
+    # per-doc gram sets are distinct (array_distinct upstream), and
+    # both array_intersect and DuckDB's list_intersect are
+    # distinct-set intersections — the SQL twin is restated
+    # identically, so parity is exact at any scale.
+    arr = hpdf.groupBy("doc_id").agg(F.collect_set("hpv").alias("hs"))
+    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    bb = arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    return (good.join(aa, "doc_a").join(bb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
+                    F.size("ha").alias("na"), F.size("hb").alias("nb"))
             .select("doc_a", "doc_b",
                     F.round(F.col("n_inter")
                             / (F.col("na") + F.col("nb")
@@ -1319,21 +1330,24 @@ WITH hp AS MATERIALIZED (
   JOIN sig sb ON sb.doc_id = c.doc_b
   WHERE CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END + CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END + CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END + CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END + CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END + CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END + CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END + CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END + CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END + CASE WHEN sa.h16 = sb.h16 THEN 1 ELSE 0 END + CASE WHEN sa.h17 = sb.h17 THEN 1 ELSE 0 END + CASE WHEN sa.h18 = sb.h18 THEN 1 ELSE 0 END + CASE WHEN sa.h19 = sb.h19 THEN 1 ELSE 0 END + CASE WHEN sa.h20 = sb.h20 THEN 1 ELSE 0 END + CASE WHEN sa.h21 = sb.h21 THEN 1 ELSE 0 END + CASE WHEN sa.h22 = sb.h22 THEN 1 ELSE 0 END + CASE WHEN sa.h23 = sb.h23 THEN 1 ELSE 0 END + CASE WHEN sa.h24 = sb.h24 THEN 1 ELSE 0 END + CASE WHEN sa.h25 = sb.h25 THEN 1 ELSE 0 END + CASE WHEN sa.h26 = sb.h26 THEN 1 ELSE 0 END + CASE WHEN sa.h27 = sb.h27 THEN 1 ELSE 0 END + CASE WHEN sa.h28 = sb.h28 THEN 1 ELSE 0 END + CASE WHEN sa.h29 = sb.h29 THEN 1 ELSE 0 END + CASE WHEN sa.h30 = sb.h30 THEN 1 ELSE 0 END + CASE WHEN sa.h31 = sb.h31 THEN 1 ELSE 0 END
         >= {_NG_EST_MIN}
+), arr AS MATERIALIZED (
+  -- the array-intersect verify, restated identically to Spark (r10):
+  -- one distinct gram-hash set per doc, intersected per pair —
+  -- list_intersect and Spark's array_intersect are both distinct-set
+  -- intersections, so the twin stays exact at any scale
+  SELECT doc_id, list_distinct(list(hpv)) AS hs FROM hp GROUP BY doc_id
 ), inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-  FROM good c
-  JOIN hp ga ON ga.doc_id = c.doc_a
-  JOIN hp gb ON gb.doc_id = c.doc_b AND gb.hpv = ga.hpv
-  GROUP BY c.doc_a, c.doc_b
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM hp GROUP BY doc_id
+  SELECT g.doc_a, g.doc_b,
+         len(list_intersect(a.hs, b.hs)) AS n_inter,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM good g
+  JOIN arr a ON a.doc_id = g.doc_a
+  JOIN arr b ON b.doc_id = g.doc_b
 )
-SELECT i.doc_a, i.doc_b,
-       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) >= 0.9
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (na + nb - n_inter), 6) AS jaccard
+FROM inter
+WHERE round(n_inter * 1.0 / (na + nb - n_inter), 6) >= 0.9
 """
 
 

@@ -305,3 +305,30 @@ def test_token_lift_support_and_symmetry(spark, sf_dir):
         assert r.w1 < r.w2          # canonical orientation, no dup pairs
         assert r.n_xy >= 20
         assert r.lift > 0
+
+
+def test_earmark_matches_generator():
+    """`_NEXT_EARMARK` must be EXACTLY what scripts/gen_earmark.py
+    generates from the CORRECTNESS union — hand-edits to the queue are
+    how 102 names went missing before r9; this pins the tuple to the
+    mechanical ordering (never-driver-seen first, then ascending latest
+    driver round, name tiebreak, window + pinned-once exempt names
+    excluded)."""
+    import sys
+    from pathlib import Path
+
+    scripts = Path(__file__).resolve().parent.parent / "scripts"
+    sys.path.insert(0, str(scripts))
+    try:
+        import gen_earmark
+    finally:
+        sys.path.remove(str(scripts))
+
+    latest = gen_earmark.latest_rounds()
+    window = set(entry_mod._WINDOW_PRIORITY)
+    queue = sorted(
+        (n for n in entry_mod.queries()
+         if n not in window and n not in gen_earmark.EXEMPT),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    assert tuple(queue) == entry_mod._NEXT_EARMARK
