@@ -60,6 +60,15 @@ def main() -> None:
         print(f'    "{n}",')
     print(")")
     print(f"# total {len(queue)}", file=sys.stderr)
+    # The mechanical NEXT rotation: the current earmark's first 50
+    # become the new _WINDOW_PRIORITY; re-running this script AFTER
+    # that swap generates the new earmark. Printed as a reminder so a
+    # rotation round needs zero hand-curated name lists. Reds and
+    # same-round reworks still jump the queue by hand.
+    print("# next _WINDOW_PRIORITY = current _NEXT_EARMARK[:50]:",
+          file=sys.stderr)
+    for n in entry_mod._NEXT_EARMARK[:50]:
+        print(f'#     "{n}",', file=sys.stderr)
 
 
 if __name__ == "__main__":
