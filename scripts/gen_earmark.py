@@ -41,14 +41,24 @@ def latest_rounds() -> dict[str, int]:
     return latest
 
 
-def main() -> None:
-    names = set(entry_mod.queries())
-    window = set(entry_mod._WINDOW_PRIORITY)
-    latest = latest_rounds()
-    queue = sorted(
+def build_queue(names, window, latest) -> tuple[str, ...]:
+    """The ONE queue-construction rule: every non-window, non-exempt
+    name, never-driver-seen first, then ascending latest driver round,
+    name tiebreak. Both main() and the pinning test
+    (tests/test_round5_late_ops.py::test_earmark_matches_generator)
+    call THIS function, so the script and the test cannot drift apart
+    (r10 ADVICE: the test used to re-implement the sort key)."""
+    return tuple(sorted(
         (n for n in names if n not in window and n not in EXEMPT),
         key=lambda n: (latest.get(n, 0), n),
-    )
+    ))
+
+
+def main() -> None:
+    latest = latest_rounds()
+    queue = build_queue(set(entry_mod.queries()),
+                        set(entry_mod._WINDOW_PRIORITY),
+                        latest)
     print("(")
     cur = None
     for n in queue:

@@ -307,13 +307,7 @@ def test_token_lift_support_and_symmetry(spark, sf_dir):
         assert r.lift > 0
 
 
-def test_earmark_matches_generator():
-    """`_NEXT_EARMARK` must be EXACTLY what scripts/gen_earmark.py
-    generates from the CORRECTNESS union — hand-edits to the queue are
-    how 102 names went missing before r9; this pins the tuple to the
-    mechanical ordering (never-driver-seen first, then ascending latest
-    driver round, name tiebreak, window + pinned-once exempt names
-    excluded)."""
+def _import_gen_earmark():
     import sys
     from pathlib import Path
 
@@ -323,12 +317,35 @@ def test_earmark_matches_generator():
         import gen_earmark
     finally:
         sys.path.remove(str(scripts))
+    return gen_earmark
 
-    latest = gen_earmark.latest_rounds()
-    window = set(entry_mod._WINDOW_PRIORITY)
-    queue = sorted(
-        (n for n in entry_mod.queries()
-         if n not in window and n not in gen_earmark.EXEMPT),
-        key=lambda n: (latest.get(n, 0), n),
-    )
-    assert tuple(queue) == entry_mod._NEXT_EARMARK
+
+def test_earmark_matches_generator():
+    """`_NEXT_EARMARK` must be EXACTLY what scripts/gen_earmark.py
+    generates from the CORRECTNESS union — hand-edits to the queue are
+    how 102 names went missing before r9. The test calls the SCRIPT'S
+    `build_queue` (it no longer re-implements the sort key — r10
+    ADVICE: a drifting copy in the test would un-pin the script), so
+    the tuple in __spark_entry__.py is pinned to the one construction
+    rule main() itself prints."""
+    gen_earmark = _import_gen_earmark()
+    queue = gen_earmark.build_queue(set(entry_mod.queries()),
+                                    set(entry_mod._WINDOW_PRIORITY),
+                                    gen_earmark.latest_rounds())
+    assert queue == entry_mod._NEXT_EARMARK
+
+
+def test_refresh_sla_matches_pool_arithmetic():
+    """The declared refresh SLA must equal what the pool arithmetic
+    supports: ceil(rotating_pool / 50 window slots) rounds. The r10
+    verdict found the previous 6-round wording was breached BY
+    CONSTRUCTION (334 queries / 50 slots = 6.7-round cycle); the SLA is
+    now declared as `_REFRESH_SLA_ROUNDS = 7`, and this test forces an
+    explicit restatement (instead of a silent perpetual breach) if the
+    pool ever grows past 350 or shrinks below 301."""
+    import math
+
+    gen_earmark = _import_gen_earmark()
+    rotating = len(set(entry_mod.queries()) - gen_earmark.EXEMPT)
+    assert math.ceil(rotating / len(entry_mod._WINDOW_PRIORITY)) \
+        == entry_mod._REFRESH_SLA_ROUNDS
