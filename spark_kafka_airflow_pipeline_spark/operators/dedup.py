@@ -994,22 +994,43 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float,
     materialized the grams frame for their own reuse pass
     ``pre_materialized=True`` so the corpus-tokenize result isn't
     checkpointed twice (two eager jobs, two block copies — r9
-    ADVICE)."""
+    ADVICE); the flag is VERIFIED, not trusted — see the guard below
+    (r10 verdict ask #4)."""
     if not pre_materialized:
         d = d.localCheckpoint(eager=True)
+    else:
+        # Fail fast instead of trusting the caller: a frame that is
+        # not actually a materialized scan would silently re-run the
+        # corpus tokenize once per consumer below (the exact r9
+        # scan-census bug class this flag exists to prevent). A
+        # localCheckpoint result analyzes to a single LogicalRDD leaf.
+        head = (d._jdf.queryExecution().analyzed()
+                .toString().splitlines()[0])
+        if not head.startswith("LogicalRDD"):
+            raise ValueError(
+                "pre_materialized=True requires an actually-"
+                "materialized grams frame (a localCheckpoint result); "
+                f"got plan root {head!r}. Drop the flag and let "
+                "md5_minhash_verified_pairs checkpoint it.")
     cand = md5_band_candidates(d)
     # ARRAY-INTERSECT verify (r10, same move as ngram_jaccard_md5_
     # pairs): join each pair side to the doc's distinct gram ARRAY and
     # intersect in one codegen expression, instead of exploding every
     # candidate into ~|grams| join rows before the count (20x soak:
-    # x10.2 wall for x4107 output on the explode form). `grams` is
-    # array_distinct upstream and array_intersect is a distinct-set
-    # intersection, so n_inter is BIT-IDENTICAL to the explode-join
-    # count — the unchanged SQL twin still value-hash-matches.
-    aa = d.select(F.col("doc_id").alias("doc_a"),
-                  F.col("grams").alias("ga"))
-    bb = d.select(F.col("doc_id").alias("doc_b"),
-                  F.col("grams").alias("gb"))
+    # x10.2 wall for x4107 output on the explode form). n_inter equals
+    # the explode-join count only over DISTINCT gram sets, so the
+    # distinctness precondition is ENFORCED here (r10 ADVICE: every
+    # current caller does array_distinct upstream, where the no-op
+    # costs nothing on Spark's already-distinct arrays, but a future
+    # caller passing raw shingles would have gotten silently different
+    # jaccard values); na/nb are sized on the same distinct arrays.
+    # Banding above is deliberately on the raw frame: MinHash mins are
+    # duplicate-insensitive, and d is the checkpointed scan.
+    dd = d.select("doc_id", F.array_distinct("grams").alias("grams"))
+    aa = dd.select(F.col("doc_id").alias("doc_a"),
+                   F.col("grams").alias("ga"))
+    bb = dd.select(F.col("doc_id").alias("doc_b"),
+                   F.col("grams").alias("gb"))
     return (cand.join(aa, "doc_a").join(bb, "doc_b")
             .select("doc_a", "doc_b",
                     F.size(F.array_intersect("ga", "gb")).alias("n_inter"),
@@ -1188,8 +1209,11 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     candidate must agree on >= ``_ng_est_min(threshold)`` of its 32
     deterministic signature coordinates before the exact verify (r10:
     the floor is DERIVED from the threshold argument — at the 0.9
-    default it is 23, the constant the fixed SQL oracle embeds; below
-    ~0.71 it decays to 0 so the prune cannot drop true pairs). Char-trigram
+    default it is 23, the constant the fixed SQL oracle embeds; it
+    decays to 0 — prune becomes a no-op — only below t≈0.28, and at
+    intermediate thresholds the documented binomial-tail recall trade
+    below still applies, just with a floor matched to the threshold
+    instead of the old hardcoded 23). Char-trigram
     banding admits ~340k candidates at sf0.1 (0.17%-precision regime);
     verifying them all cost 15s of the op's 18-24s — the pre-filter
     (two joins against the small checkpointed sig table, pure codegen

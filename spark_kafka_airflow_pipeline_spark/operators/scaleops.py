@@ -134,23 +134,44 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucketed_tables``. Partitioning by event date is the standard
     100 TB layout: every time-bounded scan touches only its days.
 
-    SINGLE-WRITER assumption: the scratch path is shared across
-    processes but the existence check is session-local, so two
-    CONCURRENT sessions can interleave their overwrites and leave
-    doubled part files behind (observed in r10 when two local sweeps
-    ran in parallel: 33 files over 30 day dirs, answers exactly 2x).
-    Any solo run self-heals via mode("overwrite"); don't run two
-    sweeps against the same sf_dir at once. A production catalog
-    table would get this from the metastore's commit protocol."""
+    SINGLE-WRITER assumption, now DETECTED rather than documented (r10
+    verdict ask #5): the scratch path is shared across processes but
+    the existence check is session-local, so two CONCURRENT sessions
+    can interleave their overwrites and leave doubled part files
+    behind (observed in r10 when two local sweeps ran in parallel: 33
+    files over 30 day dirs, answers exactly 2x). After the
+    existence check, a cheap invariant probe (one catalog partition
+    listing + one count over the tiny events-date projection) asserts
+    row count == source row count and day-partition count == distinct
+    source dates; any mismatch triggers a repair overwrite from
+    source. A production catalog table would get the same guarantee
+    from the metastore's commit protocol. The driver runs solo, so
+    the probe is pure insurance — see
+    tests/test_round6_ops.py::test_partitioned_events_detects_doubled_partition."""
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     cat_name = f"part_events_{token}"
-    if not spark.catalog.tableExists(cat_name):
-        ev = table(spark, sf_dir, "events").withColumn(
-            "day", F.to_date("ts"))
-        (ev.write.mode("overwrite").format("parquet")
+    src = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+
+    def write():
+        (src.write.mode("overwrite").format("parquet")
          .option("path", f"{_WAREHOUSE}/{token}/events_by_day")
          .partitionBy("day")
          .saveAsTable(cat_name))
+
+    if not spark.catalog.tableExists(cat_name):
+        write()
+    # invariant probe: a torn concurrent overwrite doubles rows and/or
+    # leaves orphan day directories. Both probes are scale-cheap: the
+    # partition listing is metadata-only, and the counts scan one
+    # date/ts column (footer-stat driven on parquet). Refresh first —
+    # the hazard is a CROSS-PROCESS write, which this session's cached
+    # file listing would otherwise hide from the probe.
+    spark.catalog.refreshTable(cat_name)
+    n_parts = spark.sql(f"SHOW PARTITIONS {cat_name}").count()
+    n_days = src.select("day").distinct().count()
+    if n_parts != n_days or spark.table(cat_name).count() != src.count():
+        write()  # repair: full overwrite from source is idempotent
+        spark.catalog.refreshTable(cat_name)
     return spark.table(cat_name)
 
 

@@ -435,3 +435,47 @@ def test_ngram_jaccard_low_threshold_superset(spark, sf_dir):
           for r in ngram_jaccard_md5_pairs(spark, sf_dir, 0.5).collect()}
     assert hi <= lo
     assert len(lo) >= len(hi)
+
+
+def test_pre_materialized_contract_is_enforced(spark, doc_dir):
+    """``md5_minhash_verified_pairs(pre_materialized=True)`` must fail
+    fast on a frame that was NOT actually localCheckpoint-ed (r10
+    verdict ask #4: the contract used to be enforced only by comment —
+    a future caller passing True over a lazy pipeline would silently
+    re-run the corpus tokenize once per consumer, the exact r9
+    scan-census bug class), and must accept + return identical pairs
+    for a genuinely checkpointed frame."""
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+
+    lazy = (spark.read.parquet(f"{doc_dir}/documents.parquet")
+            .select("doc_id",
+                    F.array_distinct(T.raw_shingles("text", 3))
+                    .alias("grams")))
+    with pytest.raises(ValueError, match="pre_materialized"):
+        dedup.md5_minhash_verified_pairs(lazy, 0.5, pre_materialized=True)
+
+    want = sorted(tuple(r) for r in
+                  dedup.md5_minhash_verified_pairs(lazy, 0.5).collect())
+    cp = lazy.localCheckpoint(eager=True)
+    got = sorted(tuple(r) for r in dedup.md5_minhash_verified_pairs(
+        cp, 0.5, pre_materialized=True).collect())
+    assert got == want and got
+
+
+def test_md5_verify_enforces_distinct_grams(spark, doc_dir):
+    """The array-intersect verify equals the old explode-join count
+    only over DISTINCT gram sets; the function now applies
+    array_distinct itself (r10 ADVICE: a caller passing raw shingles
+    used to get silently different jaccard values). Raw multiset
+    shingles and pre-distincted shingles must yield identical pairs
+    AND identical jaccard values."""
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+
+    raw = (spark.read.parquet(f"{doc_dir}/documents.parquet")
+           .select("doc_id", T.raw_shingles("text", 3).alias("grams")))
+    pre = raw.select("doc_id", F.array_distinct("grams").alias("grams"))
+    got_raw = sorted(tuple(r) for r in
+                     dedup.md5_minhash_verified_pairs(raw, 0.5).collect())
+    got_pre = sorted(tuple(r) for r in
+                     dedup.md5_minhash_verified_pairs(pre, 0.5).collect())
+    assert got_raw == got_pre and got_raw
