@@ -541,15 +541,21 @@ def test_user_analytics_example_pipeline(spark, tmp_path):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    raw = json.loads(pathlib.Path(
-        "examples/user_analytics_pipeline.json").read_text())
-    # point the sink at the test tmp dir, source at the fixture SF
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    raw = json.loads(
+        (repo / "examples/user_analytics_pipeline.json").read_text())
+    # point the sink at the test tmp dir; the source is the bundled
+    # repo-relative copy (r10 ADVICE: examples used to embed absolute
+    # /root/testdata paths) — resolve it against the repo root
+    src_path = raw["dataflows"][0]["sources"][0]["path"]
+    assert not src_path.startswith("/")  # stays repo-relative on disk
+    raw["dataflows"][0]["sources"][0]["path"] = str(repo / src_path)
     raw["dataflows"][0]["sinks"][0]["paths"] = [str(tmp_path)]
     meta = parse_metadata(raw)
     nodes = PipelineExecutor(spark).run_dataflow(meta.dataflows[0])
     got = {(r["n_users"], str(r["total_best"])) for r in
            nodes["daily"].collect()}
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = spark.read.parquet(str(repo / src_path))
     spec = Window.partitionBy("user_id").orderBy(
         F.col("value").desc(), "event_id")
     direct = (ev.filter("event_type = 'purchase'")
@@ -617,16 +623,21 @@ def test_corpus_prep_example_pipeline(spark, tmp_path):
     ko side must carry per-rule error codes."""
     from pathlib import Path
 
+    repo = Path(__file__).resolve().parent.parent
     spec = json.loads(
-        (Path(__file__).resolve().parent.parent
-         / "examples" / "corpus_prep_pipeline.json").read_text())
+        (repo / "examples" / "corpus_prep_pipeline.json").read_text())
+    # the source is the bundled repo-relative documents copy (r10
+    # ADVICE: no absolute host paths in shipped examples)
+    src_path = spec["dataflows"][0]["sources"][0]["path"]
+    assert not src_path.startswith("/")
+    spec["dataflows"][0]["sources"][0]["path"] = str(repo / src_path)
     for sink in spec["dataflows"][0]["sinks"]:
         sink["paths"] = [str(tmp_path)]
     meta = parse_metadata(spec)
     PipelineExecutor(spark).process(meta)
     ok = spark.read.parquet(str(tmp_path / "train-docs"))
     ko = spark.read.parquet(str(tmp_path / "rejected-docs"))
-    total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    total = spark.read.parquet(str(repo / src_path)).count()
     assert ok.count() + ko.count() == total
     assert ok.count() > 0 and ko.count() > 0
     assert {"n_tokens", "fp", "ingested_at", "lang"} <= set(ok.columns)
