@@ -2,10 +2,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: min_of_2_sec}, "medians": {name: median_of_3_sec},
+"value_median": ..., "sf": ...}.
 
 Each query is timed end-to-end (plan + execute + collect-to-count);
 the session is warmed once so JVM startup isn't attributed to q1.
+`queries`/`value` keep the r1-r10 min-of-2 methodology for cross-round
+continuity; `medians` (median of 3 runs) is the round-over-round
+comparison number (r10 verdict ask #3 — single-draw minima of
+minhash_lsh_pairs, intrinsic band ~±20%, kept raising false alarms).
 """
 
 from __future__ import annotations
