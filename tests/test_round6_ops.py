@@ -120,3 +120,31 @@ def test_partitioned_events_detects_doubled_partition(spark, tmp_path):
     repaired = scaleops.partitioned_events(spark, str(sf))
     assert repaired.count() == want
     assert not list(day.glob("part-injected-*"))
+
+
+def test_partitioned_events_repairs_orphan_partition(spark, tmp_path):
+    """The OTHER invariant branch: a stale/extra metastore partition
+    (here injected via ADD PARTITION, the footprint of a torn
+    drop-recreate race) must trip the day-count probe and be repaired
+    by the overwrite — SHOW PARTITIONS returns to exactly the distinct
+    source dates."""
+    import hashlib
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .coalesce(1).write.parquet(str(sf / "events.parquet")))
+    want = spark.read.parquet(str(sf / "events.parquet")).count()
+    scaleops.partitioned_events(spark, str(sf))
+
+    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    cat = f"part_events_{token}"
+    n_days = spark.sql(f"SHOW PARTITIONS {cat}").count()
+    spark.sql(f"ALTER TABLE {cat} ADD PARTITION (day='2030-01-01')")
+    assert spark.sql(f"SHOW PARTITIONS {cat}").count() == n_days + 1
+
+    repaired = scaleops.partitioned_events(spark, str(sf))
+    assert repaired.count() == want
+    assert spark.sql(f"SHOW PARTITIONS {cat}").count() == n_days
