@@ -2465,7 +2465,19 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: vocab-sized model table (31 words here; <<10M for real
     corpora) built by one groupBy and joined back on the word key —
-    partial aggregation everywhere, no window, no driver loop."""
+    partial aggregation everywhere, no window, no driver loop. The
+    per-doc ``scored`` frame is persisted (MEMORY_AND_DISK, the
+    ``global_row_number`` precedent: corpus-sized-in-rows but one
+    short row per doc, lineage kept for executor-loss recovery):
+    it is consumed twice — corpus-mean then rollup — and AQE exchange
+    reuse was MEASURED not to fire (r11 probe: 8 parquet scans, 0
+    ReusedExchange — the corpus text was exploded 4x, once per branch
+    per vocab/score pass). Post-persist both consumers read one
+    InMemoryTableScan, leaving the 2 inherent train+score explodes;
+    20x soak wall ~14 s -> 8.5 s (x10.9 -> x5.9), closing the r10
+    soak-watchlist item (the only non-pair op above x10)."""
+    from pyspark.storagelevel import StorageLevel
+
     d = table(spark, sf_dir, "documents")
     words = (d.select(
         "doc_id",
@@ -2485,7 +2497,8 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (per_doc
               .select("doc_id", "n_tokens",
                       F.expr("sum_nll DIV n_tokens").alias("avg_nll_micros"))
-              .join(d.select("doc_id", "lang", "source"), "doc_id"))
+              .join(d.select("doc_id", "lang", "source"), "doc_id")
+              .persist(StorageLevel.MEMORY_AND_DISK))
     corpus_mean = scored.agg(
         F.expr("CAST(sum(avg_nll_micros) AS BIGINT) DIV count(*)")
         .alias("corpus_mean"))
