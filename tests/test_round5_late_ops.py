@@ -349,3 +349,22 @@ def test_refresh_sla_matches_pool_arithmetic():
     rotating = len(set(entry_mod.queries()) - gen_earmark.EXEMPT)
     assert math.ceil(rotating / len(entry_mod._WINDOW_PRIORITY)) \
         == entry_mod._REFRESH_SLA_ROUNDS
+
+
+def test_bench_shuffle_partition_rule(tmp_path):
+    """bench.py's data-sized (not core-sized) pre-AQE shuffle rule:
+    one partition per ~16 MiB of on-disk parquet, floored at 8 and
+    capped at 4096 — the same arithmetic that yields thousands of
+    partitions at 100 TB. Pinned so a refactor can't silently revert
+    to core-count sizing (measured 25% slower at sf0.1)."""
+    import bench
+
+    # empty dir -> floor
+    assert bench._scaled_shuffle_partitions(str(tmp_path)) == 8
+    # 160 MiB of files -> 10 partitions
+    for i in range(10):
+        (tmp_path / f"t{i}.parquet").write_bytes(b"\0" * (16 << 20))
+    assert bench._scaled_shuffle_partitions(str(tmp_path)) == 10
+    # the real bench dir obeys floor/cap
+    n = bench._scaled_shuffle_partitions("/root/testdata/sf0.1")
+    assert 8 <= n <= 4096
