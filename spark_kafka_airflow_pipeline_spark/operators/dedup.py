@@ -995,7 +995,22 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float,
     ``pre_materialized=True`` so the corpus-tokenize result isn't
     checkpointed twice (two eager jobs, two block copies — r9
     ADVICE); the flag is VERIFIED, not trusted — see the guard below
-    (r10 verdict ask #4)."""
+    (r10 verdict ask #4).
+
+    CONTRACT (narrow by design): ``pre_materialized=True`` means
+    specifically "``d`` is the result of ``DataFrame.localCheckpoint
+    (eager=True)``" — NOT merely "some materialized frame". A
+    ``persist()``-ed frame, even fully cached, is rejected: pass
+    ``pre_materialized=False`` and let the checkpoint no-op on top of
+    the cache (reading a cached frame once to checkpoint it is cheap;
+    silently re-tokenizing per consumer is not). The guard recognizes
+    the contract by the localCheckpoint plan shape (a single
+    ``LogicalRDD`` leaf); a ``createDataFrame``-rooted frame also
+    analyzes to LogicalRDD and passes, which is harmless — driver-
+    local rows re-parallelize per consumer without re-running any
+    corpus scan. Under Spark Connect the classic ``_jdf`` plan API is
+    absent, so the guard degrades to trusting the caller (documented,
+    not silent — the contract above still binds)."""
     if not pre_materialized:
         d = d.localCheckpoint(eager=True)
     else:
@@ -1004,14 +1019,20 @@ def md5_minhash_verified_pairs(d: DataFrame, threshold: float,
         # corpus tokenize once per consumer below (the exact r9
         # scan-census bug class this flag exists to prevent). A
         # localCheckpoint result analyzes to a single LogicalRDD leaf.
-        head = (d._jdf.queryExecution().analyzed()
-                .toString().splitlines()[0])
-        if not head.startswith("LogicalRDD"):
+        jdf = getattr(d, "_jdf", None)
+        if jdf is None:
+            # Spark Connect: no classic plan handle; the contract in
+            # the docstring still binds but cannot be checked here.
+            head = None
+        else:
+            head = jdf.queryExecution().analyzed().toString() \
+                      .splitlines()[0]
+        if head is not None and not head.startswith("LogicalRDD"):
             raise ValueError(
-                "pre_materialized=True requires an actually-"
-                "materialized grams frame (a localCheckpoint result); "
-                f"got plan root {head!r}. Drop the flag and let "
-                "md5_minhash_verified_pairs checkpoint it.")
+                "pre_materialized=True requires the grams frame to BE "
+                "a localCheckpoint(eager=True) result (see docstring "
+                "contract; a persist()-ed frame does not qualify — "
+                f"drop the flag); got plan root {head!r}.")
     cand = md5_band_candidates(d)
     # ARRAY-INTERSECT verify (r10, same move as ngram_jaccard_md5_
     # pairs): join each pair side to the doc's distinct gram ARRAY and

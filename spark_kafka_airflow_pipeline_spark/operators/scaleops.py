@@ -33,6 +33,14 @@ N_BUCKETS = 8
 
 _WAREHOUSE = "/tmp/spark_graft_bucketed"
 
+#: (applicationId, sf-token) pairs whose partitioned_events layout has
+#: already passed the torn-write invariant probe this session — the
+#: probe (refreshTable + SHOW PARTITIONS + two single-column counts)
+#: runs once per pair, not on every call (r11 ADVICE). Keyed by
+#: applicationId, not session object, so getOrCreate() re-wraps of the
+#: same JVM app don't re-probe.
+_EVENTS_PROBED_OK: set[tuple[str, str]] = set()
+
 
 def bucketed_tables(spark: SparkSession, sf_dir: str,
                     n_buckets: int = N_BUCKETS) -> tuple[DataFrame, DataFrame]:
@@ -134,20 +142,26 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucketed_tables``. Partitioning by event date is the standard
     100 TB layout: every time-bounded scan touches only its days.
 
-    SINGLE-WRITER assumption, now DETECTED rather than documented (r10
-    verdict ask #5): the scratch path is shared across processes but
-    the existence check is session-local, so two CONCURRENT sessions
-    can interleave their overwrites and leave doubled part files
-    behind (observed in r10 when two local sweeps ran in parallel: 33
-    files over 30 day dirs, answers exactly 2x). After the
-    existence check, a cheap invariant probe (one catalog partition
-    listing + one count over the tiny events-date projection) asserts
-    row count == source row count and day-partition count == distinct
-    source dates; any mismatch triggers a repair overwrite from
-    source. A production catalog table would get the same guarantee
-    from the metastore's commit protocol. The driver runs solo, so
-    the probe is pure insurance — see
-    tests/test_round6_ops.py::test_partitioned_events_detects_doubled_partition."""
+    SINGLE-WRITER assumption, with a best-effort torn-write CHECK (r10
+    verdict ask #5, scoped per r11 ADVICE): the scratch path is shared
+    across processes but the existence check is session-local, so two
+    CONCURRENT sessions can interleave their overwrites and leave
+    doubled part files behind (observed in r10 when two local sweeps
+    ran in parallel: 33 files over 30 day dirs, answers exactly 2x).
+    After the existence check, an invariant probe (one catalog
+    partition listing + one count over the tiny events-date
+    projection) asserts row count == source row count and
+    day-partition count == distinct source dates; any mismatch
+    triggers a repair overwrite from source. This NARROWS but does not
+    CLOSE the race: two sessions can both probe green mid-write, and a
+    tear that lands after this call's probe is only repaired on a
+    LATER call — a production catalog table gets the real guarantee
+    from the metastore's commit protocol. The probe is memoized per
+    (application, token): the first green check in a session covers
+    subsequent calls, so the solo happy path (the driver runs solo)
+    pays refreshTable + SHOW PARTITIONS + two counts ONCE, not per
+    call (r11 ADVICE). See tests/test_round6_ops.py::
+    test_partitioned_events_detects_doubled_partition."""
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     cat_name = f"part_events_{token}"
     src = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
@@ -160,18 +174,23 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not spark.catalog.tableExists(cat_name):
         write()
-    # invariant probe: a torn concurrent overwrite doubles rows and/or
-    # leaves orphan day directories. Both probes are scale-cheap: the
-    # partition listing is metadata-only, and the counts scan one
-    # date/ts column (footer-stat driven on parquet). Refresh first —
-    # the hazard is a CROSS-PROCESS write, which this session's cached
-    # file listing would otherwise hide from the probe.
-    spark.catalog.refreshTable(cat_name)
-    n_parts = spark.sql(f"SHOW PARTITIONS {cat_name}").count()
-    n_days = src.select("day").distinct().count()
-    if n_parts != n_days or spark.table(cat_name).count() != src.count():
-        write()  # repair: full overwrite from source is idempotent
+    probe_key = (spark.sparkContext.applicationId, token)
+    if probe_key not in _EVENTS_PROBED_OK:
+        # invariant probe: a torn concurrent overwrite doubles rows
+        # and/or leaves orphan day directories. Both probes are
+        # scale-cheap: the partition listing is metadata-only, and the
+        # counts scan one date/ts column (footer-stat driven on
+        # parquet). Refresh first — the hazard is a CROSS-PROCESS
+        # write, which this session's cached file listing would
+        # otherwise hide from the probe.
         spark.catalog.refreshTable(cat_name)
+        n_parts = spark.sql(f"SHOW PARTITIONS {cat_name}").count()
+        n_days = src.select("day").distinct().count()
+        if (n_parts != n_days
+                or spark.table(cat_name).count() != src.count()):
+            write()  # repair: full overwrite from source is idempotent
+            spark.catalog.refreshTable(cat_name)
+        _EVENTS_PROBED_OK.add(probe_key)
     return spark.table(cat_name)
 
 

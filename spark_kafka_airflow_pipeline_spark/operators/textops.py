@@ -2443,6 +2443,13 @@ GROUP BY b.risk_band, t.n_total
 """
 
 
+#: applicationId -> the LAST unigram_lm_quality scored frame persisted
+#: in that application; the next invocation unpersists it (r11 ADVICE:
+#: without this, every invocation across a long driver session leaked a
+#: cached corpus-sized frame until LRU eviction).
+_LM_SCORED_CACHE: dict[str, DataFrame] = {}
+
+
 def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model QUALITY score [EXT] — the KenLM-style
     perplexity filter every web-scale corpus pipeline runs (CCNet,
@@ -2475,8 +2482,22 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vocab/score pass). Post-persist both consumers read one
     InMemoryTableScan, leaving the 2 inherent train+score explodes;
     20x soak wall ~14 s -> 8.5 s (x10.9 -> x5.9), closing the r10
-    soak-watchlist item (the only non-pair op above x10)."""
+    soak-watchlist item (the only non-pair op above x10).
+
+    Cache hygiene (r11 ADVICE): the returned frame is lazy, so the
+    persist cannot be released inside this call — instead the PREVIOUS
+    invocation's scored frame is unpersisted on re-entry via a
+    per-application registry, bounding a long multi-query driver
+    session to ONE live cached frame for this op instead of one per
+    invocation. The final frame of a session is released by LRU
+    eviction / session teardown (the ``global_row_number``
+    precedent)."""
     from pyspark.storagelevel import StorageLevel
+
+    app_id = spark.sparkContext.applicationId
+    prev = _LM_SCORED_CACHE.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
 
     d = table(spark, sf_dir, "documents")
     words = (d.select(
@@ -2499,6 +2520,7 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.expr("sum_nll DIV n_tokens").alias("avg_nll_micros"))
               .join(d.select("doc_id", "lang", "source"), "doc_id")
               .persist(StorageLevel.MEMORY_AND_DISK))
+    _LM_SCORED_CACHE[app_id] = scored
     corpus_mean = scored.agg(
         F.expr("CAST(sum(avg_nll_micros) AS BIGINT) DIV count(*)")
         .alias("corpus_mean"))

@@ -461,6 +461,18 @@ def test_pre_materialized_contract_is_enforced(spark, doc_dir):
         cp, 0.5, pre_materialized=True).collect())
     assert got == want and got
 
+    # the contract is NARROW by design (r11 ADVICE): persist()-ed is
+    # materialized but is NOT a localCheckpoint result — rejected; the
+    # caller drops the flag and lets the checkpoint read the cache
+    cached = lazy.persist()
+    try:
+        cached.count()
+        with pytest.raises(ValueError, match="persist"):
+            dedup.md5_minhash_verified_pairs(
+                cached, 0.5, pre_materialized=True)
+    finally:
+        cached.unpersist()
+
 
 def test_md5_verify_enforces_distinct_grams(spark, doc_dir):
     """The array-intersect verify equals the old explode-join count

@@ -8,6 +8,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry_mod
@@ -365,6 +367,11 @@ def test_bench_shuffle_partition_rule(tmp_path):
     for i in range(10):
         (tmp_path / f"t{i}.parquet").write_bytes(b"\0" * (16 << 20))
     assert bench._scaled_shuffle_partitions(str(tmp_path)) == 10
-    # the real bench dir obeys floor/cap
+    # the real bench dir obeys floor/cap — on a host without the
+    # dataset this would degrade to a tautology (empty glob -> floor
+    # passes trivially), so skip loudly instead (r11 ADVICE); the
+    # tmp_path cases above already pin the rule itself
+    if not Path("/root/testdata/sf0.1").is_dir():
+        pytest.skip("/root/testdata/sf0.1 absent on this host")
     n = bench._scaled_shuffle_partitions("/root/testdata/sf0.1")
     assert 8 <= n <= 4096

@@ -115,8 +115,14 @@ def test_partitioned_events_detects_doubled_partition(spark, tmp_path):
                 if not p.name.endswith(".crc"))
     shutil.copy(part, day / f"part-injected-{part.name[5:]}")
 
-    # the next call must see the doubling (refresh + row-count probe)
-    # and repair via overwrite from source
+    # the probe is memoized per (application, token) — r11 ADVICE; a
+    # torn write lands from a DIFFERENT process, so model the next
+    # session by dropping this session's memo before the re-call
+    scaleops._EVENTS_PROBED_OK.discard(
+        (spark.sparkContext.applicationId, token))
+
+    # the next (new-session) call must see the doubling (refresh +
+    # row-count probe) and repair via overwrite from source
     repaired = scaleops.partitioned_events(spark, str(sf))
     assert repaired.count() == want
     assert not list(day.glob("part-injected-*"))
@@ -145,6 +151,46 @@ def test_partitioned_events_repairs_orphan_partition(spark, tmp_path):
     spark.sql(f"ALTER TABLE {cat} ADD PARTITION (day='2030-01-01')")
     assert spark.sql(f"SHOW PARTITIONS {cat}").count() == n_days + 1
 
+    # model the next session (the probe is memoized per application +
+    # token; cross-process tears are seen by the NEXT session's probe)
+    scaleops._EVENTS_PROBED_OK.discard(
+        (spark.sparkContext.applicationId, token))
+
     repaired = scaleops.partitioned_events(spark, str(sf))
     assert repaired.count() == want
     assert spark.sql(f"SHOW PARTITIONS {cat}").count() == n_days
+
+
+def test_partitioned_events_probe_memoized(spark, tmp_path):
+    """The invariant probe runs ONCE per (application, sf-token) — the
+    solo happy path must not pay refreshTable + SHOW PARTITIONS + two
+    counts on every call (r11 ADVICE). Proven by injecting a doubled
+    part file AFTER the first green probe WITHOUT clearing the memo:
+    the second call must skip the probe (the doubling goes unseen and
+    unrepaired until a new session probes)."""
+    import hashlib
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .coalesce(1).write.parquet(str(sf / "events.parquet")))
+    want = spark.read.parquet(str(sf / "events.parquet")).count()
+    assert scaleops.partitioned_events(spark, str(sf)).count() == want
+
+    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    assert (spark.sparkContext.applicationId,
+            token) in scaleops._EVENTS_PROBED_OK
+
+    root = Path(scaleops._WAREHOUSE) / token / "events_by_day"
+    day = next(p for p in root.iterdir() if p.name.startswith("day="))
+    part = next(p for p in day.glob("part-*")
+                if not p.name.endswith(".crc"))
+    shutil.copy(part, day / f"part-injected-{part.name[5:]}")
+
+    # memo intact -> probe skipped -> injected file survives the call
+    scaleops.partitioned_events(spark, str(sf))
+    assert list(day.glob("part-injected-*")), \
+        "probe ran despite memo — happy path is paying it per call"
