@@ -10,6 +10,11 @@ queries; this script replaces hand curation.
 
 Usage: python scripts/gen_earmark.py
 Prints a Python tuple literal ready to paste into __spark_entry__.py.
+
+NOTE (r12): scripts/rotate_window.py now performs the WHOLE rotation in
+place (window swap + queue regeneration + round-number prose), calling
+this module's `build_queue`; prefer `rotate_window.py --apply` over
+hand-pasting this script's output.
 """
 
 from __future__ import annotations

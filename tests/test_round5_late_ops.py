@@ -337,6 +337,46 @@ def test_earmark_matches_generator():
     assert queue == entry_mod._NEXT_EARMARK
 
 
+def test_rotate_window_check_passes():
+    """The entry file's three generated rotation segments (window
+    header prose, `_WINDOW_PRIORITY` block, earmark section) must
+    byte-match what scripts/rotate_window.py renders for the current
+    state — the file stays MECHANICALLY generated and the rotation
+    script's templates cannot drift from the file format (rounds 9-12
+    rotated via ad-hoc one-off edits; this pins the single maintained
+    implementation)."""
+    from scripts import rotate_window as rw
+
+    rw.check()  # raises SystemExit("DRIFT: ...") on any mismatch
+
+
+def test_rotate_window_apply_roundtrip(tmp_path, monkeypatch):
+    """`rotate_window.py --apply` on a copy of the real entry file must
+    produce a file that (a) passes its own byte-match check, (b) puts
+    exactly the old queue's first 50 in the new window AND at the front
+    of queries(), and (c) regenerates the queue per build_queue — i.e.
+    the next round's rotation is proven executable BEFORE that round
+    starts."""
+    import shutil
+
+    from scripts import rotate_window as rw
+    gen_earmark = _import_gen_earmark()
+
+    tmp_entry = tmp_path / "entry_rotated.py"
+    shutil.copy(rw.ENTRY, tmp_entry)
+    monkeypatch.setattr(rw, "ENTRY", tmp_entry)
+
+    old_queue = rw._load_entry(tmp_entry)._NEXT_EARMARK
+    rw.apply()
+    rw.check()
+    after = rw._load_entry(tmp_entry)
+    assert after._WINDOW_PRIORITY == old_queue[:50]
+    assert list(after.queries())[:50] == list(after._WINDOW_PRIORITY)
+    assert after._NEXT_EARMARK == gen_earmark.build_queue(
+        set(after.queries()), set(after._WINDOW_PRIORITY),
+        gen_earmark.latest_rounds())
+
+
 def test_refresh_sla_matches_pool_arithmetic():
     """The declared refresh SLA must equal what the pool arithmetic
     supports: ceil(rotating_pool / 50 window slots) rounds. The r10
