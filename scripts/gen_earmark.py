@@ -37,10 +37,17 @@ EXEMPT = {
 }
 
 
-def latest_rounds() -> dict[str, int]:
+def latest_rounds(max_round: int | None = None) -> dict[str, int]:
+    """Latest driver round per query name. `max_round` clamps the union
+    to files <= that round — rotate_window uses it to reconstruct the
+    state a PAST rotation was rendered from, so a new CORRECTNESS file
+    landing does not retroactively change what the committed prose is
+    checked against."""
     latest: dict[str, int] = {}
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(p.stem.split("_r")[1])
+        if max_round is not None and rnd > max_round:
+            continue
         for name in json.loads(p.read_text()):
             latest[name] = max(latest.get(name, 0), rnd)
     return latest

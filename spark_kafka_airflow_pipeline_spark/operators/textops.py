@@ -2498,6 +2498,12 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = _LM_SCORED_CACHE.pop(app_id, None)
     if prev is not None:
         prev.unpersist(blocking=False)
+    # entries under OTHER application ids belong to stopped sessions
+    # (classic PySpark runs one SparkContext per process): their cached
+    # blocks died with the app, so just drop the dict entries — keeping
+    # them would pin dead plan graphs for the life of the process
+    for stale in [k for k in _LM_SCORED_CACHE if k != app_id]:
+        _LM_SCORED_CACHE.pop(stale, None)
 
     d = table(spark, sf_dir, "documents")
     words = (d.select(

@@ -350,14 +350,46 @@ def test_rotate_window_check_passes():
     rw.check()  # raises SystemExit("DRIFT: ...") on any mismatch
 
 
+def test_rotate_window_check_survives_own_round_landing(monkeypatch):
+    """check() must stay green when the driver lands the CORRECTNESS
+    file for the CURRENT window's round (the r12 file re-proves the 50
+    window names at round 12, which would relabel their cohorts from
+    'r5/r6-age' to 'r12-age' in a live union): the renderer
+    reconstructs the state the rotation was made from by clamping
+    latest_rounds to the rotation-time horizon, so a new file landing
+    never retroactively turns an untouched entry file into 'DRIFT'."""
+    from scripts import rotate_window as rw
+    gen_earmark = _import_gen_earmark()
+
+    _, _, _, next_round = rw.current_state()
+    outgoing = next_round - 1
+    window = entry_mod._WINDOW_PRIORITY
+    real = gen_earmark.latest_rounds
+
+    def landed(max_round=None):
+        d = real(max_round=max_round)
+        if max_round is None or max_round >= outgoing:
+            for n in window:
+                d[n] = max(d.get(n, 0), outgoing)
+        return d
+
+    monkeypatch.setattr(rw, "latest_rounds", landed)
+    rw.check()  # must NOT report drift
+
+
 def test_rotate_window_apply_roundtrip(tmp_path, monkeypatch):
     """`rotate_window.py --apply` on a copy of the real entry file must
     produce a file that (a) passes its own byte-match check, (b) puts
     exactly the old queue's first 50 in the new window AND at the front
     of queries(), and (c) regenerates the queue per build_queue — i.e.
     the next round's rotation is proven executable BEFORE that round
-    starts."""
+    starts. apply() refuses to run until the OUTGOING window's
+    CORRECTNESS file exists (without it, build_queue would re-queue the
+    just-rotated-out 50 names at the front), so the test first proves
+    the refusal, then simulates that file landing."""
     import shutil
+
+    import pytest
 
     from scripts import rotate_window as rw
     gen_earmark = _import_gen_earmark()
@@ -366,7 +398,28 @@ def test_rotate_window_apply_roundtrip(tmp_path, monkeypatch):
     shutil.copy(rw.ENTRY, tmp_entry)
     monkeypatch.setattr(rw, "ENTRY", tmp_entry)
 
-    old_queue = rw._load_entry(tmp_entry)._NEXT_EARMARK
+    before = rw._load_entry(tmp_entry)
+    old_window = before._WINDOW_PRIORITY
+    old_queue = before._NEXT_EARMARK
+    _, _, _, next_round = rw.current_state()
+    outgoing = next_round - 1  # the round the current window runs in
+
+    # before CORRECTNESS_r{outgoing}.json lands: refuse loudly
+    with pytest.raises(SystemExit, match="refusing to rotate"):
+        rw.apply()
+
+    # simulate the driver landing that file (window names re-proven)
+    real = gen_earmark.latest_rounds
+
+    def landed(max_round=None):
+        d = real(max_round=max_round)
+        if max_round is None or max_round >= outgoing:
+            for n in old_window:
+                d[n] = max(d.get(n, 0), outgoing)
+        return d
+
+    monkeypatch.setattr(rw, "latest_rounds", landed)
+
     rw.apply()
     rw.check()
     after = rw._load_entry(tmp_entry)
@@ -374,7 +427,10 @@ def test_rotate_window_apply_roundtrip(tmp_path, monkeypatch):
     assert list(after.queries())[:50] == list(after._WINDOW_PRIORITY)
     assert after._NEXT_EARMARK == gen_earmark.build_queue(
         set(after.queries()), set(after._WINDOW_PRIORITY),
-        gen_earmark.latest_rounds())
+        landed(max_round=outgoing))
+    # the outgoing window must sit at the queue TAIL (newest rows),
+    # not the front — the failure mode the apply() guard exists for
+    assert set(after._NEXT_EARMARK[-50:]) == set(old_window)
 
 
 def test_refresh_sla_matches_pool_arithmetic():

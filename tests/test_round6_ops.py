@@ -9,6 +9,39 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _private_partitioned_events(spark, tmp_path):
+    """Shared scaffolding for the three partitioned_events probe tests:
+    build a PRIVATE sf_dir (private catalog token — injections can't
+    poison the shared scratch other tests reuse), run the op once, and
+    return (sf_dir, source_row_count, token, warehouse_root)."""
+    import hashlib
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .coalesce(1).write.parquet(str(sf / "events.parquet")))
+    want = spark.read.parquet(str(sf / "events.parquet")).count()
+    assert scaleops.partitioned_events(spark, str(sf)).count() == want
+    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    root = Path(scaleops._WAREHOUSE) / token / "events_by_day"
+    return str(sf), want, token, root
+
+
+def _inject_doubled_part(root: Path) -> Path:
+    """Plant a doubled part file in one day dir — the exact footprint a
+    torn concurrent overwrite left in r10 (answers exactly 2x). Returns
+    the day directory."""
+    import shutil
+
+    day = next(p for p in root.iterdir() if p.name.startswith("day="))
+    part = next(p for p in day.glob("part-*")
+                if not p.name.endswith(".crc"))
+    shutil.copy(part, day / f"part-injected-{part.name[5:]}")
+    return day
+
+
 def _write_rows(spark, path: str, rows: list[tuple[str, str, float]]) -> None:
     """One parquet file of (ts, event_type, value) rows."""
     from pyspark.sql import functions as F
@@ -94,26 +127,10 @@ def test_partitioned_events_detects_doubled_partition(spark, tmp_path):
     torn concurrent overwrite left in r10 (answers exactly 2x) — must
     trigger the invariant probe's repair overwrite, restoring source
     row counts."""
-    import hashlib
-    import shutil
-
     from spark_kafka_airflow_pipeline_spark.operators import scaleops
 
-    # a PRIVATE sf_dir gives a private catalog token, so the injection
-    # can't poison the shared scratch tables other tests reuse
-    sf = tmp_path / "sf"
-    sf.mkdir()
-    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-     .coalesce(1).write.parquet(str(sf / "events.parquet")))
-    want = spark.read.parquet(str(sf / "events.parquet")).count()
-    assert scaleops.partitioned_events(spark, str(sf)).count() == want
-
-    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
-    root = Path(scaleops._WAREHOUSE) / token / "events_by_day"
-    day = next(p for p in root.iterdir() if p.name.startswith("day="))
-    part = next(p for p in day.glob("part-*")
-                if not p.name.endswith(".crc"))
-    shutil.copy(part, day / f"part-injected-{part.name[5:]}")
+    sf, want, token, root = _private_partitioned_events(spark, tmp_path)
+    day = _inject_doubled_part(root)
 
     # the probe is memoized per (application, token) — r11 ADVICE; a
     # torn write lands from a DIFFERENT process, so model the next
@@ -123,7 +140,7 @@ def test_partitioned_events_detects_doubled_partition(spark, tmp_path):
 
     # the next (new-session) call must see the doubling (refresh +
     # row-count probe) and repair via overwrite from source
-    repaired = scaleops.partitioned_events(spark, str(sf))
+    repaired = scaleops.partitioned_events(spark, sf)
     assert repaired.count() == want
     assert not list(day.glob("part-injected-*"))
 
@@ -134,18 +151,9 @@ def test_partitioned_events_repairs_orphan_partition(spark, tmp_path):
     drop-recreate race) must trip the day-count probe and be repaired
     by the overwrite — SHOW PARTITIONS returns to exactly the distinct
     source dates."""
-    import hashlib
-
     from spark_kafka_airflow_pipeline_spark.operators import scaleops
 
-    sf = tmp_path / "sf"
-    sf.mkdir()
-    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-     .coalesce(1).write.parquet(str(sf / "events.parquet")))
-    want = spark.read.parquet(str(sf / "events.parquet")).count()
-    scaleops.partitioned_events(spark, str(sf))
-
-    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    sf, want, token, _ = _private_partitioned_events(spark, tmp_path)
     cat = f"part_events_{token}"
     n_days = spark.sql(f"SHOW PARTITIONS {cat}").count()
     spark.sql(f"ALTER TABLE {cat} ADD PARTITION (day='2030-01-01')")
@@ -156,7 +164,7 @@ def test_partitioned_events_repairs_orphan_partition(spark, tmp_path):
     scaleops._EVENTS_PROBED_OK.discard(
         (spark.sparkContext.applicationId, token))
 
-    repaired = scaleops.partitioned_events(spark, str(sf))
+    repaired = scaleops.partitioned_events(spark, sf)
     assert repaired.count() == want
     assert spark.sql(f"SHOW PARTITIONS {cat}").count() == n_days
 
@@ -168,29 +176,22 @@ def test_partitioned_events_probe_memoized(spark, tmp_path):
     part file AFTER the first green probe WITHOUT clearing the memo:
     the second call must skip the probe (the doubling goes unseen and
     unrepaired until a new session probes)."""
-    import hashlib
-    import shutil
-
     from spark_kafka_airflow_pipeline_spark.operators import scaleops
 
-    sf = tmp_path / "sf"
-    sf.mkdir()
-    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-     .coalesce(1).write.parquet(str(sf / "events.parquet")))
-    want = spark.read.parquet(str(sf / "events.parquet")).count()
-    assert scaleops.partitioned_events(spark, str(sf)).count() == want
+    sf, want, token, root = _private_partitioned_events(spark, tmp_path)
+    probe_key = (spark.sparkContext.applicationId, token)
+    assert probe_key in scaleops._EVENTS_PROBED_OK
 
-    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
-    assert (spark.sparkContext.applicationId,
-            token) in scaleops._EVENTS_PROBED_OK
-
-    root = Path(scaleops._WAREHOUSE) / token / "events_by_day"
-    day = next(p for p in root.iterdir() if p.name.startswith("day="))
-    part = next(p for p in day.glob("part-*")
-                if not p.name.endswith(".crc"))
-    shutil.copy(part, day / f"part-injected-{part.name[5:]}")
-
-    # memo intact -> probe skipped -> injected file survives the call
-    scaleops.partitioned_events(spark, str(sf))
-    assert list(day.glob("part-injected-*")), \
-        "probe ran despite memo — happy path is paying it per call"
+    day = _inject_doubled_part(root)
+    try:
+        # memo intact -> probe skipped -> injected file survives
+        scaleops.partitioned_events(spark, sf)
+        assert list(day.glob("part-injected-*")), \
+            "probe ran despite memo — happy path is paying it per call"
+    finally:
+        # leave the session clean: the table is deliberately doubled at
+        # this point and the memo says 'green' — repair it for real so
+        # no later catalog reader in this shared session sees 2x rows
+        scaleops._EVENTS_PROBED_OK.discard(probe_key)
+        assert scaleops.partitioned_events(spark, sf).count() == want
+        assert not list(day.glob("part-injected-*"))
