@@ -96,3 +96,43 @@ def test_bucketed_query_plan_and_parity(spark, sf_dir):
                      .cast("double").alias("revenue"))
                 .collect()}
     assert got == expected and got
+
+
+def test_bucketed_tables_probe_repairs_doubled_file(spark, tmp_path):
+    """bucketed_tables carries the same torn-write invariant probe as
+    partitioned_events (r12): a doubled part file in the shared
+    scratch layout — the r10 concurrent-overwrite footprint, join
+    answers exactly 2x — must be caught by the next SESSION's
+    row-count probe and repaired by rewrite. Also pins the memo: with
+    the memo intact the probe is skipped (happy path pays it once)."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    # private sf_dir -> private token, can't poison shared scratch
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("orders", "lineitem"):
+        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+         .coalesce(1).write.parquet(str(sf / f"{t}.parquet")))
+    want = spark.read.parquet(str(sf / "orders.parquet")).count()
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+
+    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    tdir = Path(scaleops._WAREHOUSE) / token / "orders"
+    part = next(p for p in tdir.glob("part-*")
+                if not p.name.endswith(".crc"))
+    shutil.copy(part, tdir / f"part-injected-{part.name[5:]}")
+
+    # memo intact -> probe skipped -> doubling unseen this session
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+
+    # new session models: drop the memo -> probe sees 2x -> rewrite
+    scaleops._BUCKETS_PROBED_OK.discard(
+        (spark.sparkContext.applicationId, token, "orders"))
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+    assert not list(tdir.glob("part-injected-*"))
