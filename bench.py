@@ -56,6 +56,33 @@ def _scaled_shuffle_partitions(sf_dir: str) -> int:
     return max(8, min(4096, total // (16 << 20)))
 
 
+#: --quiet-gate ceilings for the two frozen sentinels. Derived from the
+#: recorded r5-r12 driver-host history (CPU 0.399-0.516 s, shuffle
+#: 0.682-0.766 s) plus ~20% headroom; a draw above either band means
+#: the HOST is loaded and any per-query delta this run would be
+#: unattributable (the r9 and r12 rounds each burned an adjudication
+#: pass on exactly that false alarm — judge re-benched idle and the
+#: "regression" vanished). Overridable per-host via env. NOTE: the
+#: sentinels scan $SPARK_GRAFT_SF_DIR, so these defaults are calibrated
+#: for the default sf0.1 dir — at smaller SFs the sentinels read lower
+#: and the gate is correspondingly laxer; override the env vars when
+#: gating a non-default SF matters.
+QUIET_CPU_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_CPU_MAX", "0.62"))
+QUIET_SHUFFLE_MAX = float(
+    os.environ.get("SPARK_GRAFT_QUIET_SHUFFLE_MAX", "0.92"))
+
+
+def _host_is_quiet(sentinel: float, sentinel_shuffle: float,
+                   cpu_max: float = None,
+                   shuffle_max: float = None) -> bool:
+    """True when both frozen sentinels sit inside their quiet-host
+    bands — the precondition for a bench number to be comparable
+    round-over-round."""
+    cpu_max = QUIET_CPU_MAX if cpu_max is None else cpu_max
+    shuffle_max = QUIET_SHUFFLE_MAX if shuffle_max is None else shuffle_max
+    return sentinel <= cpu_max and sentinel_shuffle <= shuffle_max
+
+
 def _sentinel_seconds(spark) -> float:
     """Fixed-code host-noise sentinel (min of 3): a frozen scan+agg that
     no round ever edits, so round-over-round drift in THIS number is
@@ -118,6 +145,32 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     sentinel = _sentinel_seconds(spark)
     sentinel_shuffle = _sentinel_shuffle_seconds(spark)
+
+    if "--quiet-gate" in sys.argv[1:]:
+        # refuse to RECORD on a loaded host (folds the judge's
+        # idle-host re-bench practice into the harness): re-draw the
+        # sentinels up to 2 more times with a cool-down, then exit 3
+        # WITHOUT the JSON line rather than emit a number that would
+        # read as a code regression. The driver's per-round invocation
+        # does not pass the flag, so its recording behavior is
+        # unchanged; local iteration should.
+        for attempt in range(2):
+            if _host_is_quiet(sentinel, sentinel_shuffle):
+                break
+            print(f"# quiet-gate: host loaded (sentinel {sentinel} > "
+                  f"{QUIET_CPU_MAX} or shuffle {sentinel_shuffle} > "
+                  f"{QUIET_SHUFFLE_MAX}), cooling down "
+                  f"(retry {attempt + 1}/2)...", file=sys.stderr)
+            time.sleep(15)
+            sentinel = _sentinel_seconds(spark)
+            sentinel_shuffle = _sentinel_shuffle_seconds(spark)
+        if not _host_is_quiet(sentinel, sentinel_shuffle):
+            print(f"# quiet-gate: still loaded (sentinel {sentinel}, "
+                  f"shuffle {sentinel_shuffle}, load_avg "
+                  f"{os.getloadavg()}) — refusing to record",
+                  file=sys.stderr)
+            spark.stop()
+            sys.exit(3)
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

@@ -18,6 +18,7 @@ remedy documented in PLANS.md §skew.
 from __future__ import annotations
 
 import hashlib
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +45,27 @@ _EVENTS_PROBED_OK: set[tuple[str, str]] = set()
 #: Same memo for the bucketed orders/lineitem scratch tables, keyed
 #: (applicationId, sf-token, table) — see bucketed_tables docstring.
 _BUCKETS_PROBED_OK: set[tuple[str, str, str]] = set()
+
+#: Serializes the check-then-act around BOTH probe memos (r12 ADVICE):
+#: two driver THREADS sharing one SparkSession could otherwise
+#: interleave existence-check/write/probe/repair — results stayed
+#: correct (overwrite and re-probe are idempotent) but the write could
+#: run twice and the probe's counts race the rewrite. One process-wide
+#: lock is enough: the probe is paid once per (application, token) and
+#: the guarded section is metadata + footer-stat counts, so
+#: serialization costs nothing on the happy path. CROSS-PROCESS writers
+#: remain the documented metastore-commit-protocol gap.
+_PROBE_LOCK = threading.Lock()
+
+
+def _evict_other_apps(memo: set, app_id: str) -> None:
+    """Drop memo keys from OTHER applications (r12 ADVICE): their
+    sessions are gone (classic PySpark runs one SparkContext per
+    process), so the keys would otherwise accumulate for the process
+    lifetime — the same hygiene textops._LM_SCORED_CACHE applies.
+    Caller holds _PROBE_LOCK."""
+    for k in [k for k in memo if k[0] != app_id]:
+        memo.discard(k)
 
 
 def bucketed_tables(spark: SparkSession, sf_dir: str,
@@ -77,15 +99,17 @@ def bucketed_tables(spark: SparkSession, sf_dir: str,
              .bucketBy(n_buckets, "orderkey").sortBy("orderkey")
              .saveAsTable(cat))
 
-        if not spark.catalog.tableExists(cat_name):
-            write()
         probe_key = (spark.sparkContext.applicationId, token, tname)
-        if probe_key not in _BUCKETS_PROBED_OK:
-            spark.catalog.refreshTable(cat_name)
-            if spark.table(cat_name).count() != src.count():
-                write()  # repair: overwrite from source is idempotent
+        with _PROBE_LOCK:
+            _evict_other_apps(_BUCKETS_PROBED_OK, probe_key[0])
+            if not spark.catalog.tableExists(cat_name):
+                write()
+            if probe_key not in _BUCKETS_PROBED_OK:
                 spark.catalog.refreshTable(cat_name)
-            _BUCKETS_PROBED_OK.add(probe_key)
+                if spark.table(cat_name).count() != src.count():
+                    write()  # repair: overwrite from source is idempotent
+                    spark.catalog.refreshTable(cat_name)
+                _BUCKETS_PROBED_OK.add(probe_key)
         out.append(spark.table(cat_name))
     return out[0], out[1]
 
@@ -196,25 +220,27 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
          .partitionBy("day")
          .saveAsTable(cat_name))
 
-    if not spark.catalog.tableExists(cat_name):
-        write()
     probe_key = (spark.sparkContext.applicationId, token)
-    if probe_key not in _EVENTS_PROBED_OK:
-        # invariant probe: a torn concurrent overwrite doubles rows
-        # and/or leaves orphan day directories. Both probes are
-        # scale-cheap: the partition listing is metadata-only, and the
-        # counts scan one date/ts column (footer-stat driven on
-        # parquet). Refresh first — the hazard is a CROSS-PROCESS
-        # write, which this session's cached file listing would
-        # otherwise hide from the probe.
-        spark.catalog.refreshTable(cat_name)
-        n_parts = spark.sql(f"SHOW PARTITIONS {cat_name}").count()
-        n_days = src.select("day").distinct().count()
-        if (n_parts != n_days
-                or spark.table(cat_name).count() != src.count()):
-            write()  # repair: full overwrite from source is idempotent
+    with _PROBE_LOCK:
+        _evict_other_apps(_EVENTS_PROBED_OK, probe_key[0])
+        if not spark.catalog.tableExists(cat_name):
+            write()
+        if probe_key not in _EVENTS_PROBED_OK:
+            # invariant probe: a torn concurrent overwrite doubles rows
+            # and/or leaves orphan day directories. Both probes are
+            # scale-cheap: the partition listing is metadata-only, and
+            # the counts scan one date/ts column (footer-stat driven on
+            # parquet). Refresh first — the hazard is a CROSS-PROCESS
+            # write, which this session's cached file listing would
+            # otherwise hide from the probe.
             spark.catalog.refreshTable(cat_name)
-        _EVENTS_PROBED_OK.add(probe_key)
+            n_parts = spark.sql(f"SHOW PARTITIONS {cat_name}").count()
+            n_days = src.select("day").distinct().count()
+            if (n_parts != n_days
+                    or spark.table(cat_name).count() != src.count()):
+                write()  # repair: full overwrite from source is idempotent
+                spark.catalog.refreshTable(cat_name)
+            _EVENTS_PROBED_OK.add(probe_key)
     return spark.table(cat_name)
 
 

@@ -9,6 +9,8 @@ DuckDB oracle that mirrors the arithmetic exactly.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2449,6 +2451,14 @@ GROUP BY b.risk_band, t.n_total
 #: cached corpus-sized frame until LRU eviction).
 _LM_SCORED_CACHE: dict[str, DataFrame] = {}
 
+#: Serializes the pop-unpersist-repersist sequence on the cache above
+#: (r12 ADVICE): two driver threads re-entering unigram_lm_quality
+#: concurrently could both pop None and both persist, leaving one
+#: frame unregistered (leaked until session teardown). Plan building
+#: under the lock is driver-only metadata work, so serialization costs
+#: nothing; the actual jobs run lazily after release.
+_LM_CACHE_LOCK = threading.Lock()
+
 
 def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model QUALITY score [EXT] — the KenLM-style
@@ -2495,16 +2505,6 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     app_id = spark.sparkContext.applicationId
-    prev = _LM_SCORED_CACHE.pop(app_id, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    # entries under OTHER application ids belong to stopped sessions
-    # (classic PySpark runs one SparkContext per process): their cached
-    # blocks died with the app, so just drop the dict entries — keeping
-    # them would pin dead plan graphs for the life of the process
-    for stale in [k for k in _LM_SCORED_CACHE if k != app_id]:
-        _LM_SCORED_CACHE.pop(stale, None)
-
     d = table(spark, sf_dir, "documents")
     words = (d.select(
         "doc_id",
@@ -2526,7 +2526,22 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.expr("sum_nll DIV n_tokens").alias("avg_nll_micros"))
               .join(d.select("doc_id", "lang", "source"), "doc_id")
               .persist(StorageLevel.MEMORY_AND_DISK))
-    _LM_SCORED_CACHE[app_id] = scored
+    # Atomic swap under the lock (r12 ADVICE): release the PREVIOUS
+    # invocation's frame and register this one in one step, so
+    # concurrent re-entries can never both register (the loser's frame
+    # is unpersisted by the winner's swap — still computable via
+    # lineage, just uncached). Entries under OTHER application ids
+    # belong to stopped sessions (classic PySpark runs one SparkContext
+    # per process): their cached blocks died with the app, so just drop
+    # the dict entries — keeping them would pin dead plan graphs for
+    # the life of the process.
+    with _LM_CACHE_LOCK:
+        prev = _LM_SCORED_CACHE.pop(app_id, None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        for stale in [k for k in _LM_SCORED_CACHE if k != app_id]:
+            _LM_SCORED_CACHE.pop(stale, None)
+        _LM_SCORED_CACHE[app_id] = scored
     corpus_mean = scored.agg(
         F.expr("CAST(sum(avg_nll_micros) AS BIGINT) DIV count(*)")
         .alias("corpus_mean"))

@@ -127,8 +127,18 @@ def test_bucketed_tables_probe_repairs_doubled_file(spark, tmp_path):
                 if not p.name.endswith(".crc"))
     shutil.copy(part, tdir / f"part-injected-{part.name[5:]}")
 
-    # memo intact -> probe skipped -> doubling unseen this session
+    # memo intact -> probe skipped -> doubling unseen this session:
+    # the injected file must SURVIVE this call and its duplicate rows
+    # must be visible in the table (r12 ADVICE: without these asserts
+    # a regression that probes-and-repairs on every call would pass).
+    # The copied file is ONE of the n_buckets bucket files, so the
+    # inflation is that bucket's row count, not a full 2x.
+    dup_rows = spark.read.parquet(str(part)).count()
+    assert dup_rows > 0
     orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert list(tdir.glob("part-injected-*"))
+    spark.catalog.refreshTable(f"bkt_orders_{token}")
+    assert orders.count() == want + dup_rows
 
     # new session models: drop the memo -> probe sees 2x -> rewrite
     scaleops._BUCKETS_PROBED_OK.discard(

@@ -5,6 +5,7 @@ the hash compare alone would not explain) + driver-window bookkeeping.
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -385,8 +386,12 @@ def test_rotate_window_apply_roundtrip(tmp_path, monkeypatch):
     the next round's rotation is proven executable BEFORE that round
     starts. apply() refuses to run until the OUTGOING window's
     CORRECTNESS file exists (without it, build_queue would re-queue the
-    just-rotated-out 50 names at the front), so the test first proves
-    the refusal, then simulates that file landing."""
+    just-rotated-out 50 names at the front). BOTH legs simulate their
+    repo state by shimming latest_rounds — the r12 judge found the
+    refusal leg reading REAL disk state, which made the suite red in
+    the normal window between the driver landing
+    CORRECTNESS_r{outgoing}.json and the next rotation (the refusal
+    stopped firing the moment the file legitimately landed)."""
     import shutil
 
     import pytest
@@ -403,13 +408,21 @@ def test_rotate_window_apply_roundtrip(tmp_path, monkeypatch):
     old_queue = before._NEXT_EARMARK
     _, _, _, next_round = rw.current_state()
     outgoing = next_round - 1  # the round the current window runs in
+    real = gen_earmark.latest_rounds
 
-    # before CORRECTNESS_r{outgoing}.json lands: refuse loudly
+    # refusal leg: simulate the state BEFORE CORRECTNESS_r{outgoing}
+    # lands by clamping the real union below the outgoing round — never
+    # read whichever CORRECTNESS files happen to exist on disk
+    def prelanding(max_round=None):
+        cap = (outgoing - 1 if max_round is None
+               else min(max_round, outgoing - 1))
+        return real(max_round=cap)
+
+    monkeypatch.setattr(rw, "latest_rounds", prelanding)
     with pytest.raises(SystemExit, match="refusing to rotate"):
         rw.apply()
 
     # simulate the driver landing that file (window names re-proven)
-    real = gen_earmark.latest_rounds
 
     def landed(max_round=None):
         d = real(max_round=max_round)
@@ -471,3 +484,28 @@ def test_bench_shuffle_partition_rule(tmp_path):
         pytest.skip("/root/testdata/sf0.1 absent on this host")
     n = bench._scaled_shuffle_partitions("/root/testdata/sf0.1")
     assert 8 <= n <= 4096
+
+
+def test_bench_quiet_gate_bands():
+    """bench.py --quiet-gate refuses to record on a loaded host (r12
+    verdict ask #6: the r9 and r12 'regressions' were both host load,
+    each adjudicated away by an idle-host re-bench — gate at the
+    source instead). Pins the band predicate AND that every recorded
+    driver sentinel draw (r5-r12 history the defaults were derived
+    from) sits INSIDE the default bands, so the gate would never have
+    blocked a legitimate driver recording."""
+    import bench
+
+    # worst recorded driver draws (r8 CPU 0.516, r11 shuffle 0.766)
+    assert bench._host_is_quiet(0.516, 0.766)
+    # either sentinel above its band -> not quiet
+    assert not bench._host_is_quiet(0.9, 0.7)
+    assert not bench._host_is_quiet(0.4, 1.5)
+    # explicit overrides win over the env-derived defaults
+    assert bench._host_is_quiet(1.0, 1.0, cpu_max=1.0, shuffle_max=1.0)
+    # recorded history stays inside the default bands
+    for p in sorted(Path(bench.__file__).parent.glob("BENCH_r*.json")):
+        parsed = json.loads(p.read_text()).get("parsed") or {}
+        s, sh = parsed.get("sentinel"), parsed.get("sentinel_shuffle")
+        if s is not None and sh is not None:
+            assert bench._host_is_quiet(s, sh), p.name
