@@ -503,8 +503,16 @@ def test_bench_quiet_gate_bands():
     assert not bench._host_is_quiet(0.4, 1.5)
     # explicit overrides win over the env-derived defaults
     assert bench._host_is_quiet(1.0, 1.0, cpu_max=1.0, shuffle_max=1.0)
-    # recorded history stays inside the default bands
-    for p in sorted(Path(bench.__file__).parent.glob("BENCH_r*.json")):
+    # the derivation history (r5-r12, the rounds the defaults were
+    # computed from) stays inside the default bands. FIXED round list,
+    # not a glob: future BENCH files are recorded on whatever host load
+    # the driver drew — the gate existing is WHY such a draw is fine to
+    # land — so asserting over them would couple the suite to transient
+    # repo state (the r12 rotation-test lesson).
+    for n in range(5, 13):
+        p = Path(bench.__file__).parent / f"BENCH_r{n:02d}.json"
+        if not p.is_file():
+            continue  # derivation rounds may be absent on other hosts
         parsed = json.loads(p.read_text()).get("parsed") or {}
         s, sh = parsed.get("sentinel"), parsed.get("sentinel_shuffle")
         if s is not None and sh is not None:
