@@ -146,3 +146,19 @@ def test_bucketed_tables_probe_repairs_doubled_file(spark, tmp_path):
     orders, _ = scaleops.bucketed_tables(spark, str(sf))
     assert orders.count() == want
     assert not list(tdir.glob("part-injected-*"))
+
+
+def test_probe_memo_evicts_other_apps():
+    """The probe memos drop keys from OTHER applications on entry
+    (r12 ADVICE: stopped sessions' keys otherwise accumulate for the
+    process lifetime). Pure set logic, pinned deterministically —
+    the threaded path is serialized by _PROBE_LOCK and exercised by
+    the injection tests above."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    memo = {("appA", "t1"), ("appA", "t2", "orders"), ("appB", "t1")}
+    scaleops._evict_other_apps(memo, "appB")
+    assert memo == {("appB", "t1")}
+    # idempotent / no-op when only the live app remains
+    scaleops._evict_other_apps(memo, "appB")
+    assert memo == {("appB", "t1")}
