@@ -67,14 +67,25 @@ def _scaled_shuffle_partitions(sf_dir: str) -> int:
 #: for the default sf0.1 dir — at smaller SFs the sentinels read lower
 #: and the gate is correspondingly laxer; override the env vars when
 #: gating a non-default SF matters.
-QUIET_CPU_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_CPU_MAX", "0.62"))
-QUIET_SHUFFLE_MAX = float(
-    os.environ.get("SPARK_GRAFT_QUIET_SHUFFLE_MAX", "0.92"))
+#: Shipped defaults, separate from the env-resolved values below so the
+#: band regression test can pin THESE (retuning the defaults then
+#: updates the test's expectation automatically instead of silently
+#: validating stale copies).
+_DEFAULT_QUIET_CPU_MAX = 0.62
+_DEFAULT_QUIET_SHUFFLE_MAX = 0.92
+QUIET_CPU_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_CPU_MAX",
+                                     str(_DEFAULT_QUIET_CPU_MAX)))
+QUIET_SHUFFLE_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_SHUFFLE_MAX",
+                                         str(_DEFAULT_QUIET_SHUFFLE_MAX)))
+#: Seconds to cool down between gate re-draws; env-tunable so the CLI
+#: contract test can exercise the refusal path without real sleeps.
+QUIET_COOLDOWN_SEC = float(
+    os.environ.get("SPARK_GRAFT_QUIET_COOLDOWN_SEC", "15"))
 
 
 def _host_is_quiet(sentinel: float, sentinel_shuffle: float,
-                   cpu_max: float = None,
-                   shuffle_max: float = None) -> bool:
+                   cpu_max: float | None = None,
+                   shuffle_max: float | None = None) -> bool:
     """True when both frozen sentinels sit inside their quiet-host
     bands — the precondition for a bench number to be comparable
     round-over-round."""
@@ -161,7 +172,7 @@ def main() -> None:
                   f"{QUIET_CPU_MAX} or shuffle {sentinel_shuffle} > "
                   f"{QUIET_SHUFFLE_MAX}), cooling down "
                   f"(retry {attempt + 1}/2)...", file=sys.stderr)
-            time.sleep(15)
+            time.sleep(QUIET_COOLDOWN_SEC)
             sentinel = _sentinel_seconds(spark)
             sentinel_shuffle = _sentinel_shuffle_seconds(spark)
         if not _host_is_quiet(sentinel, sentinel_shuffle):

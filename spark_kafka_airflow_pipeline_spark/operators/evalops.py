@@ -1292,7 +1292,10 @@ def isotonic_calibration_bins(spark: SparkSession,
                     (F.col("cp") - F.col("n_pos")).alias("cp_j0"))
     hi = pre.select(F.col("bin").alias("k"), F.col("cn").alias("cn_k"),
                     F.col("cp").alias("cp_k"))
-    seg = (lo.crossJoin(hi).filter(F.col("j") <= F.col("k"))
+    # explicit broadcast on the CALIB_BINS-row lattice side: constant
+    # size by construction, so the cross product must never plan as a
+    # partitioned nested loop (r13 verdict plan-hygiene residual)
+    seg = (lo.crossJoin(F.broadcast(hi)).filter(F.col("j") <= F.col("k"))
            .select("j", "k",
                    F.expr(ppm("cp_k - cp_j0", "cn_k - cn_j0"))
                    .alias("mean_ppm")))

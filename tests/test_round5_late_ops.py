@@ -499,8 +499,12 @@ def test_bench_quiet_gate_bands(monkeypatch):
     turn this test red (the transient-host-state coupling class)."""
     import bench
 
-    monkeypatch.setattr(bench, "QUIET_CPU_MAX", 0.62)
-    monkeypatch.setattr(bench, "QUIET_SHUFFLE_MAX", 0.92)
+    # pin from the single source of truth (r13 ADVICE: hardcoded 0.62/
+    # 0.92 copies here would silently validate stale bands if the
+    # shipped defaults were ever retuned)
+    monkeypatch.setattr(bench, "QUIET_CPU_MAX", bench._DEFAULT_QUIET_CPU_MAX)
+    monkeypatch.setattr(bench, "QUIET_SHUFFLE_MAX",
+                        bench._DEFAULT_QUIET_SHUFFLE_MAX)
     # worst recorded driver draws (r8 CPU 0.516, r11 shuffle 0.766)
     assert bench._host_is_quiet(0.516, 0.766)
     # either sentinel above its band -> not quiet
@@ -522,3 +526,34 @@ def test_bench_quiet_gate_bands(monkeypatch):
         s, sh = parsed.get("sentinel"), parsed.get("sentinel_shuffle")
         if s is not None and sh is not None:
             assert bench._host_is_quiet(s, sh), p.name
+
+
+def test_bench_quiet_gate_cli_refusal_contract():
+    """The --quiet-gate CLI contract the driver relies on (r13 verdict
+    ask #6): a refusing gate must exit 3 and emit NO JSON line on
+    stdout — the band test above pins the predicate, this pins the
+    process boundary. Refusal is forced via the DOCUMENTED env
+    overrides (cpu band 0 => every sentinel draw reads "loaded"), so
+    the test is host-load-independent in BOTH directions; sf0.001 +
+    zero cooldown keep the subprocess to one small JVM and no sleeps."""
+    import os
+    import subprocess
+
+    import bench
+
+    if not Path("/root/testdata/sf0.001").is_dir():
+        pytest.skip("/root/testdata/sf0.001 absent on this host")
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4",
+               SPARK_GRAFT_QUIET_CPU_MAX="0",
+               SPARK_GRAFT_QUIET_SHUFFLE_MAX="0",
+               SPARK_GRAFT_QUIET_COOLDOWN_SEC="0")
+    proc = subprocess.run(
+        [sys.executable, bench.__file__, "--quiet-gate"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-2000:])
+    json_lines = [ln for ln in proc.stdout.splitlines()
+                  if ln.startswith("{")]
+    assert not json_lines, json_lines
+    assert "refusing to record" in proc.stderr
