@@ -84,8 +84,13 @@ def _footer_row_count(path: str) -> int:
         files = [f for f in sorted(p.rglob("*.parquet"))
                  if not any(part.startswith(("_", "."))
                             for part in f.relative_to(p).parts)]
-    else:
+    elif p.is_file():
         files = [p]
+    else:
+        # missing layout (e.g. another process's overwrite delete phase
+        # won the race) counts as 0 rows — a guaranteed mismatch that
+        # routes into the idempotent repair write, never a crash
+        return 0
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
@@ -124,10 +129,13 @@ def bucketed_tables(spark: SparkSession, sf_dir: str,
         cat_name = f"bkt_{tname}_{token}"
         src = table(spark, sf_dir, tname).withColumn("orderkey",
                                                      F.col(key))
+        # single source of truth for the table location: the writer and
+        # the footer probe must never disagree on the layout path
+        tdir = f"{_WAREHOUSE}/{token}/{tname}"
 
-        def write(df=src, cat=cat_name, path=tname):
+        def write(df=src, cat=cat_name, loc=tdir):
             (df.write.mode("overwrite").format("parquet")
-             .option("path", f"{_WAREHOUSE}/{token}/{path}")
+             .option("path", loc)
              .bucketBy(n_buckets, "orderkey").sortBy("orderkey")
              .saveAsTable(cat))
 
@@ -148,9 +156,17 @@ def bucketed_tables(spark: SparkSession, sf_dir: str,
                     # also invalidate THIS session's cached file index,
                     # or the returned frame would read the stale listing
                     spark.catalog.refreshTable(cat_name)
-                    if (_footer_row_count(f"{_WAREHOUSE}/{token}/{tname}")
-                            != _footer_row_count(
-                                f"{sf_dir}/{tname}.parquet")):
+                    try:
+                        table_rows = _footer_row_count(tdir)
+                    except (OSError, ValueError):
+                        # unreadable footer (truncated part from a torn
+                        # copy, disk-full remnant): the layout is exactly
+                        # what the repair overwrite exists to replace —
+                        # force the mismatch instead of wedging every
+                        # future session's probe on the bad file
+                        table_rows = -1
+                    if table_rows != _footer_row_count(
+                            f"{sf_dir}/{tname}.parquet"):
                         write()  # repair: overwrite from source is idempotent
                         spark.catalog.refreshTable(cat_name)
                     _BUCKETS_PROBED_OK.add(probe_key)

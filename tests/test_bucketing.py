@@ -148,6 +148,51 @@ def test_bucketed_tables_probe_repairs_doubled_file(spark, tmp_path):
     assert not list(tdir.glob("part-injected-*"))
 
 
+def test_bucketed_tables_probe_repairs_missing_and_corrupt_layout(
+        spark, tmp_path):
+    """(r14 review) The footer probe must ROUTE, not raise, on the two
+    degenerate layouts a lost cross-process race can leave behind: a
+    missing table dir (the other writer's overwrite delete phase won)
+    counts as 0 rows, and an unreadable footer (truncated part file)
+    forces the mismatch — both land in the idempotent repair write.
+    Before the fix either state crashed bucketed_tables, and the
+    corrupt file wedged every FUTURE session's probe too (the rewrite
+    that would delete it could never run)."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    assert scaleops._footer_row_count(str(tmp_path / "nope")) == 0
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("orders", "lineitem"):
+        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+         .coalesce(1).write.parquet(str(sf / f"{t}.parquet")))
+    want = spark.read.parquet(str(sf / "orders.parquet")).count()
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+
+    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    probe_key = (spark.sparkContext.applicationId, token, "orders")
+    tdir = Path(scaleops._WAREHOUSE) / token / "orders"
+
+    # 1) table dir deleted under a registered catalog entry
+    shutil.rmtree(tdir)
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+
+    # 2) one part file truncated to an unreadable stub
+    part = next(p for p in tdir.glob("part-*") if p.suffix == ".parquet")
+    part.write_bytes(part.read_bytes()[:64])
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+
+
 def test_probe_memo_evicts_other_apps():
     """The probe memos drop keys from OTHER applications on entry
     (r12 ADVICE: stopped sessions' keys otherwise accumulate for the
