@@ -204,6 +204,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s "
               f"(median {medians[name]:.3f}s, {n} rows)", file=sys.stderr)
 
+    # CLOSING sentinel re-draw (r14 verdict ask #2): the opening gate
+    # samples host noise only BEFORE the query loop, so a background
+    # burst DURING the run could inflate every recorded timing while
+    # the record still read "gate-passed" (judge-observed in r14: a
+    # gated draw recorded 10.044 s after a mid-run load_avg burst to
+    # 4.3). Re-draw both frozen sentinels after the loop and record
+    # them alongside the opening pair; under --quiet-gate a closing
+    # breach refuses exactly like an opening one (exit 3, no JSON) —
+    # the number is unattributable either way. Non-gated (driver)
+    # runs record both pairs plus the `quiet_close` tag so a noisy
+    # draw is self-describing in the BENCH file.
+    sentinel_close = _sentinel_seconds(spark)
+    sentinel_shuffle_close = _sentinel_shuffle_seconds(spark)
+    quiet_close = _host_is_quiet(sentinel_close, sentinel_shuffle_close)
+    if "--quiet-gate" in sys.argv[1:] and not quiet_close:
+        print(f"# quiet-gate: CLOSING sentinel breached band "
+              f"(sentinel {sentinel_close} > {QUIET_CPU_MAX} or shuffle "
+              f"{sentinel_shuffle_close} > {QUIET_SHUFFLE_MAX}, load_avg "
+              f"{os.getloadavg()}) — a mid-run load burst makes this "
+              f"draw unattributable; refusing to record",
+              file=sys.stderr)
+        spark.stop()
+        sys.exit(3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -218,9 +242,15 @@ def main() -> None:
         "value_median": round(sum(medians.values()), 3),
         "sf": float(sf),
         # host-noise calibration: compare `sentinel` (fixed code, min of
-        # 3) across BENCH_r{N}.json files — if it moved, the host moved
+        # 3) across BENCH_r{N}.json files — if it moved, the host moved.
+        # The `_close` pair is re-drawn AFTER the query loop (r14 ask
+        # #2): opening quiet + closing loud = a mid-run burst, and the
+        # per-query numbers of that draw are unattributable.
         "sentinel": sentinel,
         "sentinel_shuffle": sentinel_shuffle,
+        "sentinel_close": sentinel_close,
+        "sentinel_shuffle_close": sentinel_shuffle_close,
+        "quiet_close": quiet_close,
         "load_avg": list(os.getloadavg()),
     }))
     spark.stop()

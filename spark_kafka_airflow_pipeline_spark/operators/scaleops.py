@@ -62,35 +62,52 @@ _BUCKETS_PROBED_OK: set[tuple[str, str, str]] = set()
 _PROBE_LOCK = threading.Lock()
 
 
-def _footer_row_count(path: str) -> int:
+def _footer_row_count(path: str, *, missing_ok: bool = False) -> int:
     """Row count from parquet FOOTERS only — a single file's metadata,
-    or the sum over a directory's committed data files (Hadoop hidden
-    rule: any path component starting with ``_``/``.`` is invisible to
-    Spark's listing, so ``_temporary``/``_SUCCESS``/checksum droppings
-    must not count). Replaces the probe's two full-table ``count()``s
-    (r13 verdict residual): O(files) metadata fetches instead of two
-    scan jobs, and it sees exactly the doubled-part-file footprint the
-    probe exists to catch (the torn write lands an extra committed
-    part, which both Spark's listing and this sum include). The probe
-    targets the local scratch warehouse and one source table, so a
-    driver-side listing is the right altitude; at warehouse scale the
-    metastore commit protocol replaces the probe entirely (see
-    bucketed_tables)."""
+    or the sum over a directory's committed data files. The directory
+    listing mirrors Spark's InMemoryFileIndex rule exactly (r14
+    ADVICE): ALL non-hidden files count, not just ``*.parquet`` — a
+    stray committed file without the suffix would be read by Spark but
+    was invisible to a suffix-filtered sum, so here it is footer-read
+    like any other entry and, being unparseable as parquet, raises —
+    which the scratch-side caller converts to a forced mismatch and
+    repairs away. The Hadoop hidden rule still applies: any path
+    component starting with ``_``/``.`` is invisible to Spark's
+    listing, so ``_temporary``/``_SUCCESS``/checksum droppings must
+    not count. Replaces the probe's two full-table ``count()``s (r13
+    verdict residual): O(files) metadata fetches instead of two scan
+    jobs, and it sees exactly the doubled-part-file footprint the
+    probe exists to catch. The probe targets the local scratch
+    warehouse and one source table, so a driver-side listing is the
+    right altitude; at warehouse scale the metastore commit protocol
+    replaces the probe entirely (see bucketed_tables).
+
+    ``missing_ok`` scopes the degenerate-layout treatment to the
+    SCRATCH side only (r14 ADVICE): a missing-or-empty scratch layout
+    (another process's overwrite delete phase won the race) counts as
+    0 rows — a guaranteed mismatch that routes into the idempotent
+    repair write, never a crash. The SOURCE side must never get that
+    treatment: a missing source path with a missing scratch layout
+    would read 0 == 0, mark the probe green and memoize WITHOUT
+    repairing, deferring the failure to a later confusing read error —
+    so by default a missing path (or a dir with no committed data
+    files) raises ``FileNotFoundError`` at the probe instead."""
     import pyarrow.parquet as pq  # noqa: PLC0415 — probe-only path
     from pathlib import Path  # noqa: PLC0415
 
     p = Path(path)
     if p.is_dir():
-        files = [f for f in sorted(p.rglob("*.parquet"))
-                 if not any(part.startswith(("_", "."))
-                            for part in f.relative_to(p).parts)]
+        files = [f for f in sorted(p.rglob("*")) if f.is_file()
+                 and not any(part.startswith(("_", "."))
+                             for part in f.relative_to(p).parts)]
     elif p.is_file():
         files = [p]
     else:
-        # missing layout (e.g. another process's overwrite delete phase
-        # won the race) counts as 0 rows — a guaranteed mismatch that
-        # routes into the idempotent repair write, never a crash
-        return 0
+        files = []
+    if not files and not missing_ok:
+        raise FileNotFoundError(
+            f"no committed data files under {path!r} — refusing the "
+            f"0-rows degenerate treatment outside the scratch layout")
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
@@ -157,14 +174,21 @@ def bucketed_tables(spark: SparkSession, sf_dir: str,
                     # or the returned frame would read the stale listing
                     spark.catalog.refreshTable(cat_name)
                     try:
-                        table_rows = _footer_row_count(tdir)
+                        table_rows = _footer_row_count(tdir,
+                                                       missing_ok=True)
                     except (OSError, ValueError):
                         # unreadable footer (truncated part from a torn
-                        # copy, disk-full remnant): the layout is exactly
-                        # what the repair overwrite exists to replace —
-                        # force the mismatch instead of wedging every
-                        # future session's probe on the bad file
+                        # copy, disk-full remnant) or a stray committed
+                        # non-parquet file (visible to Spark's listing
+                        # but unparseable as a footer): the layout is
+                        # exactly what the repair overwrite exists to
+                        # replace — force the mismatch instead of
+                        # wedging every future session's probe on it
                         table_rows = -1
+                    # SOURCE side deliberately has no missing_ok and no
+                    # except: a missing/empty source must RAISE here (and
+                    # skip the memo add below) rather than read 0 == 0
+                    # green against a missing scratch layout (r14 ADVICE)
                     if table_rows != _footer_row_count(
                             f"{sf_dir}/{tname}.parquet"):
                         write()  # repair: overwrite from source is idempotent

@@ -4,6 +4,7 @@ Exchange on either side."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.io.bucketing import (
@@ -164,7 +165,12 @@ def test_bucketed_tables_probe_repairs_missing_and_corrupt_layout(
 
     from spark_kafka_airflow_pipeline_spark.operators import scaleops
 
-    assert scaleops._footer_row_count(str(tmp_path / "nope")) == 0
+    # the 0-rows degenerate treatment is OPT-IN (scratch side only,
+    # r15 ADVICE fix): default raises on a missing path
+    assert scaleops._footer_row_count(str(tmp_path / "nope"),
+                                      missing_ok=True) == 0
+    with pytest.raises(FileNotFoundError):
+        scaleops._footer_row_count(str(tmp_path / "nope"))
 
     sf = tmp_path / "sf"
     sf.mkdir()
@@ -191,6 +197,78 @@ def test_bucketed_tables_probe_repairs_missing_and_corrupt_layout(
     scaleops._BUCKETS_PROBED_OK.discard(probe_key)
     orders, _ = scaleops.bucketed_tables(spark, str(sf))
     assert orders.count() == want
+
+
+def _private_bucketed_sf(spark, tmp_path):
+    """Private sf_dir + green bucketed layout for probe-injection tests
+    (private token, can't poison the shared scratch)."""
+    import hashlib
+    from pathlib import Path
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("orders", "lineitem"):
+        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+         .coalesce(1).write.parquet(str(sf / f"{t}.parquet")))
+    want = spark.read.parquet(str(sf / "orders.parquet")).count()
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
+    probe_key = (spark.sparkContext.applicationId, token, "orders")
+    tdir = Path(scaleops._WAREHOUSE) / token / "orders"
+    return sf, want, probe_key, tdir
+
+
+def test_bucketed_tables_probe_catches_stray_nonparquet_file(
+        spark, tmp_path):
+    """(r14 ADVICE #1) A stray committed data file WITHOUT the .parquet
+    suffix is read by Spark's InMemoryFileIndex (which lists all
+    non-hidden files) but was invisible to the old suffix-filtered
+    footer sum — the probe would have stayed green while Spark's row
+    count inflated. The listing now mirrors Spark's rule: the stray
+    file is footer-read, fails to parse, forces the mismatch, and the
+    repair overwrite removes it."""
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    sf, want, probe_key, tdir = _private_bucketed_sf(spark, tmp_path)
+    (tdir / "stray-datafile").write_bytes(b"not a parquet footer")
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+    assert not (tdir / "stray-datafile").exists()
+    assert probe_key in scaleops._BUCKETS_PROBED_OK
+
+
+def test_bucketed_tables_probe_raises_on_missing_source(
+        spark, tmp_path, monkeypatch):
+    """(r14 ADVICE #2) When the SOURCE parquet is gone, the probe must
+    surface it THERE — not read missing-vs-missing as 0 == 0, mark the
+    probe green, memoize, and defer the failure to a later confusing
+    read error. The raise also skips memoization, so a restored source
+    gets a fresh probe instead of a poisoned memo.
+
+    A source missing at CALL time already raises in table() (Spark's
+    eager schema resolution), so the probe guard covers the race
+    WINDOW: the source vanishes after the source frame is constructed
+    but before the probe compares footers. Model exactly that skew by
+    pinning table() to frames captured while the source existed."""
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.operators import base, scaleops
+
+    sf, _, probe_key, tdir = _private_bucketed_sf(spark, tmp_path)
+    frames = {t: base.table(spark, str(sf), t)
+              for t in ("orders", "lineitem")}
+    monkeypatch.setattr(scaleops, "table",
+                        lambda _s, _d, t: frames[t])
+    shutil.rmtree(sf / "orders.parquet")  # source vanishes
+    shutil.rmtree(tdir)                   # scratch vanishes too (the
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)  # 0 == 0 trap)
+    with pytest.raises(FileNotFoundError):
+        scaleops.bucketed_tables(spark, str(sf))
+    assert probe_key not in scaleops._BUCKETS_PROBED_OK
 
 
 def test_probe_memo_evicts_other_apps():
