@@ -94,6 +94,25 @@ def _host_is_quiet(sentinel: float, sentinel_shuffle: float,
     return sentinel <= cpu_max and sentinel_shuffle <= shuffle_max
 
 
+def _cpu_steal_sec() -> float | None:
+    """Cumulative host-steal seconds from /proc/stat (field 8, summed
+    over all CPUs, USER_HZ=100). The sentinels are min-of-3 ~0.25 s
+    probes, so a PERIODIC steal burst can slip between reps and read
+    in-band at BOTH ends of a run whose long queries integrated the
+    full burst (r15-observed: a 22.7 s draw — 2.8x the quiet total —
+    with all four sentinels in-band and load_avg 5.2). The steal
+    counter integrates by construction: the delta across the query
+    loop is recorded in the JSON (`steal_sec`) as attribution data —
+    not yet a gate; banding it needs a few rounds of recorded deltas.
+    None where /proc/stat is absent (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) / 100.0
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _sentinel_seconds(spark) -> float:
     """Fixed-code host-noise sentinel (min of 3): a frozen scan+agg that
     no round ever edits, so round-over-round drift in THIS number is
@@ -183,6 +202,7 @@ def main() -> None:
             spark.stop()
             sys.exit(3)
 
+    steal_open = _cpu_steal_sec()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
@@ -215,6 +235,10 @@ def main() -> None:
     # the number is unattributable either way. Non-gated (driver)
     # runs record both pairs plus the `quiet_close` tag so a noisy
     # draw is self-describing in the BENCH file.
+    steal_close = _cpu_steal_sec()
+    steal_sec = (round(steal_close - steal_open, 2)
+                 if steal_open is not None and steal_close is not None
+                 else None)
     sentinel_close = _sentinel_seconds(spark)
     sentinel_shuffle_close = _sentinel_shuffle_seconds(spark)
     quiet_close = _host_is_quiet(sentinel_close, sentinel_shuffle_close)
@@ -251,6 +275,10 @@ def main() -> None:
         "sentinel_close": sentinel_close,
         "sentinel_shuffle_close": sentinel_shuffle_close,
         "quiet_close": quiet_close,
+        # host-steal seconds integrated ACROSS the query loop (see
+        # _cpu_steal_sec: periodic bursts dodge min-of-3 sentinels but
+        # not a cumulative counter); attribution data, not yet a gate
+        "steal_sec": steal_sec,
         "load_avg": list(os.getloadavg()),
     }))
     spark.stop()

@@ -652,3 +652,9 @@ def test_bench_records_opening_and_closing_sentinels():
     assert rec["sentinel_shuffle_close"] == 0.0
     assert rec["quiet_close"] is True
     assert "q1_pricing_summary" in rec["queries"]
+    # steal integration across the loop is recorded (None only where
+    # /proc/stat is absent); on this Linux host it must be a number
+    assert "steal_sec" in rec
+    if Path("/proc/stat").is_file():
+        assert isinstance(rec["steal_sec"], (int, float))
+        assert rec["steal_sec"] >= 0
