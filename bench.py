@@ -165,6 +165,17 @@ def _sentinel_shuffle_seconds(spark) -> float:
                 spark.conf.set(k, v)
 
 
+def _refuse_to_record(spark, why: str) -> None:
+    """The quiet-gate refusal contract, shared by the opening and
+    closing gates so they can never drift apart (exit 3, NO JSON line
+    on stdout, a '# quiet-gate: ... refusing to record' diagnostic on
+    stderr) — pinned at the process boundary by the CLI contract tests
+    in tests/test_round5_late_ops.py."""
+    print(f"# quiet-gate: {why} — refusing to record", file=sys.stderr)
+    spark.stop()
+    sys.exit(3)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS",
                           str(_scaled_shuffle_partitions(SF_DIR)))
@@ -195,12 +206,10 @@ def main() -> None:
             sentinel = _sentinel_seconds(spark)
             sentinel_shuffle = _sentinel_shuffle_seconds(spark)
         if not _host_is_quiet(sentinel, sentinel_shuffle):
-            print(f"# quiet-gate: still loaded (sentinel {sentinel}, "
-                  f"shuffle {sentinel_shuffle}, load_avg "
-                  f"{os.getloadavg()}) — refusing to record",
-                  file=sys.stderr)
-            spark.stop()
-            sys.exit(3)
+            _refuse_to_record(
+                spark,
+                f"still loaded (sentinel {sentinel}, shuffle "
+                f"{sentinel_shuffle}, load_avg {os.getloadavg()})")
 
     steal_open = _cpu_steal_sec()
     timings: dict[str, float] = {}
@@ -243,14 +252,12 @@ def main() -> None:
     sentinel_shuffle_close = _sentinel_shuffle_seconds(spark)
     quiet_close = _host_is_quiet(sentinel_close, sentinel_shuffle_close)
     if "--quiet-gate" in sys.argv[1:] and not quiet_close:
-        print(f"# quiet-gate: CLOSING sentinel breached band "
-              f"(sentinel {sentinel_close} > {QUIET_CPU_MAX} or shuffle "
-              f"{sentinel_shuffle_close} > {QUIET_SHUFFLE_MAX}, load_avg "
-              f"{os.getloadavg()}) — a mid-run load burst makes this "
-              f"draw unattributable; refusing to record",
-              file=sys.stderr)
-        spark.stop()
-        sys.exit(3)
+        _refuse_to_record(
+            spark,
+            f"CLOSING sentinel breached band (sentinel {sentinel_close} "
+            f"> {QUIET_CPU_MAX} or shuffle {sentinel_shuffle_close} > "
+            f"{QUIET_SHUFFLE_MAX}, load_avg {os.getloadavg()}) — a "
+            f"mid-run load burst makes this draw unattributable")
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

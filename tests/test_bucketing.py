@@ -99,109 +99,11 @@ def test_bucketed_query_plan_and_parity(spark, sf_dir):
     assert got == expected and got
 
 
-def test_bucketed_tables_probe_repairs_doubled_file(spark, tmp_path):
-    """bucketed_tables carries the same torn-write invariant probe as
-    partitioned_events (r12): a doubled part file in the shared
-    scratch layout — the r10 concurrent-overwrite footprint, join
-    answers exactly 2x — must be caught by the next SESSION's
-    row-count probe and repaired by rewrite. Also pins the memo: with
-    the memo intact the probe is skipped (happy path pays it once)."""
-    import hashlib
-    import shutil
-    from pathlib import Path
-
-    from spark_kafka_airflow_pipeline_spark.operators import scaleops
-
-    # private sf_dir -> private token, can't poison shared scratch
-    sf = tmp_path / "sf"
-    sf.mkdir()
-    for t in ("orders", "lineitem"):
-        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
-         .coalesce(1).write.parquet(str(sf / f"{t}.parquet")))
-    want = spark.read.parquet(str(sf / "orders.parquet")).count()
-    orders, _ = scaleops.bucketed_tables(spark, str(sf))
-    assert orders.count() == want
-
-    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
-    tdir = Path(scaleops._WAREHOUSE) / token / "orders"
-    part = next(p for p in tdir.glob("part-*")
-                if not p.name.endswith(".crc"))
-    shutil.copy(part, tdir / f"part-injected-{part.name[5:]}")
-
-    # memo intact -> probe skipped -> doubling unseen this session:
-    # the injected file must SURVIVE this call and its duplicate rows
-    # must be visible in the table (r12 ADVICE: without these asserts
-    # a regression that probes-and-repairs on every call would pass).
-    # The copied file is ONE of the n_buckets bucket files, so the
-    # inflation is that bucket's row count, not a full 2x.
-    dup_rows = spark.read.parquet(str(part)).count()
-    assert dup_rows > 0
-    orders, _ = scaleops.bucketed_tables(spark, str(sf))
-    assert list(tdir.glob("part-injected-*"))
-    spark.catalog.refreshTable(f"bkt_orders_{token}")
-    assert orders.count() == want + dup_rows
-
-    # new session models: drop the memo -> probe sees 2x -> rewrite
-    scaleops._BUCKETS_PROBED_OK.discard(
-        (spark.sparkContext.applicationId, token, "orders"))
-    orders, _ = scaleops.bucketed_tables(spark, str(sf))
-    assert orders.count() == want
-    assert not list(tdir.glob("part-injected-*"))
-
-
-def test_bucketed_tables_probe_repairs_missing_and_corrupt_layout(
-        spark, tmp_path):
-    """(r14 review) The footer probe must ROUTE, not raise, on the two
-    degenerate layouts a lost cross-process race can leave behind: a
-    missing table dir (the other writer's overwrite delete phase won)
-    counts as 0 rows, and an unreadable footer (truncated part file)
-    forces the mismatch — both land in the idempotent repair write.
-    Before the fix either state crashed bucketed_tables, and the
-    corrupt file wedged every FUTURE session's probe too (the rewrite
-    that would delete it could never run)."""
-    import hashlib
-    import shutil
-    from pathlib import Path
-
-    from spark_kafka_airflow_pipeline_spark.operators import scaleops
-
-    # the 0-rows degenerate treatment is OPT-IN (scratch side only,
-    # r15 ADVICE fix): default raises on a missing path
-    assert scaleops._footer_row_count(str(tmp_path / "nope"),
-                                      missing_ok=True) == 0
-    with pytest.raises(FileNotFoundError):
-        scaleops._footer_row_count(str(tmp_path / "nope"))
-
-    sf = tmp_path / "sf"
-    sf.mkdir()
-    for t in ("orders", "lineitem"):
-        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
-         .coalesce(1).write.parquet(str(sf / f"{t}.parquet")))
-    want = spark.read.parquet(str(sf / "orders.parquet")).count()
-    orders, _ = scaleops.bucketed_tables(spark, str(sf))
-    assert orders.count() == want
-
-    token = hashlib.md5(str(sf).encode()).hexdigest()[:10]
-    probe_key = (spark.sparkContext.applicationId, token, "orders")
-    tdir = Path(scaleops._WAREHOUSE) / token / "orders"
-
-    # 1) table dir deleted under a registered catalog entry
-    shutil.rmtree(tdir)
-    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
-    orders, _ = scaleops.bucketed_tables(spark, str(sf))
-    assert orders.count() == want
-
-    # 2) one part file truncated to an unreadable stub
-    part = next(p for p in tdir.glob("part-*") if p.suffix == ".parquet")
-    part.write_bytes(part.read_bytes()[:64])
-    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
-    orders, _ = scaleops.bucketed_tables(spark, str(sf))
-    assert orders.count() == want
-
-
 def _private_bucketed_sf(spark, tmp_path):
     """Private sf_dir + green bucketed layout for probe-injection tests
-    (private token, can't poison the shared scratch)."""
+    (private token, can't poison the shared scratch). Single source for
+    the sf-build/token/probe_key/tdir block the four probe tests below
+    share — the scratch layout and token scheme live in one place."""
     import hashlib
     from pathlib import Path
 
@@ -219,6 +121,79 @@ def _private_bucketed_sf(spark, tmp_path):
     probe_key = (spark.sparkContext.applicationId, token, "orders")
     tdir = Path(scaleops._WAREHOUSE) / token / "orders"
     return sf, want, probe_key, tdir
+
+
+def test_bucketed_tables_probe_repairs_doubled_file(spark, tmp_path):
+    """bucketed_tables carries the same torn-write invariant probe as
+    partitioned_events (r12): a doubled part file in the shared
+    scratch layout — the r10 concurrent-overwrite footprint, join
+    answers exactly 2x — must be caught by the next SESSION's
+    row-count probe and repaired by rewrite. Also pins the memo: with
+    the memo intact the probe is skipped (happy path pays it once)."""
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    sf, want, probe_key, tdir = _private_bucketed_sf(spark, tmp_path)
+    part = next(p for p in tdir.glob("part-*")
+                if not p.name.endswith(".crc"))
+    shutil.copy(part, tdir / f"part-injected-{part.name[5:]}")
+
+    # memo intact -> probe skipped -> doubling unseen this session:
+    # the injected file must SURVIVE this call and its duplicate rows
+    # must be visible in the table (r12 ADVICE: without these asserts
+    # a regression that probes-and-repairs on every call would pass).
+    # The copied file is ONE of the n_buckets bucket files, so the
+    # inflation is that bucket's row count, not a full 2x.
+    dup_rows = spark.read.parquet(str(part)).count()
+    assert dup_rows > 0
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert list(tdir.glob("part-injected-*"))
+    spark.catalog.refreshTable(f"bkt_orders_{probe_key[1]}")
+    assert orders.count() == want + dup_rows
+
+    # new session models: drop the memo -> probe sees 2x -> rewrite
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+    assert not list(tdir.glob("part-injected-*"))
+
+
+def test_bucketed_tables_probe_repairs_missing_and_corrupt_layout(
+        spark, tmp_path):
+    """(r14 review) The footer probe must ROUTE, not raise, on the two
+    degenerate layouts a lost cross-process race can leave behind: a
+    missing table dir (the other writer's overwrite delete phase won)
+    counts as 0 rows, and an unreadable footer (truncated part file)
+    forces the mismatch — both land in the idempotent repair write.
+    Before the fix either state crashed bucketed_tables, and the
+    corrupt file wedged every FUTURE session's probe too (the rewrite
+    that would delete it could never run)."""
+    import shutil
+
+    from spark_kafka_airflow_pipeline_spark.operators import scaleops
+
+    # the 0-rows degenerate treatment is OPT-IN (scratch side only,
+    # r15 ADVICE fix): default raises on a missing path
+    assert scaleops._footer_row_count(str(tmp_path / "nope"),
+                                      missing_ok=True) == 0
+    with pytest.raises(FileNotFoundError):
+        scaleops._footer_row_count(str(tmp_path / "nope"))
+
+    sf, want, probe_key, tdir = _private_bucketed_sf(spark, tmp_path)
+
+    # 1) table dir deleted under a registered catalog entry
+    shutil.rmtree(tdir)
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
+
+    # 2) one part file truncated to an unreadable stub
+    part = next(p for p in tdir.glob("part-*") if p.suffix == ".parquet")
+    part.write_bytes(part.read_bytes()[:64])
+    scaleops._BUCKETS_PROBED_OK.discard(probe_key)
+    orders, _ = scaleops.bucketed_tables(spark, str(sf))
+    assert orders.count() == want
 
 
 def test_bucketed_tables_probe_catches_stray_nonparquet_file(

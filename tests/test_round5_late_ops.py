@@ -528,6 +528,26 @@ def test_bench_quiet_gate_bands(monkeypatch):
             assert bench._host_is_quiet(s, sh), p.name
 
 
+def _quiet_gate_env(bench, cpu_max=None, shuffle_max=None):
+    """Subprocess env for the quiet-gate CLI contract tests: sf0.001 +
+    a small JVM + zero cooldown, with the quiet bands pinned — to the
+    SHIPPED single-source defaults unless a test overrides them — so a
+    host's own SPARK_GRAFT_QUIET_* env can't flip a scripted outcome
+    (the transient-host-state coupling class)."""
+    import os
+
+    return dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_QUIET_CPU_MAX=str(
+            bench._DEFAULT_QUIET_CPU_MAX if cpu_max is None else cpu_max),
+        SPARK_GRAFT_QUIET_SHUFFLE_MAX=str(
+            bench._DEFAULT_QUIET_SHUFFLE_MAX if shuffle_max is None
+            else shuffle_max),
+        SPARK_GRAFT_QUIET_COOLDOWN_SEC="0")
+
+
 def test_bench_quiet_gate_cli_refusal_contract():
     """The --quiet-gate CLI contract the driver relies on (r13 verdict
     ask #6): a refusing gate must exit 3 and emit NO JSON line on
@@ -536,19 +556,13 @@ def test_bench_quiet_gate_cli_refusal_contract():
     overrides (cpu band 0 => every sentinel draw reads "loaded"), so
     the test is host-load-independent in BOTH directions; sf0.001 +
     zero cooldown keep the subprocess to one small JVM and no sleeps."""
-    import os
     import subprocess
 
     import bench
 
     if not Path("/root/testdata/sf0.001").is_dir():
         pytest.skip("/root/testdata/sf0.001 absent on this host")
-    env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4",
-               SPARK_GRAFT_QUIET_CPU_MAX="0",
-               SPARK_GRAFT_QUIET_SHUFFLE_MAX="0",
-               SPARK_GRAFT_QUIET_COOLDOWN_SEC="0")
+    env = _quiet_gate_env(bench, cpu_max="0", shuffle_max="0")
     proc = subprocess.run(
         [sys.executable, bench.__file__, "--quiet-gate"],
         capture_output=True, text=True, timeout=600, env=env)
@@ -586,23 +600,13 @@ def test_bench_quiet_gate_closing_sentinel_breach():
     to 10.044 s. Scripted draws: opening pair in-band (gate passes,
     loop runs), closing pair far out of band -> exit 3, no JSON line,
     and the diagnostic names the CLOSING sentinel."""
-    import os
     import subprocess
 
     import bench
 
     if not Path("/root/testdata/sf0.001").is_dir():
         pytest.skip("/root/testdata/sf0.001 absent on this host")
-    env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4",
-               # pin to the shipped defaults (from the single source,
-               # not copies) so a host's own SPARK_GRAFT_QUIET_* env
-               # overrides can't flip the scripted outcome
-               SPARK_GRAFT_QUIET_CPU_MAX=str(bench._DEFAULT_QUIET_CPU_MAX),
-               SPARK_GRAFT_QUIET_SHUFFLE_MAX=str(
-                   bench._DEFAULT_QUIET_SHUFFLE_MAX),
-               SPARK_GRAFT_QUIET_COOLDOWN_SEC="0")
+    env = _quiet_gate_env(bench)
     code = _CLOSING_GATE_DRIVER.format(cpu="[0.0, 999.0]",
                                        sh="[0.0, 999.0]")
     proc = subprocess.run(
@@ -623,20 +627,13 @@ def test_bench_records_opening_and_closing_sentinels():
     in-band -> exit 0, one JSON line carrying sentinel,
     sentinel_shuffle, sentinel_close, sentinel_shuffle_close and
     quiet_close=True."""
-    import os
     import subprocess
 
     import bench
 
     if not Path("/root/testdata/sf0.001").is_dir():
         pytest.skip("/root/testdata/sf0.001 absent on this host")
-    env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4",
-               SPARK_GRAFT_QUIET_CPU_MAX=str(bench._DEFAULT_QUIET_CPU_MAX),
-               SPARK_GRAFT_QUIET_SHUFFLE_MAX=str(
-                   bench._DEFAULT_QUIET_SHUFFLE_MAX),
-               SPARK_GRAFT_QUIET_COOLDOWN_SEC="0")
+    env = _quiet_gate_env(bench)
     code = _CLOSING_GATE_DRIVER.format(cpu="[0.0, 0.0]", sh="[0.0, 0.0]")
     proc = subprocess.run(
         [sys.executable, "-c", code],
