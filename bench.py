@@ -82,6 +82,24 @@ QUIET_SHUFFLE_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_SHUFFLE_MAX",
 QUIET_COOLDOWN_SEC = float(
     os.environ.get("SPARK_GRAFT_QUIET_COOLDOWN_SEC", "15"))
 
+#: --quiet-gate ceiling for steal_sec, the host-steal seconds INTEGRATED
+#: across the query loop (r15 verdict ask: the min-of-3 ~0.25 s
+#: sentinels sample noise at the run's ends only, so a PERIODIC steal
+#: burst can read in-band at both ends of a run whose long queries
+#: integrated the full burst — r15-observed: 22.717 s total, all four
+#: sentinels in-band, steal 12+). Derived from the r15 calibration
+#: series (steal_sec -> total, sf0.1): 0.14 -> 6.358 and 0.36 -> 6.492
+#: (best-ever draws), 0.47 -> 7.709, 1.03 -> 7.380 (driver), 4.12 ->
+#: 8.422, 9.74 -> 8.500, 12.2 -> 8.972 (judge), 22.7 -> burst-refused.
+#: A quiet sf0.1 draw reads <~1-4 s integrated steal; above ~4 s the
+#: total is visibly steal-inflated and unattributable. Same SF caveat
+#: as the sentinel bands: steal integrates over WALL TIME, so the
+#: default is calibrated for the default sf0.1 run length — override
+#: the env var when gating a much longer (bigger-SF) run.
+_DEFAULT_QUIET_STEAL_MAX = 4.0
+QUIET_STEAL_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_MAX",
+                                       str(_DEFAULT_QUIET_STEAL_MAX)))
+
 
 def _host_is_quiet(sentinel: float, sentinel_shuffle: float,
                    cpu_max: float | None = None,
@@ -94,21 +112,45 @@ def _host_is_quiet(sentinel: float, sentinel_shuffle: float,
     return sentinel <= cpu_max and sentinel_shuffle <= shuffle_max
 
 
+def _steal_is_quiet(steal_sec: float | None,
+                    steal_max: float | None = None) -> bool:
+    """True when the loop-integrated host-steal seconds sit inside the
+    quiet band — the steal twin of _host_is_quiet. None (no /proc/stat,
+    non-Linux) is quiet by fiat: there is nothing to gate on."""
+    steal_max = QUIET_STEAL_MAX if steal_max is None else steal_max
+    return steal_sec is None or steal_sec <= steal_max
+
+
+def _clock_ticks_per_sec() -> float:
+    """Kernel USER_HZ for scaling /proc/stat tick counters to seconds.
+    os.sysconf('SC_CLK_TCK') is the portable source (r15 ADVICE: the
+    previous hardcoded 100.0 is almost always right but a mismatched
+    kernel would silently mis-scale every recorded steal_sec the band
+    was calibrated from); 100 only as the fallback where sysconf is
+    unavailable or errors."""
+    try:
+        ticks = os.sysconf("SC_CLK_TCK")
+        return float(ticks) if ticks > 0 else 100.0
+    except (AttributeError, OSError, ValueError):
+        return 100.0
+
+
 def _cpu_steal_sec() -> float | None:
     """Cumulative host-steal seconds from /proc/stat (field 8, summed
-    over all CPUs, USER_HZ=100). The sentinels are min-of-3 ~0.25 s
-    probes, so a PERIODIC steal burst can slip between reps and read
-    in-band at BOTH ends of a run whose long queries integrated the
-    full burst (r15-observed: a 22.7 s draw — 2.8x the quiet total —
-    with all four sentinels in-band and load_avg 5.2). The steal
-    counter integrates by construction: the delta across the query
-    loop is recorded in the JSON (`steal_sec`) as attribution data —
-    not yet a gate; banding it needs a few rounds of recorded deltas.
-    None where /proc/stat is absent (non-Linux)."""
+    over all CPUs, ticks scaled by SC_CLK_TCK). The sentinels are
+    min-of-3 ~0.25 s probes, so a PERIODIC steal burst can slip between
+    reps and read in-band at BOTH ends of a run whose long queries
+    integrated the full burst (r15-observed: a 22.7 s draw — 2.8x the
+    quiet total — with all four sentinels in-band and load_avg 5.2).
+    The steal counter integrates by construction: the delta across the
+    query loop is recorded in the JSON (`steal_sec`) and, under
+    --quiet-gate, banded against QUIET_STEAL_MAX exactly like the
+    sentinels (r15 verdict ask #2). None where /proc/stat is absent
+    (non-Linux)."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
-        return int(parts[8]) / 100.0
+        return int(parts[8]) / _clock_ticks_per_sec()
     except (OSError, IndexError, ValueError):
         return None
 
@@ -251,17 +293,11 @@ def main() -> None:
     sentinel_close = _sentinel_seconds(spark)
     sentinel_shuffle_close = _sentinel_shuffle_seconds(spark)
     quiet_close = _host_is_quiet(sentinel_close, sentinel_shuffle_close)
-    if "--quiet-gate" in sys.argv[1:] and not quiet_close:
-        _refuse_to_record(
-            spark,
-            f"CLOSING sentinel breached band (sentinel {sentinel_close} "
-            f"> {QUIET_CPU_MAX} or shuffle {sentinel_shuffle_close} > "
-            f"{QUIET_SHUFFLE_MAX}, load_avg {os.getloadavg()}) — a "
-            f"mid-run load burst makes this draw unattributable")
+    quiet_steal = _steal_is_quiet(steal_sec)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -284,10 +320,42 @@ def main() -> None:
         "quiet_close": quiet_close,
         # host-steal seconds integrated ACROSS the query loop (see
         # _cpu_steal_sec: periodic bursts dodge min-of-3 sentinels but
-        # not a cumulative counter); attribution data, not yet a gate
+        # not a cumulative counter); banded under --quiet-gate since
+        # r16 (r15 verdict ask #2)
         "steal_sec": steal_sec,
+        "quiet_steal": quiet_steal,
+        # the band values THIS record was drawn/gated under, so a
+        # BENCH file is self-describing even after a retune or an env
+        # override (r15 verdict ask #2: BENCH_r16 carries the bands)
+        "quiet_bands": {"cpu_max": QUIET_CPU_MAX,
+                        "shuffle_max": QUIET_SHUFFLE_MAX,
+                        "steal_max": QUIET_STEAL_MAX},
         "load_avg": list(os.getloadavg()),
-    }))
+    }
+
+    if "--quiet-gate" in sys.argv[1:] and not (quiet_close and quiet_steal):
+        # keep feeding the calibration series even on refusal (r15
+        # ADVICE): the completed run's would-be record goes to stderr
+        # as a '#'-prefixed diagnostic — the no-JSON-on-stdout refusal
+        # contract is untouched, but the steal_sec/timing datapoint the
+        # banding work wants to accumulate is not thrown away
+        print(f"# refused-record: {json.dumps(record)}", file=sys.stderr)
+        why = []
+        if not quiet_close:
+            why.append(
+                f"CLOSING sentinel breached band (sentinel "
+                f"{sentinel_close} > {QUIET_CPU_MAX} or shuffle "
+                f"{sentinel_shuffle_close} > {QUIET_SHUFFLE_MAX})")
+        if not quiet_steal:
+            why.append(
+                f"integrated host steal breached band (steal_sec "
+                f"{steal_sec} > {QUIET_STEAL_MAX})")
+        _refuse_to_record(
+            spark,
+            f"{'; '.join(why)} (load_avg {os.getloadavg()}) — a "
+            f"mid-run load burst makes this draw unattributable")
+
+    print(json.dumps(record))
     spark.stop()
 
 

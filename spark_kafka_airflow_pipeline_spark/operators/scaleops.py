@@ -65,8 +65,13 @@ _PROBE_LOCK = threading.Lock()
 def _footer_row_count(path: str, *, missing_ok: bool = False) -> int:
     """Row count from parquet FOOTERS only — a single file's metadata,
     or the sum over a directory's committed data files. The directory
-    listing mirrors Spark's InMemoryFileIndex rule exactly (r14
-    ADVICE): ALL non-hidden files count, not just ``*.parquet`` — a
+    listing mirrors Spark's InMemoryFileIndex rule for the layouts this
+    probe can see (r14 ADVICE; NOT a full-parity claim — r15 ADVICE:
+    Spark's ``shouldFilterOutPathName`` additionally readmits
+    ``_metadata``/``_common_metadata`` summary files and
+    underscore-prefixed partition components containing ``=``, neither
+    of which can occur under this probe's scratch/source scope): ALL
+    non-hidden files count, not just ``*.parquet`` — a
     stray committed file without the suffix would be read by Spark but
     was invisible to a suffix-filtered sum, so here it is footer-read
     like any other entry and, being unparseable as parquet, raises —

@@ -457,6 +457,24 @@ def test_refresh_sla_matches_pool_arithmetic():
     import math
 
     gen_earmark = _import_gen_earmark()
+    # The pinned-once exemption list is pinned BY NAME (r15 verdict ask
+    # #3): the SLA arithmetic alone pins only the pool SIZE, so a
+    # fourth silently-added exemption could shrink the rotating pool
+    # unnoticed (334 - 4 = 330 names still ceil to 7 rounds). Each of
+    # these three is a rows-only row adjudicated once, with a pytest
+    # property check standing in for the missing DuckDB oracle — adding
+    # a name here requires the same adjudication, so the set drifting
+    # must fail loudly.
+    assert gen_earmark.EXEMPT == {
+        "embedding_principal_component",
+        "parquet_footer_stats",
+        "approx_distinct_customers",
+    }
+    # and every exemption must be a real queries() entry that is NOT
+    # burning a window slot (an exempt name in the window would defeat
+    # the slot-waste rationale the exemption exists for)
+    assert gen_earmark.EXEMPT <= set(entry_mod.queries())
+    assert not gen_earmark.EXEMPT & set(entry_mod._WINDOW_PRIORITY)
     rotating = len(set(entry_mod.queries()) - gen_earmark.EXEMPT)
     assert math.ceil(rotating / len(entry_mod._WINDOW_PRIORITY)) \
         == entry_mod._REFRESH_SLA_ROUNDS
@@ -527,8 +545,67 @@ def test_bench_quiet_gate_bands(monkeypatch):
         if s is not None and sh is not None:
             assert bench._host_is_quiet(s, sh), p.name
 
+    # steal band (r15 verdict ask #2), pinned against the r15
+    # calibration series the default was derived from: quiet draws
+    # (0.14 -> 6.358 best-ever, 1.03 -> 7.380 driver) sit inside;
+    # the r15-observed bursts that motivated the gate (9.74 -> 8.500,
+    # 12.2 -> 8.972 judge, 22.72 -> the 2.8x burst) sit outside
+    monkeypatch.setattr(bench, "QUIET_STEAL_MAX",
+                        bench._DEFAULT_QUIET_STEAL_MAX)
+    assert bench._steal_is_quiet(None)  # no /proc/stat: nothing to gate
+    assert bench._steal_is_quiet(0.14)
+    assert bench._steal_is_quiet(1.03)
+    assert not bench._steal_is_quiet(9.74)
+    assert not bench._steal_is_quiet(12.2)
+    assert not bench._steal_is_quiet(22.72)
+    # explicit override wins over the module default
+    assert bench._steal_is_quiet(10.0, steal_max=10.0)
+    # the only driver BENCH recorded with steal_sec so far (r15, 1.03)
+    # must sit inside the default band — the gate would never have
+    # blocked that legitimate recording. FIXED round list, same
+    # transient-repo-state rationale as the sentinel loop above.
+    p = Path(bench.__file__).parent / "BENCH_r15.json"
+    if p.is_file():
+        steal = (json.loads(p.read_text()).get("parsed") or {}).get(
+            "steal_sec")
+        if steal is not None:
+            assert bench._steal_is_quiet(steal), steal
 
-def _quiet_gate_env(bench, cpu_max=None, shuffle_max=None):
+
+def test_bench_clock_ticks_portable(monkeypatch):
+    """steal_sec tick scaling must come from os.sysconf('SC_CLK_TCK'),
+    not a hardcoded 100 (r15 ADVICE: USER_HZ is almost always 100, but
+    a mismatched kernel would silently mis-scale every recorded
+    steal_sec the band was calibrated from), with 100.0 only as the
+    fallback where sysconf is unavailable, errors, or reads
+    nonsensical."""
+    import os
+
+    import bench
+
+    # on this host the helper must agree with the real sysconf value
+    assert bench._clock_ticks_per_sec() == float(os.sysconf("SC_CLK_TCK"))
+    # a non-100 kernel value is used as-is, not rounded to 100
+    monkeypatch.setattr(bench.os, "sysconf", lambda name: 250)
+    assert bench._clock_ticks_per_sec() == 250.0
+
+    def boom(name):
+        raise OSError("sysconf unavailable")
+
+    monkeypatch.setattr(bench.os, "sysconf", boom)
+    assert bench._clock_ticks_per_sec() == 100.0
+    # sysconf returning -1 (valueless key) must not flip the sign of
+    # every steal reading
+    monkeypatch.setattr(bench.os, "sysconf", lambda name: -1)
+    assert bench._clock_ticks_per_sec() == 100.0
+    # the reader itself stays well-defined on this Linux host
+    if Path("/proc/stat").is_file():
+        monkeypatch.undo()
+        steal = bench._cpu_steal_sec()
+        assert steal is not None and steal >= 0.0
+
+
+def _quiet_gate_env(bench, cpu_max=None, shuffle_max=None, steal_max=None):
     """Subprocess env for the quiet-gate CLI contract tests: sf0.001 +
     a small JVM + zero cooldown, with the quiet bands pinned — to the
     SHIPPED single-source defaults unless a test overrides them — so a
@@ -545,6 +622,9 @@ def _quiet_gate_env(bench, cpu_max=None, shuffle_max=None):
         SPARK_GRAFT_QUIET_SHUFFLE_MAX=str(
             bench._DEFAULT_QUIET_SHUFFLE_MAX if shuffle_max is None
             else shuffle_max),
+        SPARK_GRAFT_QUIET_STEAL_MAX=str(
+            bench._DEFAULT_QUIET_STEAL_MAX if steal_max is None
+            else steal_max),
         SPARK_GRAFT_QUIET_COOLDOWN_SEC="0")
 
 
@@ -573,19 +653,23 @@ def test_bench_quiet_gate_cli_refusal_contract():
     assert "refusing to record" in proc.stderr
 
 
-#: Subprocess driver for the closing-sentinel contract tests below: the
-#: two sentinel functions are replaced with scripted draws (opening
-#: pair, then closing pair) so the gate outcome is host-load-
-#: independent in both directions, and HEADLINE is cut to one cheap
-#: query so the subprocess stays a single small JVM. bench.main() is
-#: still entered through the real CLI surface (sys.argv + exit code +
-#: stdout/stderr), which is the boundary the driver relies on.
+#: Subprocess driver for the closing-gate contract tests below: the two
+#: sentinel functions AND the steal counter are replaced with scripted
+#: draws (opening then closing) so the gate outcome is host-load-
+#: independent in both directions — once steal is gated (r15 verdict
+#: ask #2), real /proc/stat reads could spuriously refuse the scripted
+#: happy path on a genuinely steal-bursty CI host — and HEADLINE is cut
+#: to one cheap query so the subprocess stays a single small JVM.
+#: bench.main() is still entered through the real CLI surface
+#: (sys.argv + exit code + stdout/stderr), the boundary the driver
+#: relies on.
 _CLOSING_GATE_DRIVER = """
 import sys
 import bench
-draws = {{"cpu": iter({cpu}), "sh": iter({sh})}}
+draws = {{"cpu": iter({cpu}), "sh": iter({sh}), "steal": iter({steal})}}
 bench._sentinel_seconds = lambda spark: next(draws["cpu"])
 bench._sentinel_shuffle_seconds = lambda spark: next(draws["sh"])
+bench._cpu_steal_sec = lambda: next(draws["steal"])
 bench.HEADLINE = ["q1_pricing_summary"]
 sys.argv = ["bench.py", "--quiet-gate"]
 bench.main()
@@ -608,7 +692,8 @@ def test_bench_quiet_gate_closing_sentinel_breach():
         pytest.skip("/root/testdata/sf0.001 absent on this host")
     env = _quiet_gate_env(bench)
     code = _CLOSING_GATE_DRIVER.format(cpu="[0.0, 999.0]",
-                                       sh="[0.0, 999.0]")
+                                       sh="[0.0, 999.0]",
+                                       steal="[0.0, 0.0]")
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True, timeout=600, env=env,
@@ -618,6 +703,61 @@ def test_bench_quiet_gate_closing_sentinel_breach():
                 if ln.startswith("{")]
     assert "CLOSING sentinel breached band" in proc.stderr
     assert "refusing to record" in proc.stderr
+    # steal stayed in band — the refusal must not name it
+    assert "integrated host steal breached band" not in proc.stderr
+    _assert_refused_record(proc.stderr)
+
+
+def _assert_refused_record(stderr: str) -> dict:
+    """The refusal path must still emit the completed run's would-be
+    record as a '#'-prefixed stderr diagnostic (r15 ADVICE: a closing
+    breach used to discard the whole paid run, losing exactly the
+    steal_sec/timing datapoint the calibration series accumulates).
+    Returns the parsed record for further assertions."""
+    lines = [ln for ln in stderr.splitlines()
+             if ln.startswith("# refused-record: ")]
+    assert len(lines) == 1, stderr[-2000:]
+    rec = json.loads(lines[0].removeprefix("# refused-record: "))
+    # the datapoints the calibration wants must be present
+    assert "steal_sec" in rec and "queries" in rec and "value" in rec
+    assert "quiet_bands" in rec
+    return rec
+
+
+def test_bench_quiet_gate_steal_breach():
+    """(r15 verdict ask #2) The gate must refuse on loop-integrated
+    host steal even when all four sentinels read in-band — the exact
+    r15-observed blind spot (22.717 s draw, sentinels quiet, steal 12+:
+    periodic bursts slip BETWEEN the min-of-3 sentinel reps while long
+    queries integrate the full burst). Scripted draws: sentinels all
+    in-band, steal counter jumps 999 ticks-seconds across the loop ->
+    exit 3, no JSON line, the diagnostic names the steal band, and the
+    would-be record still lands on stderr for calibration."""
+    import subprocess
+
+    import bench
+
+    if not Path("/root/testdata/sf0.001").is_dir():
+        pytest.skip("/root/testdata/sf0.001 absent on this host")
+    env = _quiet_gate_env(bench)
+    code = _CLOSING_GATE_DRIVER.format(cpu="[0.0, 0.0]", sh="[0.0, 0.0]",
+                                       steal="[0.0, 999.0]")
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(Path(bench.__file__).parent))
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-2000:])
+    assert not [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")]
+    assert "integrated host steal breached band" in proc.stderr
+    assert "refusing to record" in proc.stderr
+    # sentinels stayed in band — the refusal must not name them
+    assert "CLOSING sentinel breached band" not in proc.stderr
+    rec = _assert_refused_record(proc.stderr)
+    assert rec["steal_sec"] == 999.0
+    assert rec["quiet_steal"] is False
+    assert rec["quiet_close"] is True
+    assert rec["quiet_bands"]["steal_max"] == bench._DEFAULT_QUIET_STEAL_MAX
 
 
 def test_bench_records_opening_and_closing_sentinels():
@@ -634,7 +774,8 @@ def test_bench_records_opening_and_closing_sentinels():
     if not Path("/root/testdata/sf0.001").is_dir():
         pytest.skip("/root/testdata/sf0.001 absent on this host")
     env = _quiet_gate_env(bench)
-    code = _CLOSING_GATE_DRIVER.format(cpu="[0.0, 0.0]", sh="[0.0, 0.0]")
+    code = _CLOSING_GATE_DRIVER.format(cpu="[0.0, 0.0]", sh="[0.0, 0.0]",
+                                       steal="[5.0, 5.5]")
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True, timeout=600, env=env,
@@ -649,9 +790,15 @@ def test_bench_records_opening_and_closing_sentinels():
     assert rec["sentinel_shuffle_close"] == 0.0
     assert rec["quiet_close"] is True
     assert "q1_pricing_summary" in rec["queries"]
-    # steal integration across the loop is recorded (None only where
-    # /proc/stat is absent); on this Linux host it must be a number
-    assert "steal_sec" in rec
-    if Path("/proc/stat").is_file():
-        assert isinstance(rec["steal_sec"], (int, float))
-        assert rec["steal_sec"] >= 0
+    # steal is recorded as the DELTA across the loop (scripted 5.0 ->
+    # 5.5) and judged quiet against the band; the record also carries
+    # the band values it was drawn under (r15 verdict ask #2)
+    assert rec["steal_sec"] == 0.5
+    assert rec["quiet_steal"] is True
+    assert rec["quiet_bands"] == {
+        "cpu_max": bench._DEFAULT_QUIET_CPU_MAX,
+        "shuffle_max": bench._DEFAULT_QUIET_SHUFFLE_MAX,
+        "steal_max": bench._DEFAULT_QUIET_STEAL_MAX,
+    }
+    # a quiet recording run emits no refused-record diagnostic
+    assert "# refused-record:" not in proc.stderr
