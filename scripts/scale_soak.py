@@ -350,6 +350,17 @@ def main() -> None:
                         "rows_1x": rows_1x, f"rows_{n}x": rows_nx}
         print(f"# {name}: 1x {t_1x:.2f}s -> {n}x {t_nx:.2f}s "
               f"(x{t_nx / t_1x:.1f})", file=sys.stderr)
+        # Drop every cached block between OPS (r16): a handful of
+        # operators pin frames by documented design (the
+        # _global_two_phase exchange materialization is data-sized;
+        # the unigram-LM memo is doc-sized) and a sequenced Nx map
+        # accumulates them until the shared 8g JVM OOMs — observed at
+        # 20x after 69 ops, on an op whose own isolated draw is a
+        # quiet x2.8. Clearing only BETWEEN ops keeps each op's
+        # warm->1x->Nx internal memoization (and so the r13-r15 band
+        # comparability) intact while making op N's timing independent
+        # of op N-1's leftovers.
+        spark.catalog.clearCache()
     print(json.dumps({"n": n, "ops": result}))
     spark.stop()
 
