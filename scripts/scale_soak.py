@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.session import get_spark
 from spark_kafka_airflow_pipeline_spark.operators import (
+    base,
     corpusops,
     dedup,
     evalops,
@@ -268,7 +269,19 @@ OPS = {
     # banded+pre-filtered topology should hold the pair-family curve
     "ngram_jaccard_md5_pairs": dedup.ngram_jaccard_md5_pairs,
     "minhash_md5_pairs": dedup.minhash_md5_pairs,
+    # r17: third member of the iterative cluster family — soaked so its
+    # fixpoint iteration telemetry (below) has a row next to
+    # dedup_clusters / embedding_dup_clusters
+    "dedup_clusters_md5": dedup.dedup_clusters_md5,
 }
+
+# The iterative min-label cluster family: after each timed draw the
+# operator records its propagation-round count in
+# base.FIXPOINT_ITERS[name]; the soak row carries it so a convergence
+# regression (more rounds at Nx) is distinguishable from host noise
+# (same rounds, slower wall-clock) — r16 verdict ask #2.
+FIXPOINT_FAMILY = ("dedup_clusters", "dedup_clusters_md5",
+                   "embedding_dup_clusters")
 
 
 def build_events(spark, n: int, out: Path) -> None:
@@ -342,20 +355,27 @@ def main() -> None:
         t = time.perf_counter()
         rows_1x = fn(spark, BASE).count()
         t_1x = time.perf_counter() - t
+        iters_1x = base.FIXPOINT_ITERS.get(name)
         t = time.perf_counter()
         rows_nx = fn(spark, str(out)).count()
         t_nx = time.perf_counter() - t
+        iters_nx = base.FIXPOINT_ITERS.get(name)
         result[name] = {"t_1x": round(t_1x, 2), f"t_{n}x": round(t_nx, 2),
                         "ratio": round(t_nx / t_1x, 1),
                         "rows_1x": rows_1x, f"rows_{n}x": rows_nx}
+        note = ""
+        if name in FIXPOINT_FAMILY:
+            result[name]["iters_1x"] = iters_1x
+            result[name][f"iters_{n}x"] = iters_nx
+            note = f" iters {iters_1x}->{iters_nx}"
         print(f"# {name}: 1x {t_1x:.2f}s -> {n}x {t_nx:.2f}s "
-              f"(x{t_nx / t_1x:.1f})", file=sys.stderr)
+              f"(x{t_nx / t_1x:.1f}){note}", file=sys.stderr)
         # Drop every cached block between OPS (r16): a handful of
         # operators pin frames by documented design (the
         # _global_two_phase exchange materialization is data-sized;
         # the unigram-LM memo is doc-sized) and a sequenced Nx map
         # accumulates them until the shared 8g JVM OOMs — observed at
-        # 20x after 69 ops, on an op whose own isolated draw is a
+        # 20x after 108 ops, on an op whose own isolated draw is a
         # quiet x2.8. Clearing only BETWEEN ops keeps each op's
         # warm->1x->Nx internal memoization (and so the r13-r15 band
         # comparability) intact while making op N's timing independent

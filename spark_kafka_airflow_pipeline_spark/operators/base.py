@@ -38,9 +38,63 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+#: Convergence telemetry for the iterative cluster family: each
+#: min-label fixpoint records how many propagation rounds its LAST run
+#: executed, keyed by operator name. The 20x scale soak emits this
+#: alongside the cluster counts (r16 verdict ask: the cluster-family
+#: tail rows are adjudicated as convergence cost, but without a
+#: per-draw iteration count a convergence regression is
+#: indistinguishable from host noise).
+FIXPOINT_ITERS: dict[str, int] = {}
+
+
+def min_label_fixpoint(sym: DataFrame, id_col: str, telemetry_key: str,
+                       max_rounds: int = 20) -> DataFrame:
+    """Connected components by min-label propagation over a SYMMETRIC
+    edge list ``sym(src, dst)``, iterated to fixpoint: every node ends
+    labeled with its component's minimum id. Returns ``(id_col,
+    label)`` for every node with at least one edge.
+
+    One co-partitioned join + agg per round, both on the node key;
+    convergence is checked with a count of changed labels (near-dup
+    components are dense cliques/stars, so 2-3 rounds suffice; the
+    loop is bounded defensively by ``max_rounds``). Per-round labels
+    are localCheckpoint-ed — iterative lineage growth is what
+    checkpointing exists for (policy note in the module docstring).
+
+    The number of propagation rounds actually executed (including the
+    final round that observed zero changes) is recorded in
+    ``FIXPOINT_ITERS[telemetry_key]`` so soak runs can report
+    convergence cost per draw; iteration count is deterministic for a
+    deterministic edge set (pinned on a fixed path graph in
+    ``tests/test_dedup_similarity.py``).
+    """
+    labels = (sym.select(F.col("src").alias(id_col)).distinct()
+              .withColumn("label", F.col(id_col))
+              .localCheckpoint(eager=True))
+    iters = 0
+    for _ in range(max_rounds):
+        iters += 1
+        nb = (sym.join(labels.withColumnsRenamed(
+                  {id_col: "dst", "label": "dst_label"}), "dst")
+              .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
+        new_labels = (labels.join(nb, labels[id_col] == nb.src, "left")
+                      .select(labels[id_col],
+                              F.least("label", "nb_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), id_col)
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    FIXPOINT_ITERS[telemetry_key] = iters
+    return labels
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.functions import text as T
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, ppm, table
+from spark_kafka_airflow_pipeline_spark.operators.base import (
+    FIXPOINT_ITERS,
+    QueryFn,
+    min_label_fixpoint,
+    ppm,
+    table,
+)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +653,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                   .select("doc_id",
                           F.least("label", F.coalesce("nb_label", "label"))
                           .alias("label")))
+    # Fixed-round by design (no per-round convergence count), but the
+    # soak telemetry reads one registry for the whole cluster family —
+    # a constant 2 here documents that this op's scale curve CANNOT be
+    # iteration growth (unlike its fixpoint twins).
+    FIXPOINT_ITERS["dedup_clusters"] = rounds
     return (labels.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") > 1)
@@ -1631,34 +1642,20 @@ def dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against a DuckDB recursive-CTE reachability oracle: every
     member's cluster id is the component's minimum doc id.
 
-    Min-label propagation: one shuffle per round on the doc key;
-    convergence is checked with a count of changed labels (near-dup
-    components are dense cliques/stars, so 2-3 rounds suffice; the
-    loop is bounded defensively). Edges are localCheckpoint-ed once —
-    each round consumes both join directions."""
+    Min-label propagation (``base.min_label_fixpoint``): one shuffle
+    per round on the doc key; convergence is checked with a count of
+    changed labels (near-dup components are dense cliques/stars, so
+    2-3 rounds suffice; the loop is bounded defensively). Edges are
+    localCheckpoint-ed once — each round consumes both join
+    directions. Rounds executed per run land in
+    ``base.FIXPOINT_ITERS["dedup_clusters_md5"]`` (soak telemetry)."""
     pairs = (minhash_md5_pairs(spark, sf_dir).select("doc_a", "doc_b")
              .localCheckpoint(eager=True))
     sym = (pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
            .union(pairs.select(F.col("doc_b").alias("src"),
                                F.col("doc_a").alias("dst"))))
-    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
-              .localCheckpoint(eager=True))
-    for _ in range(20):
-        nb = (sym.join(labels.withColumnsRenamed(
-                  {"doc_id": "dst", "label": "dst_label"}), "dst")
-              .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
-        new_labels = (labels.join(nb, labels.doc_id == nb.src, "left")
-                      .select(labels.doc_id,
-                              F.least("label", "nb_label").alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_fixpoint(sym, "doc_id", "dedup_clusters_md5")
     return (labels.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") > 1)

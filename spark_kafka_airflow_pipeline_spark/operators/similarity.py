@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_kafka_airflow_pipeline_spark.functions import vectors as V
-from spark_kafka_airflow_pipeline_spark.operators.base import QueryFn, table
+from spark_kafka_airflow_pipeline_spark.operators.base import (
+    QueryFn,
+    min_label_fixpoint,
+    table,
+)
 
 N_QUERIES = 10  # vec_id < 10 form the query set
 TOP_K = 5
@@ -790,10 +794,13 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str,
     ``embedding_near_dups`` cosine-threshold pair graph (the
     SemDeDup-style grouping that keeps one representative per semantic
     duplicate cluster). Same min-label-propagation fixpoint as
-    ``dedup.dedup_clusters_md5`` — one co-partitioned join + agg per
-    round, edge list localCheckpoint-ed once (each round consumes both
-    join directions), convergence by changed-label count; near-dup
-    components are dense, so 2-3 rounds suffice at any scale.
+    ``dedup.dedup_clusters_md5`` (shared ``base.min_label_fixpoint``) —
+    one co-partitioned join + agg per round, edge list
+    localCheckpoint-ed once (each round consumes both join
+    directions), convergence by changed-label count; near-dup
+    components are dense, so 2-3 rounds suffice at any scale. Rounds
+    executed per run land in
+    ``base.FIXPOINT_ITERS["embedding_dup_clusters"]`` (soak telemetry).
 
     The default threshold sits where the SYNTHETIC corpus has
     structure: its embeddings are near-orthogonal (max within-label
@@ -810,23 +817,7 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str,
                         F.col("id_b").alias("dst"))
            .union(pairs.select(F.col("id_b").alias("src"),
                                F.col("id_a").alias("dst"))))
-    labels = (sym.select(F.col("src").alias("vec_id")).distinct()
-              .withColumn("label", F.col("vec_id"))
-              .localCheckpoint(eager=True))
-    for _ in range(20):
-        nb = (sym.join(labels.withColumnsRenamed(
-                  {"vec_id": "dst", "label": "dst_label"}), "dst")
-              .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
-        new_labels = (labels.join(nb, labels.vec_id == nb.src, "left")
-                      .select(labels.vec_id,
-                              F.least("label", "nb_label").alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "vec_id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_fixpoint(sym, "vec_id", "embedding_dup_clusters")
     return (labels.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"))
             .filter(F.col("n_vecs") > 1)

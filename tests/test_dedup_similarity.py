@@ -240,6 +240,54 @@ def test_dedup_clusters_chain(spark, tmp_path):
     assert clusters == {0: 3}, clusters
 
 
+def test_min_label_fixpoint_iters_pinned_on_path_graph(spark):
+    """Convergence telemetry (r16 verdict ask #2): the shared fixpoint
+    helper must record EXACTLY the propagation rounds a fixed graph
+    needs, so a soak-row iteration count is a trustworthy regression
+    signal. A 5-node path 1-2-3-4-5 is the worst case at that size:
+    min-label travels 1 hop/round, so rounds 1-4 each change at least
+    one label and round 5 confirms the fixpoint — 5 rounds exactly."""
+    from spark_kafka_airflow_pipeline_spark.operators.base import (
+        FIXPOINT_ITERS, min_label_fixpoint)
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+    labels = {r["doc_id"]: r["label"] for r in
+              min_label_fixpoint(sym, "doc_id", "_test_path5").collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    assert FIXPOINT_ITERS["_test_path5"] == 5
+    # the side component (10-11) resolves in round 1; the path drives
+    # the count — re-run with only the short edge to pin the floor
+    short = spark.createDataFrame([(10, 11)], "doc_a long, doc_b long")
+    ssym = short.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        short.selectExpr("doc_b AS src", "doc_a AS dst"))
+    min_label_fixpoint(ssym, "doc_id", "_test_edge1")
+    assert FIXPOINT_ITERS["_test_edge1"] == 2
+
+
+def test_cluster_ops_record_fixpoint_iters(spark):
+    """Each member of the iterative cluster family must leave its
+    per-run round count in base.FIXPOINT_ITERS (what scale_soak.py
+    reads for the iters column). sf0.001's edge sets are deterministic,
+    so the counts are pinned values, not just presence checks: both
+    fixpoint twins converge in 1 propagation round + 1 confirming round
+    (near-dup components there are single edges / dense stars), and
+    dedup_clusters reports its fixed-round design constant."""
+    from spark_kafka_airflow_pipeline_spark.operators import similarity
+    from spark_kafka_airflow_pipeline_spark.operators.base import (
+        FIXPOINT_ITERS)
+
+    sf = "/root/testdata/sf0.001"
+    dedup.dedup_clusters(spark, sf).count()
+    assert FIXPOINT_ITERS["dedup_clusters"] == 2
+    dedup.dedup_clusters_md5(spark, sf).count()
+    assert FIXPOINT_ITERS["dedup_clusters_md5"] == 2
+    similarity.embedding_dup_clusters(spark, sf).count()
+    assert FIXPOINT_ITERS["embedding_dup_clusters"] == 2
+
+
 def test_empty_corpus_schema_stability(spark, tmp_path):
     """Every dedup operator must return an EMPTY frame with its normal
     schema on a 0-row documents table — not crash, not change columns
