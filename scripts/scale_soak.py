@@ -276,10 +276,16 @@ OPS = {
 }
 
 # The iterative min-label cluster family: after each timed draw the
-# operator records its propagation-round count in
-# base.FIXPOINT_ITERS[name]; the soak row carries it so a convergence
-# regression (more rounds at Nx) is distinguishable from host noise
-# (same rounds, slower wall-clock) — r16 verdict ask #2.
+# operator records its round count in base.FIXPOINT_ITERS[name]; the
+# soak row carries it so a convergence regression (more rounds at Nx)
+# is distinguishable from host noise (same rounds, slower wall-clock)
+# — r16 verdict ask #2. Cross-member caveat: dedup_clusters reports
+# its FIXED design constant (propagation rounds only, no zero-change
+# confirming round), while the fixpoint twins report executed rounds
+# INCLUDING the confirm — equivalent physical work reads one higher
+# on a fixpoint member. Fixpoint rows also carry converged_{n}x
+# (base.FIXPOINT_CONVERGED) so a max_rounds truncation can't read as
+# a quiet convergence.
 FIXPOINT_FAMILY = ("dedup_clusters", "dedup_clusters_md5",
                    "embedding_dup_clusters")
 
@@ -368,6 +374,11 @@ def main() -> None:
             result[name]["iters_1x"] = iters_1x
             result[name][f"iters_{n}x"] = iters_nx
             note = f" iters {iters_1x}->{iters_nx}"
+            conv = base.FIXPOINT_CONVERGED.get(name)
+            if conv is not None:
+                result[name][f"converged_{n}x"] = conv
+                if not conv:
+                    note += " UNCONVERGED"
         print(f"# {name}: 1x {t_1x:.2f}s -> {n}x {t_nx:.2f}s "
               f"(x{t_nx / t_1x:.1f}){note}", file=sys.stderr)
         # Drop every cached block between OPS (r16): a handful of

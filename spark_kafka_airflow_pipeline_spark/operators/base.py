@@ -52,6 +52,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 #: indistinguishable from host noise).
 FIXPOINT_ITERS: dict[str, int] = {}
 
+#: Whether the LAST run actually reached its fixpoint (zero changed
+#: labels) or was truncated by ``max_rounds`` — without this a soak
+#: reader could not tell "converged at 20" from "gave up at 20 with
+#: non-minimal labels". Fixed-round operators (``dedup_clusters``) do
+#: not write here: they have no convergence check by design.
+FIXPOINT_CONVERGED: dict[str, bool] = {}
+
 
 def min_label_fixpoint(sym: DataFrame, id_col: str, telemetry_key: str,
                        max_rounds: int = 20) -> DataFrame:
@@ -69,8 +76,13 @@ def min_label_fixpoint(sym: DataFrame, id_col: str, telemetry_key: str,
 
     The number of propagation rounds actually executed (including the
     final round that observed zero changes) is recorded in
-    ``FIXPOINT_ITERS[telemetry_key]`` so soak runs can report
-    convergence cost per draw; iteration count is deterministic for a
+    ``FIXPOINT_ITERS[telemetry_key]``, and whether the run truly
+    converged (vs. hit ``max_rounds`` with labels still changing —
+    possible only on a component of diameter > max_rounds, where the
+    returned labels would NOT be component minima) in
+    ``FIXPOINT_CONVERGED[telemetry_key]``, so soak runs can report
+    convergence cost per draw and a truncated run cannot masquerade as
+    a converged one. Iteration count is deterministic for a
     deterministic edge set (pinned on a fixed path graph in
     ``tests/test_dedup_similarity.py``).
     """
@@ -78,6 +90,7 @@ def min_label_fixpoint(sym: DataFrame, id_col: str, telemetry_key: str,
               .withColumn("label", F.col(id_col))
               .localCheckpoint(eager=True))
     iters = 0
+    changed = 0
     for _ in range(max_rounds):
         iters += 1
         nb = (sym.join(labels.withColumnsRenamed(
@@ -94,6 +107,7 @@ def min_label_fixpoint(sym: DataFrame, id_col: str, telemetry_key: str,
         if changed == 0:
             break
     FIXPOINT_ITERS[telemetry_key] = iters
+    FIXPOINT_CONVERGED[telemetry_key] = changed == 0
     return labels
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -656,7 +656,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     # Fixed-round by design (no per-round convergence count), but the
     # soak telemetry reads one registry for the whole cluster family —
     # a constant 2 here documents that this op's scale curve CANNOT be
-    # iteration growth (unlike its fixpoint twins).
+    # iteration growth (unlike its fixpoint twins). Semantics differ
+    # from the fixpoint members: this is the PROPAGATION round count
+    # with no zero-change confirming round (a fixpoint twin doing the
+    # same physical work would read one higher), and being a design
+    # constant it is recorded at plan-build time — execution-
+    # independent, so the usual lazy-write staleness concern doesn't
+    # apply. It writes no FIXPOINT_CONVERGED entry: there is no
+    # convergence check to report.
     FIXPOINT_ITERS["dedup_clusters"] = rounds
     return (labels.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_docs"))

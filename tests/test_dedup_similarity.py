@@ -248,7 +248,7 @@ def test_min_label_fixpoint_iters_pinned_on_path_graph(spark):
     min-label travels 1 hop/round, so rounds 1-4 each change at least
     one label and round 5 confirms the fixpoint — 5 rounds exactly."""
     from spark_kafka_airflow_pipeline_spark.operators.base import (
-        FIXPOINT_ITERS, min_label_fixpoint)
+        FIXPOINT_CONVERGED, FIXPOINT_ITERS, min_label_fixpoint)
 
     edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
@@ -258,6 +258,7 @@ def test_min_label_fixpoint_iters_pinned_on_path_graph(spark):
               min_label_fixpoint(sym, "doc_id", "_test_path5").collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
     assert FIXPOINT_ITERS["_test_path5"] == 5
+    assert FIXPOINT_CONVERGED["_test_path5"] is True
     # the side component (10-11) resolves in round 1; the path drives
     # the count — re-run with only the short edge to pin the floor
     short = spark.createDataFrame([(10, 11)], "doc_a long, doc_b long")
@@ -265,27 +266,38 @@ def test_min_label_fixpoint_iters_pinned_on_path_graph(spark):
         short.selectExpr("doc_b AS src", "doc_a AS dst"))
     min_label_fixpoint(ssym, "doc_id", "_test_edge1")
     assert FIXPOINT_ITERS["_test_edge1"] == 2
+    assert FIXPOINT_CONVERGED["_test_edge1"] is True
+    # truncation must be visible, not masquerade as convergence: the
+    # 5-node path needs 4 change rounds, so max_rounds=2 stops with
+    # labels still moving and the registry must say so
+    min_label_fixpoint(sym, "doc_id", "_test_trunc", max_rounds=2)
+    assert FIXPOINT_ITERS["_test_trunc"] == 2
+    assert FIXPOINT_CONVERGED["_test_trunc"] is False
 
 
-def test_cluster_ops_record_fixpoint_iters(spark):
+def test_cluster_ops_record_fixpoint_iters(spark, sf_dir):
     """Each member of the iterative cluster family must leave its
     per-run round count in base.FIXPOINT_ITERS (what scale_soak.py
-    reads for the iters column). sf0.001's edge sets are deterministic,
-    so the counts are pinned values, not just presence checks: both
-    fixpoint twins converge in 1 propagation round + 1 confirming round
-    (near-dup components there are single edges / dense stars), and
-    dedup_clusters reports its fixed-round design constant."""
+    reads for the iters column). The conftest fixture corpus (sf0.001
+    by default) has deterministic edge sets, so the counts are pinned
+    values, not just presence checks: both fixpoint twins converge in
+    1 propagation round + 1 confirming round (near-dup components
+    there are single edges / dense stars) and must report converged,
+    and dedup_clusters reports its fixed-round design constant (no
+    convergence entry — it has no check by design)."""
     from spark_kafka_airflow_pipeline_spark.operators import similarity
     from spark_kafka_airflow_pipeline_spark.operators.base import (
-        FIXPOINT_ITERS)
+        FIXPOINT_CONVERGED, FIXPOINT_ITERS)
 
-    sf = "/root/testdata/sf0.001"
-    dedup.dedup_clusters(spark, sf).count()
+    dedup.dedup_clusters(spark, sf_dir).count()
     assert FIXPOINT_ITERS["dedup_clusters"] == 2
-    dedup.dedup_clusters_md5(spark, sf).count()
+    assert "dedup_clusters" not in FIXPOINT_CONVERGED
+    dedup.dedup_clusters_md5(spark, sf_dir).count()
     assert FIXPOINT_ITERS["dedup_clusters_md5"] == 2
-    similarity.embedding_dup_clusters(spark, sf).count()
+    assert FIXPOINT_CONVERGED["dedup_clusters_md5"] is True
+    similarity.embedding_dup_clusters(spark, sf_dir).count()
     assert FIXPOINT_ITERS["embedding_dup_clusters"] == 2
+    assert FIXPOINT_CONVERGED["embedding_dup_clusters"] is True
 
 
 def test_empty_corpus_schema_stability(spark, tmp_path):
