@@ -369,15 +369,27 @@ def asof_cogroup_arrow(spark: SparkSession, sf_dir: str,
     ``textops.doc_source_arrow_stats`` for the grouped cell). Same
     bucketed-key amortization as ``asof_cogroup_pandas`` and the same
     window-twin oracle, so both cogroup APIs are held to one
-    hash-exact gate."""
-    e = table(spark, sf_dir, "events")
+    hash-exact gate.
+
+    The two cogroup sides are built from SEPARATE scans of the events
+    table (distinct attribute ids), not two filters of one DataFrame:
+    with a shared scan, Spark 4.1's attribute dedup binds the right
+    side's kernel arguments to the LEFT side's ids, and under a
+    pruning consumer (``df.count()``, a noop write) column pruning then
+    strips the right side to just the grouping key — the Arrow kernel
+    receives a clicks table whose only column is ``bkt`` and crashes.
+    A collecting consumer keeps all columns, which is why the oracle
+    harness never saw it (r17 found it the first time the timing sweep
+    ran this query under ``count()``)."""
     n_buckets = n_buckets or 2 * spark.sparkContext.defaultParallelism
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value",
-        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts", "value",
-        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
+    purchases = (table(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts", "value",
+                         F.pmod("user_id", F.lit(n_buckets)).alias("bkt")))
+    clicks = (table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts", "value",
+                      F.pmod("user_id", F.lit(n_buckets)).alias("bkt")))
     return (purchases.groupBy("bkt")
             .cogroup(clicks.groupBy("bkt"))
             .applyInArrow(

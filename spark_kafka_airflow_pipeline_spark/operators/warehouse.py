@@ -14,6 +14,8 @@ on the key each, no driver-side state).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -277,30 +279,43 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling operator: per-column null count, exact distinct
     count, min and max (rendered as strings for a uniform schema) over
     ``orders`` — the summary a catalog/data-quality service maintains
-    per table. ONE scan computes every column's aggregates side by side
-    (Spark lowers the multi-``count_distinct`` into a single Expand +
-    two-phase aggregate — no per-column rescan), then a ``stack``
-    unpivots the 1-row wide result into (column_name, metrics) rows.
+    per table.
+
+    Shape (r17 rewrite, optimization guide §2.3/§7.2): one branch per
+    column — ``groupBy(value)`` (hash aggregate, map-side combined)
+    followed by a second aggregate over the DISTINCT values (distinct
+    count = count of non-null groups, nulls = the null group's count,
+    min/max over group keys) — unioned into one job. The previous
+    one-pass multi-``count_distinct`` form lowered to a 7x Expand whose
+    min/max-over-STRING aggregates cannot run in a HashAggregate, so
+    the whole expanded stream went through FOUR SortAggregates + two
+    Sorts (measured 3.5 s at sf0.1 vs 0.64 s for this form). Per
+    column, the exchange now carries only per-partition distinct
+    values, and the only sort-based aggregate left runs over the
+    distinct set (3-150k rows), not the 7x-expanded scan. At 100 TB
+    the Expand form shuffles 7x the table; this form shuffles the
+    per-partition distinct sets — strictly fewer bytes for every
+    column whose cardinality is below rows-per-partition (statuses,
+    priorities, dates), identical for unique keys.
     ``o_totalprice`` profiles as exact ``decimal(12,2)`` so min/max
     render identically in both engines ('918.53', not '918.53000...')."""
     o = table(spark, sf_dir, "orders")
-    aggs = []
+    outs = []
     for c in _PROFILE_COLS:
         col = (F.col(c).cast("decimal(12,2)") if c == "o_totalprice"
                else F.col(c))
-        aggs += [
-            (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__nulls"),
-            F.count_distinct(col).alias(f"{c}__distinct"),
-            F.min(col).cast("string").alias(f"{c}__min"),
-            F.max(col).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS)
-    return wide.select(F.expr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+        g = (o.select(col.alias("v"))
+             .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+        outs.append(
+            g.agg(
+                F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("cnt"))),
+                           F.lit(0)).alias("n_nulls"),
+                F.count("v").alias("n_distinct"),
+                F.min("v").cast("string").alias("min_val"),
+                F.max("v").cast("string").alias("max_val"),
+            ).select(F.lit(c).alias("column_name"), "n_nulls",
+                     "n_distinct", "min_val", "max_val"))
+    return reduce(DataFrame.unionByName, outs)
 
 
 _PROFILE_ROW = """
