@@ -285,10 +285,12 @@ class PipelineExecutor:
                     md5_minhash_verified_pairs,
                 )
 
-                grams = d.select(
-                    "doc_id",
-                    F.array_distinct(T.raw_shingles("text", 3))
-                    .alias("grams"))
+                grams = (d.select(
+                    "doc_id", T.split_tokens("text").alias("toks"))
+                    .select(
+                        "doc_id",
+                        F.array_distinct(T.raw_shingles_of(F.col("toks"), 3))
+                        .alias("grams")))
                 pairs = md5_minhash_verified_pairs(
                     grams, t.params.threshold)
             else:

@@ -135,6 +135,34 @@ def raw_shingles(text: Column | str, k: int = 3) -> Column:
     return F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1)))
 
 
+def split_tokens(text: Column | str) -> Column:
+    """The tokenization ``raw_shingles`` applies internally —
+    lowercase, trim, split on whitespace — exposed so callers can
+    MATERIALIZE the token array as a column and build shingles from it
+    with ``raw_shingles_of`` (see there for why that is faster)."""
+    return F.split(F.lower(F.trim(_c(text))), _WS)
+
+
+def raw_shingles_of(toks: Column, k: int) -> Column:
+    """``raw_shingles`` over a PRE-MATERIALIZED token-array column:
+    one ``slice`` + ``concat_ws`` per shingle instead of the k-1
+    ``zip_with`` passes whose accumulator re-copies every growing
+    prefix (O(k^2) chars per shingle). Byte-identical output to
+    ``raw_shingles`` (asserted by ``exceptAll`` both ways in
+    tests/test_textops_extra.py); measured 2.3x faster at k=8 and
+    1.5x at k=3 on the sf0.1 corpus (r17).
+
+    ``toks`` MUST be a materialized column (an attribute produced by a
+    prior ``select``), NOT a ``split(...)`` expression: the lambda
+    CAPTURES it, and a captured *expression* is re-evaluated once per
+    shingle — the exact O(tokens^2) pitfall the ``raw_shingles``
+    docstring describes. A captured attribute is just a row-buffer
+    read. Use ``split_tokens`` to materialize."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles — the MinHash input set (see
     ``raw_shingles`` for the construction and the HOF-capture

@@ -490,10 +490,23 @@ def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
     100 TB path: whole-stage-codegen sums over a (doc, gram_hash) stream.
     """
     par = d.sparkSession.sparkContext.defaultParallelism
-    grams = d.repartition(par, id_col).select(
-        F.col(id_col),
-        F.explode(T.char_ngrams(F.col(text_col), ngram)).alias("g"),
-    ).select(id_col, F.xxhash64("g").alias("h"))
+    # r17: per-doc distinct grams via explode + `.distinct()` on
+    # (doc, gram) — map-side complete (the frame is already hash-
+    # partitioned by doc id, so no extra exchange) — instead of
+    # T.char_ngrams' `array_distinct` over the ~1500-element per-doc
+    # string array, the hottest expression in the simhash family
+    # (same finding as ngram_jaccard_md5_pairs: 4.7s -> 0.57s for the
+    # identical (doc, gram) rows at sf0.1, exceptAll-verified; pinned
+    # by tests/test_dedup_similarity.py::test_simhash_gram_build_parity).
+    grams = (d.repartition(par, id_col)
+             .select(F.col(id_col),
+                     F.lower(F.trim(F.col(text_col))).alias("t"))
+             .select(F.col(id_col), F.explode(F.expr(
+                 f"CASE WHEN length(t) <= {ngram} THEN array(t) "
+                 f"ELSE transform(sequence(1, length(t) - {ngram - 1}), "
+                 f"i -> substring(t, i, {ngram})) END")).alias("g"))
+             .distinct()
+             .select(id_col, F.xxhash64("g").alias("h")))
     bit_counts = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long"))
@@ -701,8 +714,10 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str,
     both engines generate the identical candidate set — the
     probabilistic recall of banding does not perturb the oracle."""
     d = (table(spark, sf_dir, "documents")
+         .select("doc_id", T.split_tokens("text").alias("toks"))
          .select("doc_id",
-                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
+                 F.array_distinct(T.raw_shingles_of(F.col("toks"), 3))
+                 .alias("grams")))
     return md5_minhash_verified_pairs(d, threshold)
 
 
@@ -761,14 +776,27 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: fingerprint groupBy + the banded candidate join (never
     doc x doc) + one candidate-sized fingerprint equality join."""
-    d = (table(spark, sf_dir, "documents")
-         .select("doc_id", "text",
-                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams")))
-    fp = d.select("doc_id", T.fingerprint("text").alias("fp"))
+    # The grams frame is localCheckpoint-ed BEFORE md5_band_candidates
+    # explodes it (r17): over a live lineage, InferFiltersFromGenerate
+    # derives `size(grams) > 0` from the explode and filter pushdown
+    # INLINES the whole tokenize+shingle construction into that
+    # per-row Filter — the gram pipeline evaluated twice per row, and
+    # the transform-lambda's captured split() re-evaluated per element
+    # (measured 5.7 s vs 2.6 s for the zip_with form, vs 1.9 s with
+    # this barrier at sf0.1). Behind a materialized LogicalRDD the
+    # inferred filter reads the built array — cheap.
+    gd = (table(spark, sf_dir, "documents")
+          .select("doc_id", T.split_tokens("text").alias("toks"))
+          .select("doc_id",
+                  F.array_distinct(T.raw_shingles_of(F.col("toks"), 3))
+                  .alias("grams"))
+          .localCheckpoint(eager=True))
+    fp = (table(spark, sf_dir, "documents")
+          .select("doc_id", T.fingerprint("text").alias("fp")))
     truth = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
              .agg(F.sum(F.expr("k * (k - 1) DIV 2")).cast("bigint")
                   .alias("truth_pairs")))
-    cand = md5_band_candidates(d.select("doc_id", "grams"))
+    cand = md5_band_candidates(gd)
     found = (cand
              .join(fp.withColumnsRenamed({"doc_id": "doc_a", "fp": "fa"}),
                    "doc_a")
@@ -827,8 +855,9 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("n_chars DIV 100").alias("len_bucket"),
                  T.fingerprint("text").alias("fp")))
     grams = (table(spark, sf_dir, "documents")
+             .select("doc_id", T.split_tokens("text").alias("toks"))
              .select("doc_id",
-                     F.array_distinct(T.raw_shingles("text", 3))
+                     F.array_distinct(T.raw_shingles_of(F.col("toks"), 3))
                      .alias("grams")))
     meta_a = d.select(F.col("doc_id").alias("doc_a"),
                       F.col("lang").alias("la"),
@@ -1262,20 +1291,25 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     oracle applies the IDENTICAL integer filter so parity is exact."""
     par = spark.sparkContext.defaultParallelism
     # TWO-STEP gram build: project the lowered text as a plain column
-    # FIRST, then gram it with substring-transform over that attribute.
-    # A higher-order-function lambda re-evaluates a non-trivial operand
-    # expression per element (measured: inline lower(trim(text)) 4.4s,
-    # the zip_with char-array form 2.4s, this two-step form 0.5s for
-    # the same 713k distinct grams at sf0.1) — bit-equal output
-    # verified against T.char_ngrams by exceptAll in both directions.
-    d = (table(spark, sf_dir, "documents")
+    # FIRST, then gram it with substring-transform over that attribute
+    # (a higher-order-function lambda re-evaluates a non-trivial
+    # operand expression per element; inline lower(trim(text)) was
+    # measured 4.4s). r17: dedup per-doc grams by EXPLODING the raw
+    # gram array and running `.distinct()` on (doc_id, g) — the frame
+    # is already hash-partitioned by doc_id, so the distinct is a
+    # map-side-complete hash aggregate with NO extra exchange — instead
+    # of `array_distinct` over the ~1500-element per-doc array, whose
+    # string-array path was the single hottest expression in the whole
+    # op (measured 4.7s -> 0.57s at sf0.1 for the identical 712,778
+    # (doc_id, gram) rows, exceptAll-verified both directions).
+    g = (table(spark, sf_dir, "documents")
          .repartition(par, "doc_id")
          .select("doc_id", F.lower(F.trim("text")).alias("t"))
-         .select("doc_id", F.array_distinct(F.expr(
+         .select("doc_id", F.explode(F.expr(
              "CASE WHEN length(t) <= 3 THEN array(t) "
              "ELSE transform(sequence(1, length(t) - 2), "
-             "i -> substring(t, i, 3)) END")).alias("grams")))
-    g = d.select("doc_id", F.explode("grams").alias("g"))
+             "i -> substring(t, i, 3)) END")).alias("g"))
+         .distinct())
     h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
     # everything downstream (signature mins, verify join, sizes) works
     # on the 60-bit md5 gram identity, never the gram string — both
@@ -1333,12 +1367,30 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # distinct-set intersections — the SQL twin is restated
     # identically, so parity is exact at any scale.
     arr = hpdf.groupBy("doc_id").agg(F.collect_set("hpv").alias("hs"))
+    # r17: EXACT size-ratio pre-filter before the array joins. Jaccard
+    # is bounded above by min(|A|,|B|)/max(|A|,|B|) (the intersection
+    # is at most the smaller set, the union at least the larger), so a
+    # pair rejected here — min < threshold*max - 1e-6, the epsilon
+    # keeping double rounding strictly conservative — provably fails
+    # the final jaccard >= threshold filter; no pair that could pass
+    # is dropped (output exceptAll-verified identical both ways). The
+    # size join ships two LONGS per pair; at sf0.1 it spares ~40% of
+    # the candidate pairs the 2x ~143-element array join +
+    # array_intersect that dominates the verify stage.
+    sizes = arr.select("doc_id", F.size("hs").alias("n"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    slim = (good.join(za, "doc_a").join(zb, "doc_b")
+            .filter(F.least("na", "nb").cast("double")
+                    >= F.lit(threshold) * F.greatest("na", "nb")
+                    - F.lit(1e-6))
+            .select("doc_a", "doc_b", "na", "nb"))
     aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     bb = arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
-    return (good.join(aa, "doc_a").join(bb, "doc_b")
+    return (slim.join(aa, "doc_a").join(bb, "doc_b")
             .select("doc_a", "doc_b",
                     F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
-                    F.size("ha").alias("na"), F.size("hb").alias("nb"))
+                    "na", "nb")
             .select("doc_a", "doc_b",
                     F.round(F.col("n_inter")
                             / (F.col("na") + F.col("nb")
@@ -1433,9 +1485,11 @@ def incremental_dedup_md5(spark: SparkSession, sf_dir: str,
     # both verify sides and the size lookup all reuse them instead of
     # re-tokenizing per consumer
     d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "source", T.split_tokens("text").alias("toks"))
          .select("doc_id",
                  (F.col("source") == new_source).alias("is_new"),
-                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams"))
+                 F.array_distinct(T.raw_shingles_of(F.col("toks"), 3))
+                 .alias("grams"))
          .localCheckpoint(eager=True))
     g = d.select("doc_id", F.explode("grams").alias("g"))
     h_raw = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
@@ -1798,8 +1852,10 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set; integer ppm outputs.
     """
     d = (table(spark, sf_dir, "documents")
+         .select("doc_id", T.split_tokens("text").alias("toks"))
          .select("doc_id",
-                 F.array_distinct(T.raw_shingles("text", 3)).alias("grams"))
+                 F.array_distinct(T.raw_shingles_of(F.col("toks"), 3))
+                 .alias("grams"))
          # tokenize once: the verified-pair pipeline AND the estimate's
          # own signature build both consume this frame (r9 scan census)
          .localCheckpoint(eager=True))

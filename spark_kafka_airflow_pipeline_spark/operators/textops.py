@@ -555,11 +555,16 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpora. Pure narrow expressions, no shuffle at all."""
     d = table(spark, sf_dir, "documents")
     # RAW (non-distinct) grams — T.shingles dedups its output, which
-    # would make every repetition_ratio 0 by construction
-    grams = T.raw_shingles(F.col("text"), 3)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return d.select(
+    # would make every repetition_ratio 0 by construction. Grams are
+    # materialized as a column in a prior select so the two consumers
+    # (size, array_distinct) read the built array instead of relying
+    # on codegen subexpression elimination to dedupe the construction.
+    g = (d.select("doc_id", T.split_tokens("text").alias("toks"))
+         .select("doc_id",
+                 T.raw_shingles_of(F.col("toks"), 3).alias("grams")))
+    total = F.size(F.col("grams"))
+    distinct = F.size(F.array_distinct(F.col("grams")))
+    return g.select(
         "doc_id",
         total.alias("n_grams"),
         F.round(F.when(total > 0, 1.0 - distinct / total)
@@ -1637,9 +1642,10 @@ def _winnow_selected(d: DataFrame) -> DataFrame:
     independently."""
     from pyspark.sql import Window as Wn
 
-    grams = d.select(
-        "doc_id",
-        F.posexplode(T.raw_shingles("text", _WIN_K)).alias("pos", "g"))
+    grams = (d.select("doc_id", T.split_tokens("text").alias("toks"))
+             .select("doc_id",
+                     F.posexplode(T.raw_shingles_of(F.col("toks"), _WIN_K))
+                     .alias("pos", "g")))
     gh = F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("bigint")
     key = (gh * F.lit(_WIN_POS)
            + (F.lit(_WIN_POS - 1) - F.col("pos").cast("bigint")))
@@ -1806,22 +1812,31 @@ def longest_shared_spans(spark: SparkSession, sf_dir: str,
     repetitions are found exactly; the fan-out this costs is bounded by
     the per-gram occurrence product, itself capped by the df filter.
     Span arithmetic is pure integers: run of g grams = g + n - 1
-    tokens."""
+    tokens.
+
+    r17: the (doc_id, pos, gh) stream is localCheckpoint-ed ONCE and
+    both consumers (the df aggregate and the join probe side) read the
+    materialized longs. The previous shape checkpointed the df-capped
+    SURVIVORS, which re-ran the posexplode + 8-gram concat + md5 pass
+    twice inside the checkpoint job (the two subtrees diverge under
+    column pruning, so exchange reuse cannot dedupe them — verified in
+    the r17 plan capture). 24 B/gram of executor storage buys back a
+    full tokenize+hash pass — the same bytes one gram exchange already
+    writes to shuffle disk. With raw_shingles_of on materialized
+    tokens, measured 7.2 -> 3.9 s median at sf0.1."""
     d = table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.posexplode(T.raw_shingles("text", n)).alias("pos", "g"))
+    grams = (d.select("doc_id", T.split_tokens("text").alias("toks"))
+             .select("doc_id",
+                     F.posexplode(T.raw_shingles_of(F.col("toks"), n))
+                     .alias("pos", "g")))
     gh40 = F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("bigint")
-    grams = grams.select("doc_id", "pos", gh40.alias("gh"))
-    # both join sides consume `rare`, whose lineage holds the whole
-    # posexplode+md5 pass twice (gram stream + df aggregate) —
-    # materialize once; the df-capped survivor set is tiny relative to
-    # the corpus
+    grams = (grams.select("doc_id", "pos", gh40.alias("gh"))
+             .localCheckpoint(eager=True))
     rare = grams.join(
         grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
              .filter((F.col("nd") >= 2) & (F.col("nd") <= max_df))
              .select("gh"),
-        "gh").localCheckpoint(eager=True)
+        "gh")
     a = rare.select("gh", F.col("doc_id").alias("doc_a"),
                     F.col("pos").alias("pa"))
     b = rare.select(F.col("gh").alias("gh_b"),

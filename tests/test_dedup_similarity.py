@@ -551,3 +551,26 @@ def test_md5_verify_enforces_distinct_grams(spark, doc_dir):
     got_pre = sorted(tuple(r) for r in
                      dedup.md5_minhash_verified_pairs(pre, 0.5).collect())
     assert got_raw == got_pre and got_raw
+
+
+def test_simhash_gram_build_parity(spark):
+    """The r17 explode+distinct char-gram build in simhash64_agg must
+    yield exactly the (doc, gram) rows of T.char_ngrams'
+    array_distinct form — content and multiplicity (both distinct)."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+
+    rows = [(1, "Hello World"), (2, "ab"), (3, "aaaaaa"), (4, "xyz"),
+            (5, "  Mixed   CASE  text with   runs  ")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    old = d.select("doc_id",
+                   F.explode(T.char_ngrams(F.col("text"), 3)).alias("g"))
+    new = (d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+           .select("doc_id", F.explode(F.expr(
+               "CASE WHEN length(t) <= 3 THEN array(t) "
+               "ELSE transform(sequence(1, length(t) - 2), "
+               "i -> substring(t, i, 3)) END")).alias("g"))
+           .distinct())
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0

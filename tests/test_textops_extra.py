@@ -96,3 +96,33 @@ def test_context_packing_windows(spark, tmp_path):
            for r in context_packing_stats(spark, str(d),
                                           window_tokens=8).collect()}
     assert out == {0: (3, 9), 1: (2, 6)}
+
+
+def test_raw_shingles_of_matches_raw_shingles(spark):
+    """raw_shingles_of over a materialized token column must be
+    byte-identical (content AND per-doc order) to raw_shingles on the
+    text — the r17 optimization swapped the k-1 zip_with accumulator
+    for one slice+concat_ws per shingle; any divergence here would
+    silently change every md5-oracled gram family."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_airflow_pipeline_spark.functions import text as T
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "one two"),                      # shorter than k=3 and k=8
+        (3, "single"),                       # 1 token
+        (4, "  padded   whitespace\ttabs  and   runs  "),
+        (5, "rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (3, 8):
+        a = d.select(
+            "doc_id",
+            F.posexplode(T.raw_shingles("text", k)).alias("pos", "g"))
+        b = (d.select("doc_id", T.split_tokens("text").alias("toks"))
+             .select("doc_id",
+                     F.posexplode(T.raw_shingles_of(F.col("toks"), k))
+                     .alias("pos", "g")))
+        assert a.exceptAll(b).count() == 0, f"k={k}: a-b"
+        assert b.exceptAll(a).count() == 0, f"k={k}: b-a"
