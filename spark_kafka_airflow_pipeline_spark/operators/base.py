@@ -96,14 +96,21 @@ def min_label_fixpoint(sym: DataFrame, id_col: str, telemetry_key: str,
         nb = (sym.join(labels.withColumnsRenamed(
                   {id_col: "dst", "label": "dst_label"}), "dst")
               .groupBy("src").agg(F.min("dst_label").alias("nb_label")))
+        # the changed-label flag rides the SAME projection that builds
+        # the new label (r17): the convergence count is then a filter
+        # over the frame the checkpoint just materialized, instead of
+        # the old full new⋈old label self-join per round — one fewer
+        # N-row join every iteration, identical count (chg is true
+        # exactly where the old join's label-inequality filter matched;
+        # least() never returns NULL here since `label` is non-null)
         new_labels = (labels.join(nb, labels[id_col] == nb.src, "left")
                       .select(labels[id_col],
-                              F.least("label", "nb_label").alias("label"))
+                              F.least("label", "nb_label").alias("label"),
+                              (F.least("label", "nb_label")
+                               != F.col("label")).alias("chg"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), id_col)
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     FIXPOINT_ITERS[telemetry_key] = iters

@@ -1094,7 +1094,16 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str,
     )
 
     d = table(spark, sf_dir, "documents")
-    grams = (d.select("source", F.explode(T.shingles("text", 8)).alias("g"))
+    # RAW (non-distinct) 8-gram stream (r17): the (source, h) groupBy
+    # right below already deduplicates across the whole source, so the
+    # per-doc array_distinct T.shingles applied was pure overhead — at
+    # k=8 word-grams it was the hottest expression in the op (the
+    # string-array array_distinct finding from ngram_jaccard_md5_pairs).
+    # Identical (source, h) sets by construction; oracle unchanged.
+    grams = (d.select("source", T.split_tokens("text").alias("toks"))
+             .select("source",
+                     F.explode(T.raw_shingles_of(F.col("toks"), 8))
+                     .alias("g"))
              .groupBy("source", F.md5("g").alias("h"))
              .agg(F.count(F.lit(1)).alias("_c")).drop("_c"))
     # NOTE (r9 scan census): a localCheckpoint on `grams` was A/B

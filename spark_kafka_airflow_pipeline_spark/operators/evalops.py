@@ -1988,13 +1988,16 @@ def order_price_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(o_orderkey % 2 AS INT)").alias("half"),
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2")
         .alias("c2"))
-    aggs = []
-    for d in QQ_DECILES:
-        for h, tag in ((0, "a"), (1, "b")):
-            aggs.append(F.floor(F.percentile(
-                F.when(F.col("half") == h, F.col("c2")),
-                F.lit(d / 10))).cast("bigint").alias(f"p{d}{tag}"))
-    one = o.agg(*aggs)
+    # one array-percentile buffer per half instead of one per
+    # (decile, half) — bit-identical values (r17, see
+    # scaleops.orders_equidepth_bins)
+    arr = ", ".join(f"{d / 10}D" for d in QQ_DECILES)
+    one = o.agg(*[F.expr(
+        f"percentile(CASE WHEN half = {h} THEN c2 END, array({arr}))")
+        .alias(f"_ps{tag}") for h, tag in ((0, "a"), (1, "b"))])
+    one = one.select(*[
+        F.floor(F.col(f"_ps{tag}")[i]).cast("bigint").alias(f"p{d}{tag}")
+        for i, d in enumerate(QQ_DECILES) for tag in ("a", "b")])
     stack = ", ".join(f"{d * 100000}, p{d}a, p{d}b" for d in QQ_DECILES)
     return (one.select(F.expr(
         f"stack({len(QQ_DECILES)}, {stack}) "

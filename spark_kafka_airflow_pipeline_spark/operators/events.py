@@ -1956,9 +1956,14 @@ def value_drift_continuous(spark: SparkSession, sf_dir: str,
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         (F.col("event_id") % 2 == 0).cast("int").alias("half"))
     qs = [i / n_bins for i in range(1, n_bins)]
+    # one array-percentile aggregate instead of n_bins-1 separate
+    # buffers — bit-identical cuts, ~4x less agg work (see
+    # scaleops.orders_equidepth_bins, r17)
+    arr = ", ".join(f"{q}D" for q in qs)
     cuts = (w.filter(F.col("half") == 0)
-            .agg(*[F.expr(f"percentile(cents, {q}D)").alias(f"c{i}")
-                   for i, q in enumerate(qs, 1)]))
+            .agg(F.expr(f"percentile(cents, array({arr}))").alias("cs"))
+            .select(*[F.col("cs")[i - 1].alias(f"c{i}")
+                      for i in range(1, n_bins)]))
     bin_ = sum((F.col("cents") > F.col(f"c{i}")).cast("int")
                for i in range(1, n_bins))
     counts = (w.crossJoin(F.broadcast(cuts))

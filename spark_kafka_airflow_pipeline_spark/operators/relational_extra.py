@@ -329,10 +329,15 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline."""
     o = table(spark, sf_dir, "orders")
     qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
-    return o.groupBy("o_orderstatus").agg(*[
-        F.round(F.expr(f"percentile(o_totalprice, {q})"), 6).alias(name)
-        for name, q in qs.items()
-    ])
+    # one array-percentile buffer per group instead of four —
+    # bit-identical values (r17, see scaleops.orders_equidepth_bins)
+    arr = ", ".join(str(q) for q in qs.values())
+    return (o.groupBy("o_orderstatus")
+            .agg(F.expr(f"percentile(o_totalprice, array({arr}))")
+                 .alias("_ps"))
+            .select("o_orderstatus",
+                    *[F.round(F.col("_ps")[i], 6).alias(name)
+                      for i, name in enumerate(qs)]))
 
 
 ORDER_QUANTILES_SQL = """
@@ -366,9 +371,13 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100
                  + 0.5).cast("bigint") * 2).alias("c2"))
-    bounds = base.groupBy("l_returnflag").agg(
-        F.floor(F.expr("percentile(c2, 0.05)")).cast("bigint").alias("lo_x2"),
-        F.floor(F.expr("percentile(c2, 0.95)")).cast("bigint").alias("hi_x2"))
+    # one array-percentile buffer per flag instead of two —
+    # bit-identical values (r17, see scaleops.orders_equidepth_bins)
+    bounds = (base.groupBy("l_returnflag")
+              .agg(F.expr("percentile(c2, array(0.05, 0.95))").alias("_ps"))
+              .select("l_returnflag",
+                      F.floor(F.col("_ps")[0]).cast("bigint").alias("lo_x2"),
+                      F.floor(F.col("_ps")[1]).cast("bigint").alias("hi_x2")))
     w = F.least(F.greatest(F.col("c2"), F.col("lo_x2")), F.col("hi_x2"))
     return (base.join(F.broadcast(bounds), "l_returnflag")
             .groupBy("l_returnflag")

@@ -786,8 +786,17 @@ def orders_equidepth_bins(spark: SparkSession, sf_dir: str,
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     w = o.select(cents.alias("cents"))
     qs = [i / n_bins for i in range(1, n_bins)]
-    cuts = w.agg(*[F.expr(f"percentile(cents, {q}D)").alias(f"c{i}")
-                   for i, q in enumerate(qs, 1)])
+    # ONE percentile aggregate over an array of percentages (r17):
+    # n_bins-1 separate percentile() aggs each keep their own
+    # value-counts buffer and update it per row — the array form keeps
+    # ONE buffer and reads all cuts from the same sorted counts, so
+    # the values are bit-identical (same aggregate, same per-q
+    # interpolation) at 1/(n_bins-1) of the aggregation work
+    # (measured 3.9 -> 1.0 s at sf0.1).
+    arr = ", ".join(f"{q}D" for q in qs)
+    cuts = (w.agg(F.expr(f"percentile(cents, array({arr}))").alias("cs"))
+            .select(*[F.col("cs")[i - 1].alias(f"c{i}")
+                      for i in range(1, n_bins)]))
     bin_ = sum((F.col("cents") > F.col(f"c{i}")).cast("int")
                for i in range(1, n_bins))
     return (w.crossJoin(F.broadcast(cuts))
@@ -1275,14 +1284,17 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100
                  + 0.5).cast("bigint") * 2).alias("c2"),
         F.col("l_quantity").cast("bigint").alias("w"))
+    # one weighted array-percentile buffer per flag instead of three —
+    # bit-identical values (r17, see orders_equidepth_bins)
     return (base.groupBy("l_returnflag")
             .agg(F.sum("w").alias("units"),
-                 F.floor(F.percentile(F.col("c2"), F.lit(0.25), F.col("w")))
-                 .cast("bigint").alias("p25_x2"),
-                 F.floor(F.percentile(F.col("c2"), F.lit(0.5), F.col("w")))
-                 .cast("bigint").alias("p50_x2"),
-                 F.floor(F.percentile(F.col("c2"), F.lit(0.75), F.col("w")))
-                 .cast("bigint").alias("p75_x2")))
+                 F.percentile(F.col("c2"),
+                              F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                              F.col("w")).alias("_ps"))
+            .select("l_returnflag", "units",
+                    F.floor(F.col("_ps")[0]).cast("bigint").alias("p25_x2"),
+                    F.floor(F.col("_ps")[1]).cast("bigint").alias("p50_x2"),
+                    F.floor(F.col("_ps")[2]).cast("bigint").alias("p75_x2")))
 
 
 WEIGHTED_MEDIAN_SQL = """
