@@ -490,23 +490,17 @@ def simhash64_agg(d: DataFrame, id_col: str = "doc_id",
     100 TB path: whole-stage-codegen sums over a (doc, gram_hash) stream.
     """
     par = d.sparkSession.sparkContext.defaultParallelism
-    # r17: per-doc distinct grams via explode + `.distinct()` on
-    # (doc, gram) — map-side complete (the frame is already hash-
-    # partitioned by doc id, so no extra exchange) — instead of
-    # T.char_ngrams' `array_distinct` over the ~1500-element per-doc
-    # string array, the hottest expression in the simhash family
-    # (same finding as ngram_jaccard_md5_pairs: 4.7s -> 0.57s for the
-    # identical (doc, gram) rows at sf0.1, exceptAll-verified; pinned
-    # by tests/test_dedup_similarity.py::test_simhash_gram_build_parity).
-    grams = (d.repartition(par, id_col)
-             .select(F.col(id_col),
-                     F.lower(F.trim(F.col(text_col))).alias("t"))
-             .select(F.col(id_col), F.explode(F.expr(
-                 f"CASE WHEN length(t) <= {ngram} THEN array(t) "
-                 f"ELSE transform(sequence(1, length(t) - {ngram - 1}), "
-                 f"i -> substring(t, i, {ngram})) END")).alias("g"))
-             .distinct()
-             .select(id_col, F.xxhash64("g").alias("h")))
+    # r17 NOTE: the explode-raw + `.distinct()` gram build that won 8x
+    # in ngram_jaccard_md5_pairs was A/B'd here too and REVERTED — for
+    # this op the downstream is already one doc-keyed aggregate, and
+    # the standalone (doc, gram-string) distinct measured a wash-to-
+    # slightly-slower (interleaved medians 3.6 old vs 4.1 new at
+    # sf0.1); the two builds' equivalence stays pinned by
+    # tests/test_dedup_similarity.py::test_simhash_gram_build_parity.
+    grams = d.repartition(par, id_col).select(
+        F.col(id_col),
+        F.explode(T.char_ngrams(F.col(text_col), ngram)).alias("g"),
+    ).select(id_col, F.xxhash64("g").alias("h"))
     bit_counts = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long"))
