@@ -1823,7 +1823,7 @@ def longest_shared_spans(spark: SparkSession, sf_dir: str,
     the r17 plan capture). 24 B/gram of executor storage buys back a
     full tokenize+hash pass — the same bytes one gram exchange already
     writes to shuffle disk. With raw_shingles_of on materialized
-    tokens, measured 7.2 -> 3.9 s median at sf0.1."""
+    tokens, measured 6.8 -> 2.0 s at sf0.1 (sweep minima)."""
     d = table(spark, sf_dir, "documents")
     grams = (d.select("doc_id", T.split_tokens("text").alias("toks"))
              .select("doc_id",
