@@ -256,6 +256,8 @@ def main() -> None:
     steal_open = _cpu_steal_sec()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    query_steal: dict[str, float | None] = {}
+    query_elapsed: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         # 3 samples per query. `queries`/`value` keep the historical
@@ -266,14 +268,32 @@ def main() -> None:
         # false regression alarms in both directions — the median is
         # the number to compare round-over-round).
         samples, n = [], 0
+        q_steal_open = _cpu_steal_sec()
+        q_wall_open = time.perf_counter()
         for _ in range(3):
             start = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - start)
+        # per-query noise annotation (r17 verdict ask #1): host-steal
+        # seconds integrated across THIS query's 3-sample block, plus
+        # the block's wall-clock, so a single contention-inflated
+        # query (r17: q1 at 0.923 s with an unchanged plan while the
+        # 8-core control sat at its historic 0.491 s) is mechanically
+        # attributable from the BENCH file alone instead of needing a
+        # cross-file adjudication pass. Additions-only: the 12 names,
+        # the min-of-2/median-of-3 numbers and the one-line JSON
+        # contract are untouched.
+        q_steal_close = _cpu_steal_sec()
+        query_elapsed[name] = round(time.perf_counter() - q_wall_open, 3)
+        query_steal[name] = (round(q_steal_close - q_steal_open, 2)
+                             if q_steal_open is not None
+                             and q_steal_close is not None else None)
         timings[name] = round(min(samples[:2]), 3)
         medians[name] = round(sorted(samples)[1], 3)
         print(f"# {name}: {timings[name]:.3f}s "
-              f"(median {medians[name]:.3f}s, {n} rows)", file=sys.stderr)
+              f"(median {medians[name]:.3f}s, {n} rows, "
+              f"steal {query_steal[name]}s over {query_elapsed[name]}s)",
+              file=sys.stderr)
 
     # CLOSING sentinel re-draw (r14 verdict ask #2): the opening gate
     # samples host noise only BEFORE the query loop, so a background
@@ -324,6 +344,13 @@ def main() -> None:
         # r16 (r15 verdict ask #2)
         "steal_sec": steal_sec,
         "quiet_steal": quiet_steal,
+        # per-query noise fields (r17 verdict ask #1, additions-only):
+        # steal seconds and wall seconds integrated across each query's
+        # own 3-sample block — steal/elapsed >~0.1 on one query while
+        # the rest read ~0 marks THAT query's draw as contention, not a
+        # plan change, without cross-referencing other files
+        "query_steal_sec": query_steal,
+        "query_elapsed_sec": query_elapsed,
         # the band values THIS record was drawn/gated under, so a
         # BENCH file is self-describing even after a retune or an env
         # override (r15 verdict ask #2: BENCH_r16 carries the bands)

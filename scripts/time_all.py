@@ -5,7 +5,8 @@ JSON line per query to stdout. Measurement tool for the r17 optimization
 round: the headline bench covers 12 queries; this sweep finds the slow
 outliers among all ~334 so optimization effort lands where the time is.
 
-Usage: python scripts/time_all.py [sf_dir] [--reps N] [name ...]
+Usage: python scripts/time_all.py [sf_dir] [--reps=N] [name ...]
+(--reps N with a space is also accepted)
 """
 
 from __future__ import annotations
@@ -22,13 +23,24 @@ from spark_kafka_airflow_pipeline_spark.session import get_spark
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 2
-    for a in sys.argv[1:]:
+    # accept --reps=N and --reps N (the r17 ADVICE: the docstring
+    # advertised the space form but only = parsed; the bare N was then
+    # silently consumed as a query-name filter)
+    argv, reps, i = [], 2, 0
+    raw = sys.argv[1:]
+    while i < len(raw):
+        a = raw[i]
         if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1])
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    only = set(args[1:])
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                reps = int(raw[i])
+        elif not a.startswith("--"):
+            argv.append(a)
+        i += 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    only = set(argv[1:])
 
     spark = get_spark(app_name="time-all")
     queries = entry_mod.queries()

@@ -1248,6 +1248,13 @@ def _ng_est_min(threshold: float) -> int:
 _NG_EST_MIN = _ng_est_min(0.9)
 assert _NG_EST_MIN == 23  # the constant the SQL oracle text embeds
 
+#: bucket count for the exact intersection upper bound (r18): per-doc
+#: gram counts in hpv mod-32 buckets; sum_i min(ca_i, cb_i) >= |A∩B|
+#: for ANY bucketing, so the prune is output-invisible at every scale.
+#: 32 int columns per side — the same join width class as the 32-long
+#: signature table the agreement filter already shipped.
+_NG_BOUND_BUCKETS = 32
+
 
 def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
                             threshold: float = 0.9) -> DataFrame:
@@ -1338,6 +1345,67 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+    # r18: ONE per-doc feature pass over the materialized gram stream —
+    # the distinct gram-hash set (for the exact verify), its size, and
+    # a 32-bucket gram-count profile (for the EXACT intersection upper
+    # bound below). Fusing the former separate collect_set and size
+    # passes with the new profile keeps this a single ObjectHashAgg
+    # over hpdf; the 5000-row result is checkpointed so the three
+    # consumers (two bound-join sides, the survivor array join) read a
+    # tiny materialized frame instead of re-aggregating.
+    docfeat = (hpdf.groupBy("doc_id").agg(
+        F.collect_set("hpv").alias("hs"),
+        *[F.sum(F.when(F.col("hpv") % _NG_BOUND_BUCKETS == i, 1)
+                .otherwise(0)).cast("int").alias(f"c{i}")
+          for i in range(_NG_BOUND_BUCKETS)])
+        .withColumn("n", F.size("hs"))
+        .localCheckpoint(eager=True))
+    # r18: EXACT bucket-count upper bound on the pair intersection,
+    # applied to the RAW banding candidates BEFORE any heavy pair work.
+    # For any partition of the gram space into buckets (here hpv mod
+    # 32), |A ∩ B| <= sum_i min(ca_i, cb_i): an intersection element
+    # falls in exactly one bucket and is counted on both sides. Capped
+    # further by min(|A|, |B|) (which also subsumes r17's size-ratio
+    # filter: bnd = min(na, nb) reduces to exactly that bound). Keep a
+    # pair iff bnd*(1+t) >= (t - 1e-6)*(na+nb): algebraically
+    # bnd/(s-bnd) >= t - 1e-6 without the division, and WITHOUT
+    # F.round — Round on a double allocates a BigDecimal PER ROW and
+    # this filter alone measured 3.6s with round vs 1.0s without over
+    # the 337k candidates (the r18 twin of r17's array_distinct-on-
+    # strings finding). Exactness: a pair passing the final filter has
+    # round6(n_inter/(s-n_inter)) >= t, so n_inter/(s-n_inter) >=
+    # t - 5e-7; bnd >= n_inter and x/(s-x) monotone give
+    # bnd*(1+t) >= (t-5e-7)*s > (t-1e-6)*s — no such pair is ever
+    # dropped here, and the margin only lets ~boundary pairs through
+    # to the exact verify. Output equivalence is proven independently: the
+    # DuckDB twin has NO bound filter and the 3-SF hash compare stays
+    # green. Measured at sf0.1: 337,655 raw candidates -> 257 bound
+    # survivors (255 true pairs) — the 32-column signature-agreement
+    # joins and the 2x ~143-element array joins now run on ~300 rows
+    # instead of 337k/119k, collapsing the op's former dominant stage
+    # (verify 3.7-4.8s -> ~0.1s; see OPTIMIZATION_r18.md).
+    bnd_sum = "+".join(f"least(ca{i}, cb{i})"
+                       for i in range(_NG_BOUND_BUCKETS))
+    pa = docfeat.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n").alias("na"),
+                        *[F.col(f"c{i}").alias(f"ca{i}")
+                          for i in range(_NG_BOUND_BUCKETS)])
+    pb = docfeat.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("nb"),
+                        *[F.col(f"c{i}").alias(f"cb{i}")
+                          for i in range(_NG_BOUND_BUCKETS)])
+    slim = (cand.join(pa, "doc_a").join(pb, "doc_b")
+            .withColumn("bnd", F.least(F.expr(bnd_sum), F.col("na"),
+                                       F.col("nb")))
+            .filter(F.col("bnd").cast("double") * (1.0 + threshold)
+                    >= (F.lit(threshold) - F.lit(1e-6))
+                    * (F.col("na") + F.col("nb")))
+            .select("doc_a", "doc_b", "na", "nb"))
+    # signature-agreement floor (r9, oracle-embedded semantics: the
+    # DuckDB twin applies the IDENTICAL integer filter, so it must stay
+    # part of the pipeline) — now evaluated on the ~300 bound
+    # survivors, where the two 32-column signature joins are free,
+    # instead of on the full 337k candidate set
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"h{i}").alias(f"sa{i}")
                       for i in range(len(_NG_COEFFS))])
@@ -1346,9 +1414,9 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
                       for i in range(len(_NG_COEFFS))])
     agree = "+".join(f"IF(sa{i} = sb{i}, 1, 0)"
                      for i in range(len(_NG_COEFFS)))
-    good = (cand.join(sa, "doc_a").join(sb, "doc_b")
+    good = (slim.join(sa, "doc_a").join(sb, "doc_b")
             .filter(F.expr(f"({agree}) >= {_ng_est_min(threshold)}"))
-            .select("doc_a", "doc_b"))
+            .select("doc_a", "doc_b", "na", "nb"))
     # ARRAY-INTERSECT verify (r10): one fixed-width row per doc (its
     # distinct gram-hash set), joined once per pair side, intersected
     # in a single codegen expression. The old explode-join verify
@@ -1360,28 +1428,11 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # both array_intersect and DuckDB's list_intersect are
     # distinct-set intersections — the SQL twin is restated
     # identically, so parity is exact at any scale.
-    arr = hpdf.groupBy("doc_id").agg(F.collect_set("hpv").alias("hs"))
-    # r17: EXACT size-ratio pre-filter before the array joins. Jaccard
-    # is bounded above by min(|A|,|B|)/max(|A|,|B|) (the intersection
-    # is at most the smaller set, the union at least the larger), so a
-    # pair rejected here — min < threshold*max - 1e-6, the epsilon
-    # keeping double rounding strictly conservative — provably fails
-    # the final jaccard >= threshold filter; no pair that could pass
-    # is dropped (output exceptAll-verified identical both ways). The
-    # size join ships two LONGS per pair; at sf0.1 it spares ~40% of
-    # the candidate pairs the 2x ~143-element array join +
-    # array_intersect that dominates the verify stage.
-    sizes = arr.select("doc_id", F.size("hs").alias("n"))
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    slim = (good.join(za, "doc_a").join(zb, "doc_b")
-            .filter(F.least("na", "nb").cast("double")
-                    >= F.lit(threshold) * F.greatest("na", "nb")
-                    - F.lit(1e-6))
-            .select("doc_a", "doc_b", "na", "nb"))
-    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    bb = arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
-    return (slim.join(aa, "doc_a").join(bb, "doc_b")
+    aa = docfeat.select(F.col("doc_id").alias("doc_a"),
+                        F.col("hs").alias("ha"))
+    bb = docfeat.select(F.col("doc_id").alias("doc_b"),
+                        F.col("hs").alias("hb"))
+    return (good.join(aa, "doc_a").join(bb, "doc_b")
             .select("doc_a", "doc_b",
                     F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
                     "na", "nb")

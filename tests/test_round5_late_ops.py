@@ -666,10 +666,19 @@ def test_bench_quiet_gate_cli_refusal_contract():
 _CLOSING_GATE_DRIVER = """
 import sys
 import bench
-draws = {{"cpu": iter({cpu}), "sh": iter({sh}), "steal": iter({steal})}}
-bench._sentinel_seconds = lambda spark: next(draws["cpu"])
-bench._sentinel_shuffle_seconds = lambda spark: next(draws["sh"])
-bench._cpu_steal_sec = lambda: next(draws["steal"])
+# exhaustion-tolerant scripted draws: each series holds its LAST value
+# once consumed (r18: the per-query steal annotation draws the steal
+# counter twice per headline query, between the documented opening and
+# closing draws — the scripted series pin the opening/closing pair and
+# the extra mid-loop reads see the already-advanced counter, exactly
+# like a real /proc/stat)
+seqs = {{"cpu": {cpu}, "sh": {sh}, "steal": {steal}}}
+draws = {{k: iter(v) for k, v in seqs.items()}}
+def _draw(k):
+    return next(draws[k], seqs[k][-1])
+bench._sentinel_seconds = lambda spark: _draw("cpu")
+bench._sentinel_shuffle_seconds = lambda spark: _draw("sh")
+bench._cpu_steal_sec = lambda: _draw("steal")
 bench.HEADLINE = ["q1_pricing_summary"]
 sys.argv = ["bench.py", "--quiet-gate"]
 bench.main()
