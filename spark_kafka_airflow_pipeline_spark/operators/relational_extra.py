@@ -1644,13 +1644,23 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str,
       exactly the items that can matter (at a production minsup of
       0.01% of baskets this is the difference between joining 20k hot
       items and 10M tail items).
-    * **Bounded pair fan-out**: pairs are generated per basket by a
-      self-join on the order key with ``p1 < p2`` — per-order work is
+    * **Bounded pair fan-out**: pairs are generated per basket from a
+      per-order SORTED item set (one ``collect_set`` aggregate keyed
+      on the order key) expanded by a higher-order flatten/transform
+    with ``p1 < p2`` — per-order work is
       C(lines_per_order, 2) <= ~21 (TPC-H baskets cap at 7 lines), so
       pair volume grows LINEARLY with lineitem volume, never
-      quadratically with catalog size. Both the pair count and the
-      item-count join-back shuffle on part keys (no broadcast: the
-      part dimension scales with SF — PLANS.md posture).
+      quadratically with catalog size. r18: this replaces the former
+      basket self-join on the order key — the r17 reasoning that a
+      collect-per-basket form would be worse was MEASURED WRONG
+      (verdict ask #5): the HOF form emits the identical pair
+      multiset with 19 -> 15 Exchanges / 5 -> 3 joins and an
+      interleaved A/B at sf0.1 of median 3.59s -> 2.44s (outputs
+      exceptAll-identical both ways; per-basket state stays bounded
+      by lines-per-order, never corpus-sized). Both the pair count
+      and the item-count join-back shuffle on part keys (no
+      broadcast: the part dimension scales with SF — PLANS.md
+      posture).
 
     Lift is exact integral ppm through DECIMAL(38,0) (``base.ppm``
     overflow discipline): lift = support * n_baskets / (n1 * n2), so
@@ -1665,11 +1675,14 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str,
     item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     frequent = item.filter(F.col("n") >= minsup)
     fop = op.join(frequent, "pk").select("ok", "pk")
-    a, b = fop.alias("a"), fop.alias("b")
-    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                    & (F.col("a.pk") < F.col("b.pk")))
-             .groupBy(F.col("a.pk").alias("part1"),
-                      F.col("b.pk").alias("part2"))
+    sets = fop.groupBy("ok").agg(F.sort_array(F.collect_set("pk"))
+                                 .alias("ps"))
+    pairs = (sets.select(F.explode(F.expr(
+                 "flatten(transform(ps, (x, i) -> transform("
+                 "slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), "
+                 "y -> struct(x AS part1, y AS part2))))")).alias("p"))
+             .select("p.part1", "p.part2")
+             .groupBy("part1", "part2")
              .agg(F.count(F.lit(1)).alias("support"))
              .filter(F.col("support") >= minsup))
     tot = op.agg(F.countDistinct("ok").alias("n_baskets"))
