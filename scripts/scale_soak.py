@@ -289,6 +289,49 @@ OPS = {
 FIXPOINT_FAMILY = ("dedup_clusters", "dedup_clusters_md5",
                    "embedding_dup_clusters")
 
+#: Ops whose r17 localCheckpoint barriers hold corpus-scaling frames in
+#: executor storage (r17 verdict ask #7): the soak records, for their
+#: Nx draw, the cumulative task spill DELTA across the run and the
+#: block-manager storage still held right after it (before the
+#: inter-op clearCache), so "the gram-stream checkpoint fits without
+#: spilling at 20x" is a recorded number instead of byte-math.
+SPILL_GRADE = ("longest_shared_spans", "blocking_quality_report")
+
+
+def _rest_json(spark, path: str):
+    """Fetch a Spark UI REST endpoint for the running app (local mode:
+    always reachable at uiWebUrl). Returns parsed JSON or None."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}",
+                                    timeout=10) as fh:
+            return json.loads(fh.read().decode())
+    except Exception:  # noqa: BLE001 — metrics are best-effort telemetry
+        return None
+
+
+def _spill_bytes(spark) -> int | None:
+    """Cumulative memory+disk bytes spilled across all stages so far
+    (monotone counter: sample before/after an op and diff)."""
+    stages = _rest_json(spark, "/stages?status=complete")
+    if stages is None:
+        return None
+    return sum(s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+               for s in stages)
+
+
+def _storage_bytes(spark) -> tuple[int, int] | None:
+    """(memoryUsed, diskUsed) currently held by the block manager —
+    localCheckpoint blocks live here."""
+    execs = _rest_json(spark, "/executors")
+    if execs is None:
+        return None
+    return (sum(e.get("memoryUsed", 0) for e in execs),
+            sum(e.get("diskUsed", 0) for e in execs))
+
 
 def build_events(spark, n: int, out: Path) -> None:
     """Replicate events with shifted ids (same users/types: event
@@ -362,14 +405,27 @@ def main() -> None:
         rows_1x = fn(spark, BASE).count()
         t_1x = time.perf_counter() - t
         iters_1x = base.FIXPOINT_ITERS.get(name)
+        spill_before = _spill_bytes(spark) if name in SPILL_GRADE else None
         t = time.perf_counter()
         rows_nx = fn(spark, str(out)).count()
         t_nx = time.perf_counter() - t
         iters_nx = base.FIXPOINT_ITERS.get(name)
+        if name in SPILL_GRADE:
+            spill_after = _spill_bytes(spark)
+            storage = _storage_bytes(spark)
         result[name] = {"t_1x": round(t_1x, 2), f"t_{n}x": round(t_nx, 2),
                         "ratio": round(t_nx / t_1x, 1),
                         "rows_1x": rows_1x, f"rows_{n}x": rows_nx}
         note = ""
+        if name in SPILL_GRADE:
+            if spill_before is not None and spill_after is not None:
+                result[name][f"spill_bytes_{n}x"] = spill_after - spill_before
+                note += f" spill {spill_after - spill_before}B"
+            if storage is not None:
+                result[name][f"storage_mem_bytes_{n}x"] = storage[0]
+                result[name][f"storage_disk_bytes_{n}x"] = storage[1]
+                note += (f" storage mem {storage[0] >> 20}MiB"
+                         f" disk {storage[1] >> 20}MiB")
         if name in FIXPOINT_FAMILY:
             result[name]["iters_1x"] = iters_1x
             result[name][f"iters_{n}x"] = iters_nx
