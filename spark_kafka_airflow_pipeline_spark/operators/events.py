@@ -412,15 +412,24 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str,
     fully vectorized across the users inside a bucket. The same trick
     is the difference between hours and minutes for grouped pandas
     UDFs on a 100 TB key space; bucket memory is bounded at
-    events/n_buckets rows, tunable."""
-    e = table(spark, sf_dir, "events")
+    events/n_buckets rows, tunable.
+
+    Cogroup sides from SEPARATE scans (r18, defensive): this variant
+    happened to run clean under pruning consumers with a shared scan,
+    but it is the same hazard class ``asof_cogroup_arrow`` crashed on
+    (attribute dedup + column pruning stripping one side to the
+    grouping key), so both variants now use the separate-scan shape
+    and both are pinned under ``df.count()`` by
+    tests/test_round18_opt.py."""
     n_buckets = n_buckets or 2 * spark.sparkContext.defaultParallelism
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value",
-        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts", "value",
-        F.pmod("user_id", F.lit(n_buckets)).alias("bkt"))
+    purchases = (table(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts", "value",
+                         F.pmod("user_id", F.lit(n_buckets)).alias("bkt")))
+    clicks = (table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts", "value",
+                      F.pmod("user_id", F.lit(n_buckets)).alias("bkt")))
     return (purchases.groupBy("bkt")
             .cogroup(clicks.groupBy("bkt"))
             .applyInPandas(

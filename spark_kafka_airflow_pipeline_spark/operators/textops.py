@@ -1823,7 +1823,18 @@ def longest_shared_spans(spark: SparkSession, sf_dir: str,
     the r17 plan capture). 24 B/gram of executor storage buys back a
     full tokenize+hash pass — the same bytes one gram exchange already
     writes to shuffle disk. With raw_shingles_of on materialized
-    tokens, measured 6.8 -> 2.0 s at sf0.1 (sweep minima)."""
+    tokens, measured 6.8 -> 2.0 s at sf0.1 (sweep minima).
+
+    r18 spill-grade at 20x (the r17 verdict's quantify-don't-assume
+    ask, re-drawable via `SPARK_GRAFT_UI=true scripts/scale_soak.py
+    20 longest_shared_spans`): the checkpointed gram stream holds
+    606 MB of executor STORAGE memory, 0 bytes on disk — the barrier
+    fits; the 2.5 GB the same draw spills is execution-side (the
+    gaps-and-islands sorts), present with or without the barrier. At
+    a corpus where ~24 B/gram outgrows storage memory, the blocks
+    overflow to local disk (localCheckpoint uses MEMORY_AND_DISK) —
+    degradation, not failure; the survivor-side checkpoint remains
+    the documented fallback shape."""
     d = table(spark, sf_dir, "documents")
     grams = (d.select("doc_id", T.split_tokens("text").alias("toks"))
              .select("doc_id",
