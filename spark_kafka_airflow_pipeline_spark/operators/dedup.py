@@ -1323,15 +1323,27 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # reference, >550 s at sf0.1 vs 16 s).
     hpdf = (g.select("doc_id", (h_raw % _MH_P).alias("hpv"))
             .localCheckpoint(eager=True))
-    # one 32-column row per doc, materialized once: the 4-union +
-    # self-join banding otherwise re-runs the 32-way min aggregate
-    # over the char-gram frame 8x (once per band arm per join side) —
-    # measured 18-24s -> below at sf0.1 (the simhash_md5_pairs fix)
+    # ONE per-doc feature row, materialized once (r18): the 32
+    # signature mins (the 4-union + self-join banding otherwise
+    # re-runs the 32-way min aggregate 8x — the r16 fix), the distinct
+    # gram-hash set (exact verify), and the 32-bucket gram-count
+    # profile (the intersection bound below) all ride a single
+    # aggregate over the checkpointed gram stream. r18 A/B of the
+    # layouts at sf0.1 (6 reps interleaved): two separate
+    # aggregates+checkpoints (r18 first cut) median 6.39s end-to-end,
+    # fully merged 5.66s — one pass over the 712k-row stream and one
+    # 5000-row checkpoint instead of two of each.
     sig = (hpdf.groupBy("doc_id").agg(
+        F.collect_set("hpv").alias("hs"),
         *[F.min((F.lit(a) * F.col("hpv") + F.lit(b)) % _MH_P)
           .alias(f"h{i}")
-          for i, (a, b) in enumerate(_NG_COEFFS)])
+          for i, (a, b) in enumerate(_NG_COEFFS)],
+        *[F.sum(F.when(F.col("hpv") % _NG_BOUND_BUCKETS == i, 1)
+                .otherwise(0)).cast("int").alias(f"c{i}")
+          for i in range(_NG_BOUND_BUCKETS)])
+        .withColumn("n", F.size("hs"))
         .localCheckpoint(eager=True))
+    docfeat = sig
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -1345,21 +1357,6 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # r18: ONE per-doc feature pass over the materialized gram stream —
-    # the distinct gram-hash set (for the exact verify), its size, and
-    # a 32-bucket gram-count profile (for the EXACT intersection upper
-    # bound below). Fusing the former separate collect_set and size
-    # passes with the new profile keeps this a single ObjectHashAgg
-    # over hpdf; the 5000-row result is checkpointed so the three
-    # consumers (two bound-join sides, the survivor array join) read a
-    # tiny materialized frame instead of re-aggregating.
-    docfeat = (hpdf.groupBy("doc_id").agg(
-        F.collect_set("hpv").alias("hs"),
-        *[F.sum(F.when(F.col("hpv") % _NG_BOUND_BUCKETS == i, 1)
-                .otherwise(0)).cast("int").alias(f"c{i}")
-          for i in range(_NG_BOUND_BUCKETS)])
-        .withColumn("n", F.size("hs"))
-        .localCheckpoint(eager=True))
     # r18: EXACT bucket-count upper bound on the pair intersection,
     # applied to the RAW banding candidates BEFORE any heavy pair work.
     # For any partition of the gram space into buckets (here hpv mod
