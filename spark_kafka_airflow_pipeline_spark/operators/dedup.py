@@ -1343,7 +1343,6 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
           for i in range(_NG_BOUND_BUCKETS)])
         .withColumn("n", F.size("hs"))
         .localCheckpoint(eager=True))
-    docfeat = sig
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -1383,11 +1382,11 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # (verify 3.7-4.8s -> ~0.1s; see OPTIMIZATION_r18.md).
     bnd_sum = "+".join(f"least(ca{i}, cb{i})"
                        for i in range(_NG_BOUND_BUCKETS))
-    pa = docfeat.select(F.col("doc_id").alias("doc_a"),
+    pa = sig.select(F.col("doc_id").alias("doc_a"),
                         F.col("n").alias("na"),
                         *[F.col(f"c{i}").alias(f"ca{i}")
                           for i in range(_NG_BOUND_BUCKETS)])
-    pb = docfeat.select(F.col("doc_id").alias("doc_b"),
+    pb = sig.select(F.col("doc_id").alias("doc_b"),
                         F.col("n").alias("nb"),
                         *[F.col(f"c{i}").alias(f"cb{i}")
                           for i in range(_NG_BOUND_BUCKETS)])
@@ -1425,9 +1424,9 @@ def ngram_jaccard_md5_pairs(spark: SparkSession, sf_dir: str,
     # both array_intersect and DuckDB's list_intersect are
     # distinct-set intersections — the SQL twin is restated
     # identically, so parity is exact at any scale.
-    aa = docfeat.select(F.col("doc_id").alias("doc_a"),
+    aa = sig.select(F.col("doc_id").alias("doc_a"),
                         F.col("hs").alias("ha"))
-    bb = docfeat.select(F.col("doc_id").alias("doc_b"),
+    bb = sig.select(F.col("doc_id").alias("doc_b"),
                         F.col("hs").alias("hb"))
     return (good.join(aa, "doc_a").join(bb, "doc_b")
             .select("doc_a", "doc_b",
